@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+Loads each Spark result parquet written by graft.Verify, runs the
+corresponding oracle SQL from oracle_sql.json in DuckDB over the same
+test tables, sorts columns by name and rows by value, and compares
+cell-by-cell (with a small float tolerance fallback so we can spot
+"real" mismatches vs representation noise).
+"""
+import sys, os, json, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+def frame_rows(df):
+    # df: pandas DataFrame -> sorted column names, sorted row tuples
+    cols = sorted(df.columns)
+    rows = [tuple(norm_cell(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
+    rows.sort()
+    return cols, rows
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    result_dirs = [d for d in os.listdir(outdir)
+                   if os.path.isdir(os.path.join(outdir, d))]
+    for name in sorted(result_dirs):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"[FAIL] {name}: no spark output"); n_bad += 1; continue
+        try:
+            spark_df = con.sql(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        except Exception as e:
+            print(f"[FAIL] {name}: cannot read spark output: {e}"); n_bad += 1; continue
+        if name not in oracle:
+            print(f"[rows-only] {name}: {len(spark_df)} rows "
+                  f"({'OK' if len(spark_df) > 0 else 'EMPTY!'})")
+            if len(spark_df) == 0: n_bad += 1
+            else: n_ok += 1
+            continue
+        try:
+            duck_df = con.sql(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"[FAIL] {name}: oracle SQL error: {e}"); n_bad += 1; continue
+        sc, sr = frame_rows(spark_df)
+        dc, dr = frame_rows(duck_df)
+        if sc != dc:
+            print(f"[FAIL] {name}: schema mismatch spark={sc} duck={dc}"); n_bad += 1; continue
+        if len(sr) != len(dr):
+            print(f"[FAIL] {name}: rowcount spark={len(sr)} duck={len(dr)}")
+            for i in range(min(3, len(sr))): print("  spark:", sr[i])
+            for i in range(min(3, len(dr))): print("  duck :", dr[i])
+            n_bad += 1; continue
+        bad = [(a, b) for a, b in zip(sr, dr) if a != b]
+        if bad:
+            print(f"[FAIL] {name}: {len(bad)}/{len(sr)} rows differ; first:")
+            for a, b in bad[:3]:
+                print("  spark:", a); print("  duck :", b)
+            n_bad += 1
+        else:
+            print(f"[OK]   {name}: {len(sr)} rows hash-match")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()

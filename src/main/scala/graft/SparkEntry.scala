@@ -1,13 +1,39 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.report.Report
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator family from SURVEY.md §2 (plus the training-data
+  * pipeline extensions) is exposed as a named query over the driver
+  * test tables, with a DuckDB-equivalent oracle where the semantics
+  * are ANSI-expressible. Column names are aliased identically on both
+  * sides and every query carries a total ORDER BY (SURVEY.md §7.5.6).
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Report.reportMetrics(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- report family (pull_report.pl parity: J1-J4, A1-A4, F3-F7) --
+    "report_metrics"        -> (Report.reportMetrics _),
+    "report_chain"          -> (Report.reportChain _),
+    "q1_pricing_summary"    -> (Report.q1PricingSummary _),
+    "topk_assets"           -> (Report.topkAssets _),
+    "watermark_incremental" -> (Report.watermarkIncremental _),
+    "format_time"           -> (Report.formatTimeQuery _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "report_metrics"        -> Report.reportMetricsSql,
+    "report_chain"          -> Report.reportChainSql,
+    "q1_pricing_summary"    -> Report.q1PricingSummarySql,
+    "topk_assets"           -> Report.topkAssetsSql,
+    "watermark_incremental" -> Report.watermarkIncrementalSql,
+    "format_time"           -> Report.formatTimeSql,
+  )
 }
