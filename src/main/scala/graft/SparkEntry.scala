@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.report.Report
+import graft.parse.{Style5, WebLog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,6 +25,13 @@ object SparkEntry {
     "topk_assets"           -> (Report.topkAssets _),
     "watermark_incremental" -> (Report.watermarkIncremental _),
     "format_time"           -> (Report.formatTimeQuery _),
+    // -- parse family (real_parse.pl / web_parse.pl parity: P1-P17, F2, F10) --
+    "render_style5"         -> (Style5.renderQuery _),
+    "parse_access"          -> (Style5.parseAccess _),
+    "parse_file"            -> (Style5.parseFile _),
+    "parse_client"          -> (Style5.parseClient _),
+    "parse_stats"           -> (Style5.parseStats _),
+    "parse_weblog"          -> (WebLog.parseWeb _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,5 +43,11 @@ object SparkEntry {
     "topk_assets"           -> Report.topkAssetsSql,
     "watermark_incremental" -> Report.watermarkIncrementalSql,
     "format_time"           -> Report.formatTimeSql,
+    "render_style5"         -> Style5.renderSql,
+    "parse_access"          -> Style5.parseAccessSql,
+    "parse_file"            -> Style5.parseFileSql,
+    "parse_client"          -> Style5.parseClientSql,
+    "parse_stats"           -> Style5.parseStatsSql,
+    "parse_weblog"          -> WebLog.parseWebSql,
   )
 }
