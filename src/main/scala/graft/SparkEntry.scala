@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.report.Report
+import graft.report.{Report, Windows}
 import graft.parse.{Style5, WebLog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -32,6 +32,14 @@ object SparkEntry {
     "parse_client"          -> (Style5.parseClient _),
     "parse_stats"           -> (Style5.parseStats _),
     "parse_weblog"          -> (WebLog.parseWeb _),
+    // -- window / session / set-op / JSON extensions (SURVEY §2.6-2.7) --
+    "session_rank"          -> (Windows.sessionRank _),
+    "sessionize"            -> (Windows.sessionize _),
+    "hourly_window_agg"     -> (Windows.hourlyWindowAgg _),
+    "session_window_agg"    -> (Windows.sessionWindowAgg _),
+    "union_rotated"         -> (Windows.unionRotated _),
+    "json_props"            -> (Windows.jsonProps _),
+    "rollup_revenue"        -> (Windows.rollupRevenue _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +57,12 @@ object SparkEntry {
     "parse_client"          -> Style5.parseClientSql,
     "parse_stats"           -> Style5.parseStatsSql,
     "parse_weblog"          -> WebLog.parseWebSql,
+    "session_rank"          -> Windows.sessionRankSql,
+    "sessionize"            -> Windows.sessionizeSql,
+    "hourly_window_agg"     -> Windows.hourlyWindowAggSql,
+    "session_window_agg"    -> Windows.sessionWindowAggSql,
+    "union_rotated"         -> Windows.unionRotatedSql,
+    "json_props"            -> Windows.jsonPropsSql,
+    "rollup_revenue"        -> Windows.rollupRevenueSql,
   )
 }

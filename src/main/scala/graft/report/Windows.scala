@@ -1,0 +1,170 @@
+package graft.report
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.util.Exact
+
+/** Window / session / set-op / JSON capability extensions
+  * (SURVEY.md §2.6-§2.7 — the reference has none of these; they are
+  * the §7 extensions for viewer sessionization over the access-log
+  * stream, mapped to `events`).
+  *
+  * Scale notes: every window here partitions by `user_id` — one hash
+  * shuffle on the partition key, then sorting within partitions. With
+  * AQE + salting this survives skewed users; no global sort appears
+  * anywhere except final presentation ORDER BY (which the driver's
+  * hash-compare needs; at production scale that orderBy would be
+  * dropped or pushed to the consumer).
+  */
+object Windows {
+
+  /** Per-user event ranking: keep each user's first 3 events
+    * (row_number window, deterministic ts+event_id tiebreak). */
+  def sessionRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"), col("event_type"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  val sessionRankSql: String =
+    """SELECT user_id, rn, event_id, event_type
+       FROM (SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             FROM events)
+       WHERE rn <= 3 ORDER BY user_id, rn"""
+
+  /** Gap-based sessionization (lag + running sum of session starts;
+    * gap > 30 min ⇒ new session). The streaming twin is
+    * `session_window` (see [[sessionWindowAgg]]); this is the batch
+    * formulation every SQL engine can check. Micros arithmetic on
+    * both sides so the boundary is bit-exact. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("sess", sum(col("is_new")).over(wc))
+      .groupBy(col("user_id"))
+      .agg(max(col("sess")).cast("long").as("n_sessions"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val sessionizeSql: String =
+    """WITH l AS (
+         SELECT user_id, ts, event_id,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         FROM events),
+       s AS (
+         SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+         FROM l),
+       c AS (
+         SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+         FROM s)
+       SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM c GROUP BY user_id ORDER BY user_id"""
+
+  /** Tumbling 1-hour window aggregation — the batch twin of the
+    * Structured Streaming windowed agg (SURVEY.md §2.7 "Windows"). */
+  def hourlyWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.moneySum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val hourlyWindowAggSql: String =
+    s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ${Exact.moneySumSql("value")} AS sum_value
+       FROM events
+       GROUP BY 1, 2 ORDER BY window_start, event_type"""
+
+  /** `session_window` (30-min inactivity gap) per user — Spark's
+    * native session operator; the oracle reproduces its semantics
+    * with the gap rule (new session when diff >= gap). */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val sessionWindowAggSql: String =
+    """WITH l AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+           epoch_us(ts) AS us
+         FROM events),
+       s AS (
+         SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
+         FROM l),
+       c AS (
+         SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+         FROM s)
+       SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+       FROM c GROUP BY user_id, sess ORDER BY user_id, session_start"""
+
+  /** UNION ALL of "rotated log files" — the reference's sequential
+    * two-file loop is an implicit union (S2, `real_parse.pl:54`). */
+  def unionRotated(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val oldFile = ev.filter(col("event_id") % 2 === 0)
+    val newFile = ev.filter(col("event_id") % 2 === 1)
+    oldFile.unionAll(newFile)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val unionRotatedSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM (SELECT * FROM events WHERE event_id % 2 = 0
+             UNION ALL
+             SELECT * FROM events WHERE event_id % 2 = 1)
+       GROUP BY event_type ORDER BY event_type"""
+
+  /** JSON prop extraction over `events.props` (§7.2 module 6):
+    * get_json_object ≙ json_extract_string. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  val jsonPropsSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** ROLLUP over returnflag/linestatus — grouping-set capability
+    * (absent in the reference; §2.6 extension). */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(Exact.moneySum(col("l_extendedprice")).as("sum_price"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val rollupRevenueSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       ${Exact.moneySumSql("l_extendedprice")} AS sum_price,
+       CAST(count(*) AS BIGINT) AS n
+       FROM lineitem
+       GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+}
