@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.report.{Report, Windows}
 import graft.parse.{Style5, WebLog}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,6 +41,19 @@ object SparkEntry {
     "union_rotated"         -> (Windows.unionRotated _),
     "json_props"            -> (Windows.jsonProps _),
     "rollup_revenue"        -> (Windows.rollupRevenue _),
+    // -- training-data pipeline extensions (north-star ops) --
+    "text_stats"            -> (TextAnalysis.textStats _),
+    "lang_id"               -> (TextAnalysis.langId _),
+    "token_count"           -> (TextAnalysis.tokenCount _),
+    "doc_fingerprint"       -> (TextAnalysis.docFingerprint _),
+    "dedup_exact"           -> (Dedup.dedupExact _),
+    "minhash_signatures"    -> (Dedup.minhashSignatures _),
+    "dedup_minhash_lsh"     -> (Dedup.dedupMinhashLsh _),
+    "simhash"               -> (Dedup.simhash _),
+    "ngram_jaccard"         -> (Dedup.ngramJaccard _),
+    "knn_bruteforce"        -> (Similarity.knnBruteforce _),
+    "knn_lsh"               -> (Similarity.knnLsh _),
+    "media_features"        -> (Multimodal.mediaFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -64,5 +78,17 @@ object SparkEntry {
     "union_rotated"         -> Windows.unionRotatedSql,
     "json_props"            -> Windows.jsonPropsSql,
     "rollup_revenue"        -> Windows.rollupRevenueSql,
+    "text_stats"            -> TextAnalysis.textStatsSql,
+    "lang_id"               -> TextAnalysis.langIdSql,
+    "token_count"           -> TextAnalysis.tokenCountSql,
+    "doc_fingerprint"       -> TextAnalysis.docFingerprintSql,
+    "dedup_exact"           -> Dedup.dedupExactSql,
+    "minhash_signatures"    -> Dedup.minhashSignaturesSql,
+    "dedup_minhash_lsh"     -> Dedup.dedupMinhashLshSql,
+    "simhash"               -> Dedup.simhashSql,
+    "ngram_jaccard"         -> Dedup.ngramJaccardSql,
+    "knn_bruteforce"        -> Similarity.knnBruteforceSql,
+    "knn_lsh"               -> Similarity.knnLshSql,
+    "media_features"        -> Multimodal.mediaFeaturesSql,
   )
 }

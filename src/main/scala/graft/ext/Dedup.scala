@@ -1,0 +1,241 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.util.Hashing
+
+/** Deduplication operators (BASELINE.json north-star): exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard — each shaped for 100 TB:
+  *
+  *  - exact: one hash-groupBy (single shuffle on the content hash);
+  *  - MinHash+LSH: signatures are a narrow map; candidates come from
+  *    an equi-JOIN on (band, band_hash) buckets — never a cross join —
+  *    then only candidates pay the exact-Jaccard verification. This
+  *    is the canonical shingle→minhash→band→bucket-join pipeline;
+  *  - SimHash: explode tokens → one groupBy(doc) with 16 conditional
+  *    sums → bit-pack; near-dups collide in equal/adjacent buckets;
+  *  - n-gram Jaccard: pairwise only *within* a pre-bucket (source),
+  *    the join-key trick that keeps pair counts bounded.
+  *
+  * All hashing goes through [[Hashing.phash]] so every operator has a
+  * DuckDB oracle — the sketches themselves are checked, not just row
+  * counts.
+  *
+  * The synthetic `documents` rows are mutually-random word salads, so
+  * a corpus of true near-duplicates is synthesized in-query: every
+  * doc_id % 5 == 0 gains a twin (doc_id + 100000) with one token
+  * appended. LSH must find exactly those pairs (and exact-dedup must
+  * NOT merge them).
+  */
+object Dedup {
+
+  /** Corpus with injected near-duplicate twins (deterministic). */
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val twins = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zqxj")).as("text"))
+    d.unionAll(twins)
+  }
+
+  private val corpusSql: String =
+    """corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000 AS doc_id, concat(text, ' zqxj') AS text
+         FROM documents WHERE doc_id % 5 = 0)"""
+
+  /** Exact dedup: md5-content groupBy; keeper = min(doc_id).
+    * Twins differ by a token, so they must NOT merge here. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper_id"))
+
+  val dedupExactSql: String =
+    s"""WITH $corpusSql
+       SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+              CAST(count(*) AS BIGINT) AS n_copies
+       FROM corpus GROUP BY md5(text) ORDER BY keeper_id"""
+
+  // ---- MinHash + LSH ------------------------------------------------
+
+  private val K = 16        // minhash functions
+  private val BANDS = 8     // LSH bands of 2 rows each
+  private val ROWS = K / BANDS
+
+  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Word 3-gram shingles. */
+  private def shingles(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+    .otherwise(array(c))
+  }
+
+  private val shinglesSql: String =
+    """CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+       THEN list_transform(generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
+              i -> concat_ws(' ', string_split_regex(trim(text), '\s+')[i],
+                             string_split_regex(trim(text), '\s+')[i+1],
+                             string_split_regex(trim(text), '\s+')[i+2]))
+       ELSE [text] END"""
+
+  /** doc → (doc_id, sig ARRAY<LONG> of K minhashes). */
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .withColumn("sh", shingles(col("text")))
+      .withColumn("sig", array((0 until K).map(i =>
+        array_min(transform(col("sh"), s => Hashing.phash(s, s"${i}_")))): _*))
+
+  private val signaturesSql: String = {
+    val mins = (0 until K).map(i =>
+      s"list_min(list_transform(sh, s -> ${Hashing.phashSql("s", s"${i}_")}))").mkString(",\n           ")
+    s"""sh AS (SELECT doc_id, $shinglesSql AS sh FROM corpus),
+       sigs AS (SELECT doc_id, [$mins] AS sig FROM sh)"""
+  }
+
+  /** MinHash signature dump (itself oracle-checked: the sketches are
+    * bit-identical across engines). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    signatures(spark, dir)
+      .select(col("doc_id") +: (0 until K).map(i =>
+        element_at(col("sig"), i + 1).as(s"h$i")): _*)
+      .orderBy(col("doc_id"))
+
+  val minhashSignaturesSql: String = {
+    val cols = (0 until K).map(i => s"sig[${i + 1}] AS h$i").mkString(", ")
+    s"""WITH $corpusSql, $signaturesSql
+       SELECT doc_id, $cols FROM sigs ORDER BY doc_id"""
+  }
+
+  /** LSH near-dup pairs: band the signature, bucket-join on
+    * (band, band_hash), verify candidates with exact shingle Jaccard.
+    * Output: the verified near-duplicate pairs (jaccard >= 0.5). */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir).select(col("doc_id"), col("sig"), col("sh"))
+    // explode into BANDS buckets: band_hash = phash of the band's rows
+    val banded = sig.select(col("doc_id"), col("sh"),
+      explode(array((0 until BANDS).map { b =>
+        struct(lit(b).as("band"),
+          Hashing.phash(concat_ws("_",
+            (0 until ROWS).map(r => element_at(col("sig"), b * ROWS + r + 1).cast("string")): _*),
+            s"band${b}_").as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val l = banded.as("l"); val r = banded.as("r")
+    val cand = l.join(r,
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"),
+        col("l.sh").as("sh1"), col("r.sh").as("sh2"))
+      .dropDuplicates("id1", "id2")
+    cand
+      .withColumn("jaccard",
+        floor(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+              size(array_union(col("sh1"), col("sh2"))) * 10000 + 0.5) / 10000)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val dedupMinhashLshSql: String = {
+    val bandRows = (0 until BANDS).map { b =>
+      val parts = (0 until ROWS).map(r => s"CAST(sig[${b * ROWS + r + 1}] AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, sh, $b AS band, ${Hashing.phashSql(s"concat_ws('_', $parts)", s"band${b}_")} AS bh FROM sigs"
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH $corpusSql,
+       sh0 AS (SELECT doc_id, $shinglesSql AS sh FROM corpus),
+       sh AS (SELECT doc_id, sh FROM sh0),
+       sigs AS (SELECT doc_id, sh, [${(0 until K).map(i =>
+            s"list_min(list_transform(sh, s -> ${Hashing.phashSql("s", s"${i}_")}))").mkString(", ")}] AS sig
+                FROM sh),
+       banded AS (
+         $bandRows),
+       cand AS (
+         SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+         FROM banded l JOIN banded r
+           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+       j AS (
+         SELECT c.id1, c.id2,
+           floor(CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5) / 10000 AS jaccard
+         FROM cand c
+         JOIN sh a ON a.doc_id = c.id1
+         JOIN sh b ON b.doc_id = c.id2)
+       SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2"""
+  }
+
+  // ---- SimHash ------------------------------------------------------
+
+  private val SIMBITS = 16
+
+  /** 16-bit SimHash per document: explode distinct tokens, one
+    * groupBy(doc) with a conditional sum per bit, bit-pack. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = corpus(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+      .withColumn("h", Hashing.phash(col("t"), "sim_"))
+    val bitSums = (0 until SIMBITS).map { j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val packed = (0 until SIMBITS).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), packed.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val simhashSql: String = {
+    val sums = (0 until SIMBITS).map(j =>
+      s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n           ")
+    val pack = (0 until SIMBITS).map(j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH $corpusSql,
+       tok AS (
+         SELECT doc_id, ${Hashing.phashSql("t", "sim_")} AS h
+         FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+               FROM corpus)),
+       sums AS (
+         SELECT doc_id,
+           $sums
+         FROM tok GROUP BY doc_id)
+       SELECT doc_id, CAST($pack AS BIGINT) AS simhash
+       FROM sums ORDER BY doc_id"""
+  }
+
+  /** n-gram (unigram-set) Jaccard similarity, pairwise within a
+    * source bucket — pre-bucketing bounds the pair count (the same
+    * trick LSH banding generalizes). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        array_distinct(tokens(col("text"))).as("ts"))
+    val l = d.as("l"); val r = d.as("r")
+    l.join(r, col("l.source") === col("r.source") && col("l.doc_id") < col("r.doc_id"))
+      .withColumn("jaccard",
+        floor(size(array_intersect(col("l.ts"), col("r.ts"))).cast("double") /
+              size(array_union(col("l.ts"), col("r.ts"))) * 10000 + 0.5) / 10000)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("l.source").as("source"), col("l.doc_id").as("id1"),
+        col("r.doc_id").as("id2"), col("jaccard"))
+      .orderBy(col("source"), col("id1"), col("id2"))
+  }
+
+  val ngramJaccardSql: String =
+    """WITH d AS (
+         SELECT source, doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS ts
+         FROM documents)
+       SELECT l.source AS source, l.doc_id AS id1, r.doc_id AS id2,
+         floor(CAST(len(list_intersect(l.ts, r.ts)) AS DOUBLE) /
+               len(list_distinct(list_concat(l.ts, r.ts))) * 10000 + 0.5) / 10000 AS jaccard
+       FROM d l JOIN d r ON l.source = r.source AND l.doc_id < r.doc_id
+       WHERE floor(CAST(len(list_intersect(l.ts, r.ts)) AS DOUBLE) /
+               len(list_distinct(list_concat(l.ts, r.ts))) * 10000 + 0.5) / 10000 >= 0.8
+       ORDER BY source, id1, id2"""
+}

@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.util.Hashing
+
+/** Multimodal-column plumbing (BASELINE.json north-star): media as
+  * opaque `binary` columns with typed metadata, batch-shaped
+  * decode / feature-extract / frame-sample operators.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * STUB — a deterministic fake (hash-derived "brightness", computed
+  * length-based "frames"). Everything around it is real Spark
+  * plumbing: the binary column, the metadata struct, the per-batch
+  * `mapPartitions` kernel shape (one kernel instance per partition,
+  * streaming over rows — exactly where a JNI/FFmpeg/torch call would
+  * sit), and the pure-expression feature path that stays in codegen.
+  *
+  * Scale: media bytes dominate row width, so the operators project
+  * the binary column as late as possible (column pruning keeps scans
+  * narrow until decode), and decode parallelism is partition-level —
+  * the 100 TB path is "repartition to decoder count, mapPartitions,
+  * write features", no shuffle of raw bytes beyond the repartition.
+  */
+object Multimodal {
+
+  /** Documents dressed as a media table: text bytes play the blob
+    * (deterministic, so the oracle can check the plumbing). */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("blob"),
+      struct(
+        (col("n_chars") % 1920).cast("int").as("width"),
+        (col("n_chars") % 1080).cast("int").as("height"),
+        when(col("doc_id") % 3 === 0, "h264")
+          .when(col("doc_id") % 3 === 1, "vp9").otherwise("av1").as("codec"))
+        .as("meta"))
+
+  /** Pure-expression feature extraction over the media table
+    * (codegen path; oracle-checked): sizes, frame sampling counts,
+    * and the stubbed "decode" features derived from the blob hash. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val m = mediaTable(spark, dir)
+      .withColumn("n_bytes", octet_length(col("blob")).cast("long"))
+      .withColumn("n_frames", (col("n_bytes") % 30 + 1).cast("long"))
+      // sample every 5th frame: ceil(n_frames / 5)
+      .withColumn("n_sampled", ((col("n_frames") + 4) / 5).cast("long"))
+      // STUB decode: "brightness" = blob-hash bucket (a real decoder
+      // would run here, per partition batch)
+      .withColumn("fake_brightness", Hashing.phash(col("blob").cast("string"), "px_") % 256)
+    m.select(col("media_id"), col("n_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.codec").as("codec"), col("n_frames"), col("n_sampled"),
+        col("fake_brightness"))
+      .orderBy(col("media_id"))
+  }
+
+  val mediaFeaturesSql: String =
+    s"""WITH m AS (
+         SELECT doc_id AS media_id, text,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(n_chars % 1920 AS INTEGER) AS width,
+           CAST(n_chars % 1080 AS INTEGER) AS height,
+           CASE WHEN doc_id % 3 = 0 THEN 'h264'
+                WHEN doc_id % 3 = 1 THEN 'vp9' ELSE 'av1' END AS codec
+         FROM documents)
+       SELECT media_id, n_bytes, width, height, codec,
+         CAST(n_bytes % 30 + 1 AS BIGINT) AS n_frames,
+         CAST((n_bytes % 30 + 1 + 4) // 5 AS BIGINT) AS n_sampled,
+         ${Hashing.phashSql("text", "px_")} % 256 AS fake_brightness
+       FROM m ORDER BY media_id"""
+
+  /** Decoded-frame record produced by the batch kernel. */
+  case class FrameFeature(media_id: Long, frame_idx: Int, brightness: Double)
+
+  /** The mapPartitions decode kernel shape: one decoder instance per
+    * partition, rows streamed through it. The decode itself is a
+    * STUB (deterministic fake) — swap `fakeDecode` for the real
+    * codec call; the batching, schema and partition layout are the
+    * production shape. */
+  def decodeFrames(spark: SparkSession, dir: String, parallelism: Int = 8): Dataset[FrameFeature] = {
+    import spark.implicits._
+    val m = mediaTable(spark, dir)
+      .select(col("media_id").cast("long"), col("blob"))
+      .repartition(parallelism)   // decoder-count partitioning, not data-size
+    m.as[(Long, Array[Byte])].mapPartitions { rows =>
+      // per-partition decoder init would happen HERE (expensive setup once)
+      def fakeDecode(blob: Array[Byte], frame: Int): Double =
+        (blob((frame * 7) % blob.length) & 0xff) / 255.0   // STUB
+      rows.flatMap { case (id, blob) =>
+        val nFrames = (blob.length % 30) + 1
+        (0 until nFrames by 5).map(f => FrameFeature(id, f, fakeDecode(blob, f)))
+      }
+    }
+  }
+}

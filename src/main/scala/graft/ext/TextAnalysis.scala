@@ -1,0 +1,171 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.util.Hashing
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table (BASELINE.json north-star; SURVEY.md §7.2
+  * module 6): quality scoring, language ID, token counting, document
+  * fingerprinting.
+  *
+  * Everything is built from codegen'd builtins (split /
+  * regexp_extract_all / higher-order array functions) — no UDFs, so
+  * the whole family stays inside WholeStageCodegen and is a narrow
+  * per-row map at any scale: zero shuffles except the final
+  * presentation ORDER BY and the one groupBy in token_count.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** tokens = trim + split on runs of whitespace (identical semantics
+    * in both engines). */
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+  private def toksSql(x: String): String = s"string_split_regex(trim($x), '\\s+')"
+
+  /** Portable 4-dp rounding (same trick as Exact.pround2). */
+  private def pr4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+  private def pr4Sql(x: String): String = s"floor(($x) * 10000 + 0.5) / 10000"
+
+  /** Per-document quality metrics: token count, average token length,
+    * punctuation ratio, stopword ratio, and a composite quality score
+    * (length/punct/stopword heuristics — the classic pre-training
+    * quality filters). */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("toks", toks(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_punct",
+        length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+      .withColumn("n_stop", size(filter(col("toks"),
+        t => t.isInCollection(stopwords))))
+      .withColumn("char_sum", aggregate(col("toks"), lit(0),
+        (acc, x) => acc + length(x)))
+    d.select(
+      col("doc_id"),
+      col("n_chars"),
+      col("n_tokens").cast("long").as("n_tokens"),
+      pr4(col("char_sum").cast("double") / col("n_tokens")).as("avg_token_len"),
+      pr4(col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
+      pr4(col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+      pr4(col("n_stop").cast("double") / col("n_tokens") * 0.5 +
+          least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.3 +
+          (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.2)
+        .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textStatsSql: String = {
+    val sw = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (
+         SELECT doc_id, n_chars, ${toksSql("text")} AS toks,
+           len(${toksSql("text")}) AS n_tokens,
+           len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+           len(list_filter(${toksSql("text")}, t -> t IN ($sw))) AS n_stop,
+           list_aggregate(list_transform(${toksSql("text")}, x -> len(x)), 'sum') AS char_sum
+         FROM documents)
+       SELECT doc_id, n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+         ${pr4Sql("CAST(char_sum AS DOUBLE) / n_tokens")} AS avg_token_len,
+         ${pr4Sql("CAST(n_punct AS DOUBLE) / n_chars")} AS punct_ratio,
+         ${pr4Sql("CAST(n_stop AS DOUBLE) / n_tokens")} AS stopword_ratio,
+         ${pr4Sql("CAST(n_stop AS DOUBLE) / n_tokens * 0.5 + least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.3 + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.2")} AS quality_score
+       FROM d ORDER BY doc_id"""
+  }
+
+  /** Language-ID by marker-word voting (n-gram heuristic class;
+    * deterministic argmax with fixed tie-break order). The labeled
+    * `lang` column rides along so accuracy is inspectable. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "es" -> Seq("el", "los", "y", "es"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).withColumn("toks", toks(col("text")))
+    val scored = markers.foldLeft(d) { case (df, (lang, ws)) =>
+      df.withColumn(s"score_$lang",
+        size(filter(col("toks"), t => t.isInCollection(ws))))
+    }
+    // deterministic argmax: en beats de beats fr beats es on ties
+    val pred =
+      when(col("score_en") >= col("score_de") && col("score_en") >= col("score_fr") &&
+           col("score_en") >= col("score_es") && col("score_en") > 0, "en")
+      .when(col("score_de") >= col("score_fr") && col("score_de") >= col("score_es") &&
+            col("score_de") > 0, "de")
+      .when(col("score_fr") >= col("score_es") && col("score_fr") > 0, "fr")
+      .when(col("score_es") > 0, "es")
+      .otherwise("unknown")
+    scored.select(col("doc_id"), col("lang").as("labeled_lang"),
+        pred.as("pred_lang"),
+        col("score_en").cast("long").as("score_en"),
+        col("score_de").cast("long").as("score_de"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    def sc(lang: String): String = {
+      val ws = markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(${toksSql("text")}, t -> t IN ($ws)))"
+    }
+    s"""WITH d AS (
+         SELECT doc_id, lang, ${sc("en")} AS score_en, ${sc("de")} AS score_de,
+                ${sc("fr")} AS score_fr, ${sc("es")} AS score_es
+         FROM documents)
+       SELECT doc_id, lang AS labeled_lang,
+         CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es AND score_en > 0 THEN 'en'
+              WHEN score_de >= score_fr AND score_de >= score_es AND score_de > 0 THEN 'de'
+              WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+              WHEN score_es > 0 THEN 'es'
+              ELSE 'unknown' END AS pred_lang,
+         CAST(score_en AS BIGINT) AS score_en,
+         CAST(score_de AS BIGINT) AS score_de
+       FROM d ORDER BY doc_id"""
+  }
+
+  /** Token counting per source: whitespace tokens vs a BPE-ish
+    * regex tokenizer (letter runs / digit runs / single symbols) —
+    * the cheap proxy for "how many tokens does this corpus cost". */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("ws_tokens", size(toks(col("text"))).cast("long"))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("ws_tokens")).as("ws_tokens"),
+           sum(col("bpe_tokens")).as("bpe_tokens"))
+      .orderBy(col("source"))
+
+  val tokenCountSql: String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(${toksSql("text")})) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens
+       FROM documents GROUP BY source ORDER BY source"""
+
+  /** Document fingerprint: minimum rolling 8-char-shingle hash
+    * (MinHash with k=1 — the content-defined fingerprint used for
+    * near-dup candidate grouping). Identical [[Hashing.phash]] on
+    * both sides. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("shingles",
+        transform(sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+          i => col("text").substr(i, lit(8))))
+      .withColumn("fp", array_min(transform(col("shingles"), s => Hashing.phash(s))))
+    d.select(col("doc_id"), col("fp").as("fingerprint"),
+        size(col("shingles")).cast("long").as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docFingerprintSql: String =
+    s"""SELECT doc_id,
+       list_min(list_transform(
+         list_transform(generate_series(1, greatest(len(text) - 7, 1)),
+                        i -> substr(text, CAST(i AS INT), 8)),
+         s -> ${Hashing.phashSql("s")})) AS fingerprint,
+       CAST(greatest(len(text) - 7, 1) AS BIGINT) AS n_shingles
+       FROM documents ORDER BY doc_id"""
+}

@@ -1,0 +1,23 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable deterministic 60-bit hash, identical in Spark and DuckDB.
+  *
+  * Spark's xxhash64/hash and DuckDB's hash() are different algorithms,
+  * so sketch operators (MinHash, SimHash, LSH) built on them could
+  * never be oracle-checked. Instead: md5 (bit-identical everywhere) →
+  * first 15 hex chars → integer. 60 bits, always nonnegative, safe in
+  * BIGINT arithmetic on both engines.
+  *
+  * Salting gives the independent hash families MinHash/LSH need:
+  * `phash(c, "3_")` is hash function #3.
+  */
+object Hashing {
+  def phash(c: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), c)), 1, 15), 16, 10).cast("long")
+
+  def phashSql(x: String, salt: String = ""): String =
+    s"CAST(('0x' || substr(md5('$salt' || $x), 1, 15)) AS BIGINT)"
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Multimodal
+
+/** Behavior tests for the training-data extension operators. */
+class ExtSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("dedup_exact does not merge near-duplicates") {
+    val df = SparkEntry.queries("dedup_exact")(spark, sf)
+    assert(df.agg(max("n_copies")).head().getLong(0) == 1)
+    assert(df.count() == 600)   // 500 docs + 100 injected twins, all distinct
+  }
+
+  test("minhash LSH finds every injected near-dup twin") {
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twins = (0L until 500L by 5).map(i => (i, i + 100000)).toSet
+    val missed = twins -- pairs
+    assert(missed.isEmpty, s"LSH missed twins: ${missed.take(5)}")
+  }
+
+  test("simhash of a twin stays close to its original") {
+    val sh = SparkEntry.queries("simhash")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dists = (0L until 500L by 5).map { i =>
+      java.lang.Long.bitCount(sh(i) ^ sh(i + 100000))
+    }
+    // one extra token on a short doc can flip a few of 16 bits; the
+    // near-dup property is "small hamming distance", not equality
+    assert(dists.count(_ <= 4) >= dists.size * 9 / 10,
+      s"too many distant twins: ${dists.groupBy(identity).view.mapValues(_.size).toMap}")
+    assert(dists.max <= 8, s"twin drifted to hamming ${dists.max}")
+  }
+
+  test("knn_bruteforce returns 5 ordered neighbors per query") {
+    val rows = SparkEntry.queries("knn_bruteforce")(spark, sf).collect()
+    assert(rows.length == 40)   // 8 queries × 5
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cos = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("knn_lsh candidates come from the query's own bucket") {
+    val df = SparkEntry.queries("knn_lsh")(spark, sf)
+    assert(df.filter(col("bucket") < 0 || col("bucket") > 255).count() == 0)
+    assert(df.groupBy("qid").count().agg(max("count")).head().getLong(0) <= 5)
+  }
+
+  test("decodeFrames kernel produces sampled frames per media row") {
+    val ds = Multimodal.decodeFrames(spark, sf, parallelism = 4)
+    val agg = ds.groupBy("media_id").count()
+    assert(agg.count() == 500)
+    assert(ds.filter(col("brightness") < 0 || col("brightness") > 1).count() == 0)
+    assert(ds.filter(col("frame_idx") % 5 =!= 0).count() == 0)
+  }
+
+  test("text_stats ratios are in [0,1]") {
+    val df = SparkEntry.queries("text_stats")(spark, sf)
+    assert(df.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).count() == 0)
+    assert(df.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
+  }
+}
