@@ -36,7 +36,9 @@ object Dedup {
     val twins = d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" zqxj")).as("text"))
-    d.unionAll(twins)
+    // the documents table is one small parquet split; spread the
+    // CPU-bound shingling/hashing across cores (cheap narrow shuffle)
+    d.unionAll(twins).repartition(spark.sparkContext.defaultParallelism)
   }
 
   private val corpusSql: String =
@@ -85,18 +87,42 @@ object Dedup {
                              string_split_regex(trim(text), '\s+')[i+2]))
        ELSE [text] END"""
 
-  /** doc → (doc_id, sig ARRAY<LONG> of K minhashes). */
+  /** Affine MinHash family: one md5 per shingle reduced to 32 bits,
+    * then K independent `(a_i*h + b_i) mod P` permutations — the
+    * standard trick that makes K minhashes cost one strong hash.
+    * All arithmetic stays < 2^63 (a < 2^31, h < 2^32) so both engines
+    * compute it exactly. Coefficients are md5-derived constants,
+    * embedded identically in the SQL twin. */
+  private val MODP = 4294967311L   // prime > 2^32
+  private[ext] val affine: Seq[(Long, Long)] = (0 until K).map { i =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long =
+      BigInt(1, md.digest(s.getBytes("UTF-8"))).longValue.abs
+    (h(s"a_$i") % 2147483646L + 1L, h(s"b_$i") % MODP)
+  }
+
+  /** doc → (doc_id, sh, sig ARRAY<LONG> of K minhashes).
+    * Ends in a repartition barrier: downstream consumers (the band
+    * explode and the self-join) reference `sig`/`sh` many times, and
+    * without a materialization boundary the optimizer inlines the
+    * whole md5+minhash pipeline once per reference. */
   private def signatures(spark: SparkSession, dir: String): DataFrame =
     corpus(spark, dir)
       .withColumn("sh", shingles(col("text")))
-      .withColumn("sig", array((0 until K).map(i =>
-        array_min(transform(col("sh"), s => Hashing.phash(s, s"${i}_")))): _*))
+      .withColumn("hs", transform(col("sh"), s => Hashing.phash(s) % 4294967296L))
+      .withColumn("sig", array(affine.map { case (a, b) =>
+        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % MODP))
+      }: _*))
+      .select(col("doc_id"), col("text"), col("sh"), col("sig"))
+      .repartition(spark.sparkContext.defaultParallelism)
 
   private val signaturesSql: String = {
-    val mins = (0 until K).map(i =>
-      s"list_min(list_transform(sh, s -> ${Hashing.phashSql("s", s"${i}_")}))").mkString(",\n           ")
+    val mins = affine.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $MODP))"
+    }.mkString(",\n           ")
     s"""sh AS (SELECT doc_id, $shinglesSql AS sh FROM corpus),
-       sigs AS (SELECT doc_id, [$mins] AS sig FROM sh)"""
+       hs AS (SELECT doc_id, sh, list_transform(sh, s -> ${Hashing.phashSql("s")} % 4294967296) AS hs FROM sh),
+       sigs AS (SELECT doc_id, sh, [$mins] AS sig FROM hs)"""
   }
 
   /** MinHash signature dump (itself oracle-checked: the sketches are
@@ -149,11 +175,7 @@ object Dedup {
       s"SELECT doc_id, sh, $b AS band, ${Hashing.phashSql(s"concat_ws('_', $parts)", s"band${b}_")} AS bh FROM sigs"
     }.mkString("\n         UNION ALL\n         ")
     s"""WITH $corpusSql,
-       sh0 AS (SELECT doc_id, $shinglesSql AS sh FROM corpus),
-       sh AS (SELECT doc_id, sh FROM sh0),
-       sigs AS (SELECT doc_id, sh, [${(0 until K).map(i =>
-            s"list_min(list_transform(sh, s -> ${Hashing.phashSql("s", s"${i}_")}))").mkString(", ")}] AS sig
-                FROM sh),
+       $signaturesSql,
        banded AS (
          $bandRows),
        cand AS (
@@ -216,7 +238,12 @@ object Dedup {
     val d = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
         array_distinct(tokens(col("text"))).as("ts"))
-    val l = d.as("l"); val r = d.as("r")
+    // broadcast the (small) right side: parallelism then comes from
+    // the left side's splits instead of the 20 source keys a shuffle
+    // join would hash to; the probe side is repartitioned so the
+    // array-intersect work uses every core
+    val l = d.repartition(spark.sparkContext.defaultParallelism).as("l")
+    val r = broadcast(d).as("r")
     l.join(r, col("l.source") === col("r.source") && col("l.doc_id") < col("r.doc_id"))
       .withColumn("jaccard",
         floor(size(array_intersect(col("l.ts"), col("r.ts"))).cast("double") /

@@ -151,6 +151,8 @@ object TextAnalysis {
     * both sides. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-split table, md5-heavy map
+
       .withColumn("shingles",
         transform(sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
           i => col("text").substr(i, lit(8))))

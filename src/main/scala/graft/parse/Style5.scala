@@ -89,9 +89,20 @@ object Style5 {
       .withColumn("pres_id", col("event_id") % 100)
   }
 
-  /** events → (event_id, line). */
+  /** events → (event_id, line).
+    *
+    * The raw events scan is round-robin repartitioned BEFORE the
+    * render: the test events table is one small parquet file (a
+    * single input split), and everything downstream — render concat,
+    * regex parsing, hashing — is CPU-bound, so without the exchange
+    * the whole parse family would run on one core. Repartitioning the
+    * narrow raw columns is the cheapest possible barrier; at 100 TB
+    * the input has thousands of splits and this becomes a no-op knob
+    * (or a deliberate rebalance after a skewed source). */
   def renderedLines(spark: SparkSession, dir: String): DataFrame =
-    withFields(Tables.events(spark, dir)).select(col("event_id"), concat(
+    withFields(Tables.events(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+      .select(col("event_id"), concat(
       col("ip"), lit(" - - ["), col("dstr"), lit(" -0700] \"GET "), col("fname"),
       lit(" RTSP/1.0\" "), s(col("status")), lit(" "), s(col("bytes")),
       lit(" ["), col("cinfo"), lit("] ["), col("guid"), lit("]"), col("stats"),
@@ -337,10 +348,17 @@ object Style5 {
     * Events with no stat blocks disappear (explode drops empty
     * arrays), matching the reference's 0..n insert loop. */
   def parseStats(spark: SparkSession, dir: String): DataFrame = {
+    // explode_outer, NOT explode: for plain explode the optimizer's
+    // InferFiltersFromGenerate injects `size(stats) > 0` below the
+    // projections, re-evaluating the whole render+regex chain twice
+    // per row in a pre-projection Filter. explode_outer gets no
+    // inferred filter; the null rows from empty arrays are dropped by
+    // a cheap post-filter on the generator output instead.
     val l = renderedLines(spark, dir)
       .withColumn("b", brackets(col("line")))
       .withColumn("stats", slice(col("b"), lit(4), greatest(size(col("b")) - 3, lit(0))))
-      .select(col("event_id"), explode(col("stats")).as("stat"))
+      .select(col("event_id"), explode_outer(col("stats")).as("stat"))
+      .filter(col("stat").isNotNull)
     // DuckDB caps regexp_extract group index at 9, so every field is
     // captured as group 1 with non-capturing prefixes — same patterns
     // verbatim on both sides.

@@ -27,7 +27,9 @@ object WebLog {
     * cycles k%4 ∈ {.wmv, .wma, .mov, .html} so F2 has something to
     * reject. */
   def renderedLines(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).withColumn("k", Style5.kCol)
+    val ev = Tables.events(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // spread the CPU-bound render+parse (see Style5.renderedLines)
+      .withColumn("k", Style5.kCol)
       .withColumn("ext",
         when(col("k") % 4 === 0, ".wmv").when(col("k") % 4 === 1, ".wma")
           .when(col("k") % 4 === 2, ".mov").otherwise(".html"))
