@@ -33,6 +33,8 @@ object SparkEntry {
     "parse_client"          -> (Style5.parseClient _),
     "parse_stats"           -> (Style5.parseStats _),
     "parse_weblog"          -> (WebLog.parseWeb _),
+    "media_formats"         -> (WebLog.mediaFormats _),
+    "star_etl_summary"      -> (graft.etl.StarEtl.starSummary _),
     // -- window / session / set-op / JSON extensions (SURVEY §2.6-2.7) --
     "session_rank"          -> (Windows.sessionRank _),
     "sessionize"            -> (Windows.sessionize _),
@@ -71,6 +73,8 @@ object SparkEntry {
     "parse_client"          -> Style5.parseClientSql,
     "parse_stats"           -> Style5.parseStatsSql,
     "parse_weblog"          -> WebLog.parseWebSql,
+    "media_formats"         -> WebLog.mediaFormatsSql,
+    "star_etl_summary"      -> graft.etl.StarEtl.starSummarySql,
     "session_rank"          -> Windows.sessionRankSql,
     "sessionize"            -> Windows.sessionizeSql,
     "hourly_window_agg"     -> Windows.hourlyWindowAggSql,

@@ -1,0 +1,151 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.parse.Style5
+
+/** Batch ETL: log lines → the 7-table star schema, as one job
+  * (SURVEY.md §3.1 rebuild of `/root/reference/real_parse.pl`).
+  *
+  * The reference pays 4-9 MySQL round-trips per line and stitches
+  * satellites to the hub with `SELECT max(id)` under LOCK TABLES
+  * (J5, `real_parse.pl:109-114`). Here one wide parsed DataFrame is
+  * computed once and each table is a pure projection of it; the
+  * natural key (event/line id) replaces the auto-increment surrogate
+  * (SURVEY.md §7.5.3), so satellites need no lock and no lookup.
+  *
+  * Scale shape: parse once (narrow, codegen), write 7 projections.
+  * The parsed frame is persisted for the fan-out so the parse isn't
+  * re-run per table — at 100 TB you would materialize it as the
+  * canonical parquet layer anyway (and each write is partitioned by
+  * ingest date in production; the test tables have no date spread, so
+  * that knob is left to the caller).
+  */
+object StarEtl {
+
+  /** One wide parsed frame from rendered style-5 lines: every column
+    * every satellite needs, computed in a single pass. */
+  def wideParsed(spark: SparkSession, dir: String): DataFrame = {
+    val l = Style5.renderedLines(spark, dir)
+      .withColumn("m", Style5.dropHead(Style5.spaceMatches(col("line"))))
+      .withColumn("cinfo", element_at(Style5.brackets(col("line")), 2))
+    l.select(
+      col("event_id").as("line_id"),
+      col("line"),
+      Style5.clientIp(col("line")).as("client_ip_address"),
+      Style5.logTimestamp(col("line")).as("datetime"),
+      Style5.gmtOffset(col("line")).as("gmt_offset"),
+      Style5.reqMethod(col("line")).as("method"),
+      Style5.filePath(Style5.reqFile(col("line"))).as("path"),
+      Style5.fileName(Style5.reqFile(col("line"))).as("name"),
+      Style5.reqProto(col("line")).as("protocol_version"),
+      element_at(col("m"), 1).cast("long").as("status_code"),
+      element_at(col("m"), 2).cast("long").as("bytes_sent"),
+      element_at(col("m"), -6).cast("long").as("file_size"),
+      element_at(col("m"), -5).cast("long").as("file_time"),
+      element_at(col("m"), -4).cast("long").as("sent_time"),
+      element_at(col("m"), -3).cast("long").as("resends"),
+      element_at(col("m"), -2).cast("long").as("failed_resends"),
+      element_at(col("m"), -1).cast("long").as("presentation_id"),
+      col("cinfo").as("client_info"),
+      element_at(Style5.brackets(col("line")), 3).as("client_guid"))
+  }
+
+  /** Write the 7 star tables under `outDir` (parquet). Returns the
+    * per-table row counts. The wide frame is persisted once for the
+    * 7-way fan-out. */
+  def runBatch(spark: SparkSession, dir: String, outDir: String): Map[String, Long] = {
+    val wide = wideParsed(spark, dir).persist()
+    try {
+      val access = wide.select(col("line_id"), col("client_ip_address"),
+        lit("-").as("identuser"), lit("-").as("authuser"), col("datetime"),
+        col("gmt_offset"), lit(5).as("logging_style"), lit(3).as("stats_mask"),
+        lit(0).as("server_type"))
+      val file = wide.select(col("line_id"), col("method"), col("path"),
+        col("name"), col("protocol_version"), col("status_code"),
+        col("bytes_sent"), col("file_size"), col("file_time"),
+        col("sent_time"), lit(null).cast("long").as("start_time"),
+        col("presentation_id"))
+      val client = graft.parse.Style5.parseClient(spark, dir)
+      val network = wide.select(col("line_id"), col("resends"),
+        col("failed_resends"), lit(null).cast("string").as("server_address"),
+        lit(null).cast("long").as("packets_sent"),
+        lit(null).cast("long").as("average_bitrate"))
+      val stats = graft.parse.Style5.parseStats(spark, dir)
+      val tables = Map(
+        "access" -> access, "file" -> file, "client" -> client,
+        "network" -> network,
+        "stats_mask1" -> stats.filter(col("stat_type") === "Stat1"),
+        "stats_mask2" -> stats.filter(col("stat_type") === "Stat2"),
+        "stats_mask3" -> stats.filter(col("stat_type") === "Stat3"))
+      tables.map { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$outDir/$name")
+        name -> spark.read.parquet(s"$outDir/$name").count()
+      }
+    } finally wide.unpersist()
+  }
+
+  /** Driver-contract summary query: the 7-way dispatch as row counts
+    * plus per-table checksums — proves the full star split without a
+    * filesystem side effect. */
+  def starSummary(spark: SparkSession, dir: String): DataFrame = {
+    val wide = wideParsed(spark, dir)
+    val stats = Style5.parseStats(spark, dir)
+    val perTable = Seq(
+      ("access", wide.agg(count(lit(1)).as("n"), sum(col("status_code")).as("checksum"))),
+      ("file", wide.agg(count(lit(1)).as("n"), sum(col("bytes_sent")).as("checksum"))),
+      ("client", wide.agg(count(lit(1)).as("n"), sum(length(col("client_info"))).as("checksum"))),
+      ("network", wide.agg(count(lit(1)).as("n"), sum(col("resends")).as("checksum"))),
+      ("stats_mask1", stats.filter(col("stat_type") === "Stat1")
+        .agg(count(lit(1)).as("n"), sum(col("packets_received")).as("checksum"))),
+      ("stats_mask2", stats.filter(col("stat_type") === "Stat2")
+        .agg(count(lit(1)).as("n"), sum(col("bandwidth")).as("checksum"))),
+      ("stats_mask3", stats.filter(col("stat_type") === "Stat3")
+        .agg(count(lit(1)).as("n"), sum(length(col("raw_stat_text"))).as("checksum"))))
+    perTable.map { case (name, df) =>
+      df.select(lit(name).as("table_name"), col("n"), col("checksum").cast("long").as("checksum"))
+    }.reduce(_ unionAll _).orderBy(col("table_name"))
+  }
+
+  val starSummarySql: String = {
+    // the oracle rebuilds the same seven aggregates over the shared
+    // rendered-lines + parse CTEs
+    val parse =
+      s"""p AS (
+         SELECT event_id, line,
+           regexp_extract(line, '"(\\S+) (.*?) (\\S+)"', 2) AS fname,
+           regexp_extract_all(line, '\\s(\\d+)', 1) AS m0,
+           regexp_extract_all(line, '\\[([^\\]]*)\\]', 1) AS bl
+         FROM lines),
+       p2 AS (
+         SELECT event_id, line, bl,
+           CASE WHEN len(m0) > 0 AND regexp_matches(m0[1], '^[6_9]\\w+')
+                THEN m0[2:] ELSE m0 END AS m
+         FROM p),
+       wide AS (
+         SELECT event_id,
+           CAST(m[1] AS BIGINT) AS status_code,
+           CAST(m[2] AS BIGINT) AS bytes_sent,
+           CAST(m[-3] AS BIGINT) AS resends,
+           bl[2] AS client_info, bl AS brackets
+         FROM p2),
+       st AS (
+         SELECT event_id, stat,
+           regexp_extract(stat, '^(Stat[1-3]):', 1) AS stat_type
+         FROM (SELECT event_id, unnest(bl[4:]) AS stat FROM p2))"""
+    s"""WITH ${Style5.renderCtes}, $parse
+       SELECT 'access' AS table_name, CAST(count(*) AS BIGINT) AS n, CAST(sum(status_code) AS BIGINT) AS checksum FROM wide
+       UNION ALL SELECT 'file', CAST(count(*) AS BIGINT), CAST(sum(bytes_sent) AS BIGINT) FROM wide
+       UNION ALL SELECT 'client', CAST(count(*) AS BIGINT), CAST(sum(len(client_info)) AS BIGINT) FROM wide
+       UNION ALL SELECT 'network', CAST(count(*) AS BIGINT), CAST(sum(resends) AS BIGINT) FROM wide
+       UNION ALL SELECT 'stats_mask1', CAST(count(*) AS BIGINT),
+         CAST(sum(CAST(regexp_extract(stat, '^Stat1:\\s+(\\d+)', 1) AS BIGINT)) AS BIGINT)
+         FROM st WHERE stat_type = 'Stat1'
+       UNION ALL SELECT 'stats_mask2', CAST(count(*) AS BIGINT),
+         CAST(sum(CAST(regexp_extract(stat, '^Stat2:\\s+(\\d+)', 1) AS BIGINT)) AS BIGINT)
+         FROM st WHERE stat_type = 'Stat2'
+       UNION ALL SELECT 'stats_mask3', CAST(count(*) AS BIGINT),
+         CAST(sum(len(stat)) AS BIGINT) FROM st WHERE stat_type = 'Stat3'
+       ORDER BY table_name"""
+  }
+}

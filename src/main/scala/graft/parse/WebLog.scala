@@ -90,6 +90,45 @@ object WebLog {
       .orderBy("event_id")
   }
 
+  /** F3 — the unsupported-format N/A branch
+    * (`pull_report.pl:113-115,136-138,159-161`): per media format,
+    * play counts always compute but view-duration metrics are NULL
+    * for formats the server has no duration for (.wmv/.wma/.mov). */
+  def mediaFormats(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = renderedLines(spark, dir).select(
+      col("event_id"),
+      Style5.fileName(regexp_extract(col("line"), webRe, 2)).as("name"),
+      regexp_extract(col("line"), webRe, 5).cast("long").as("bytes_sent"))
+      .withColumn("ext", regexp_extract(col("name"), "\\.(\\w+)$", 1))
+      .filter(col("ext") =!= "")
+    parsed.groupBy(col("ext"))
+      .agg(count(lit(1)).as("play_count"),
+           sum(col("bytes_sent")).as("bytes_total"))
+      .withColumn("avg_view_secs",
+        when(col("ext").isin("wmv", "wma", "mov"), lit(null).cast("long"))  // F3: N/A
+          .otherwise(floor(col("bytes_total") / col("play_count")).cast("long")))
+      .orderBy(col("ext"))
+  }
+
+  val mediaFormatsSql: String =
+    s"""WITH $renderCte,
+       parsed AS (
+         SELECT event_id,
+           regexp_extract(regexp_extract(regexp_extract(line, '"(\\S+) (.*?) (\\S+)" (\\d\\d\\d) (\\d+) "-" "(.*?)"', 2), '([^/]*)$$', 1), '^(.+\\.\\w*)', 1) AS name,
+           CAST(regexp_extract(line, '"(\\S+) (.*?) (\\S+)" (\\d\\d\\d) (\\d+) "-" "(.*?)"', 5) AS BIGINT) AS bytes_sent
+         FROM wlines),
+       e AS (
+         SELECT regexp_extract(name, '\\.(\\w+)$$', 1) AS ext, bytes_sent
+         FROM parsed WHERE regexp_extract(name, '\\.(\\w+)$$', 1) <> ''),
+       g AS (
+         SELECT ext, CAST(count(*) AS BIGINT) AS play_count,
+                CAST(sum(bytes_sent) AS BIGINT) AS bytes_total
+         FROM e GROUP BY ext)
+       SELECT ext, play_count, bytes_total,
+         CASE WHEN ext IN ('wmv', 'wma', 'mov') THEN NULL
+              ELSE CAST(floor(bytes_total / play_count) AS BIGINT) END AS avg_view_secs
+       FROM g ORDER BY ext"""
+
   val parseWebSql: String =
     s"""WITH $renderCte
        SELECT event_id,
