@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.report.{Report, Windows}
+import graft.report.{Incremental, Report, Windows}
 import graft.parse.{Style5, WebLog}
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 
@@ -25,6 +25,9 @@ object SparkEntry {
     "q1_pricing_summary"    -> (Report.q1PricingSummary _),
     "topk_assets"           -> (Report.topkAssets _),
     "watermark_incremental" -> (Report.watermarkIncremental _),
+    "incremental_antijoin"  -> (Incremental.incrementalAntijoin _),
+    "dedup_boundary"        -> (Incremental.dedupBoundary _),
+    "salted_agg"            -> (Incremental.saltedAgg _),
     "format_time"           -> (Report.formatTimeQuery _),
     // -- parse family (real_parse.pl / web_parse.pl parity: P1-P17, F2, F10) --
     "render_style5"         -> (Style5.renderQuery _),
@@ -66,6 +69,9 @@ object SparkEntry {
     "q1_pricing_summary"    -> Report.q1PricingSummarySql,
     "topk_assets"           -> Report.topkAssetsSql,
     "watermark_incremental" -> Report.watermarkIncrementalSql,
+    "incremental_antijoin"  -> Incremental.incrementalAntijoinSql,
+    "dedup_boundary"        -> Incremental.dedupBoundarySql,
+    "salted_agg"            -> Incremental.saltedAggSql,
     "format_time"           -> Report.formatTimeSql,
     "render_style5"         -> Style5.renderSql,
     "parse_access"          -> Style5.parseAccessSql,

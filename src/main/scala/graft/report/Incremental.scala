@@ -1,0 +1,77 @@
+package graft.report
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.util.Exact
+
+/** Incremental-load companions to the watermark filter (SURVEY.md
+  * §2.3 F1, §2.4): the set-difference formulations the reference
+  * approximates with its `> max(datetime)` bound, plus the
+  * skew-resistant aggregation pattern for 100 TB group-bys.
+  */
+object Incremental {
+
+  /** F1 as a true anti-join: new rows = events whose natural key is
+    * not already in the loaded slice. Exact where the watermark bound
+    * is lossy at the boundary second (SURVEY.md §7.5.2). At scale
+    * this is a broadcast anti-join when the loaded-key side is small,
+    * or a shuffled left_anti on the natural key otherwise — Catalyst
+    * picks; no driver-side state either way. */
+  def incrementalAntijoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val loaded = ev.filter(col("event_id") % 3 =!= 0).select(col("event_id"))
+    ev.join(loaded, Seq("event_id"), "left_anti")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_new"), Exact.moneySum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val incrementalAntijoinSql: String =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_new,
+       ${Exact.moneySumSql("value")} AS sum_value
+       FROM events e
+       WHERE NOT EXISTS (SELECT 1 FROM events l
+                         WHERE l.event_id % 3 <> 0 AND l.event_id = e.event_id)
+       GROUP BY event_type ORDER BY event_type"""
+
+  /** Natural-key dedup — the batch form of the streaming
+    * dropDuplicatesWithinWatermark: rows agreeing on
+    * (user_id, ts, event_type) collapse to one (min event_id wins,
+    * deterministically). */
+  def dedupBoundary(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("ts"), col("event_type"))
+      .agg(min(col("event_id")).as("event_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct"))
+      .orderBy(col("event_type"))
+
+  val dedupBoundarySql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct
+       FROM (SELECT user_id, ts, event_type, min(event_id) AS event_id
+             FROM events GROUP BY user_id, ts, event_type)
+       GROUP BY event_type ORDER BY event_type"""
+
+  /** Skew-resistant two-phase aggregation (salting): partial agg on
+    * (key, salt) spreads a hot key over N reducers, final agg merges
+    * partials. Result is identical to the direct groupBy — which is
+    * exactly what the oracle checks. At 100 TB this is the pattern
+    * for power-law keys where AQE skew handling isn't enough. */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.events(spark, dir)
+      .withColumn("salt", col("event_id") % 16)
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+           sum(col("value").cast("decimal(18,4)")).as("psum"))
+    salted.groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+           round(sum(col("psum")), 2).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val saltedAggSql: String =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       ${Exact.moneySumSql("value")} AS sum_value
+       FROM events GROUP BY event_type ORDER BY event_type"""
+}
