@@ -29,6 +29,7 @@ object SparkEntry {
     "dedup_boundary"        -> (Incremental.dedupBoundary _),
     "salted_agg"            -> (Incremental.saltedAgg _),
     "format_time"           -> (Report.formatTimeQuery _),
+    "customer_report"       -> (Report.customerReport _),
     // -- parse family (real_parse.pl / web_parse.pl parity: P1-P17, F2, F10) --
     "render_style5"         -> (Style5.renderQuery _),
     "parse_access"          -> (Style5.parseAccess _),
@@ -73,6 +74,7 @@ object SparkEntry {
     "dedup_boundary"        -> Incremental.dedupBoundarySql,
     "salted_agg"            -> Incremental.saltedAggSql,
     "format_time"           -> Report.formatTimeSql,
+    "customer_report"       -> Report.customerReportSql,
     "render_style5"         -> Style5.renderSql,
     "parse_access"          -> Style5.parseAccessSql,
     "parse_file"            -> Style5.parseFileSql,

@@ -190,6 +190,57 @@ object Report {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** The complete pull_report output (§3.2): customer → project →
+    * file chain with all four per-asset metrics AND the formatted
+    * time strings the reference prints (`pull_report.pl:53-57`), in
+    * one decorrelated plan instead of 1 + P + 4·F queries. Customer
+    * plays contacts.main (F7 hosting filter), order plays project,
+    * part plays project_file. */
+  def customerReport(spark: SparkSession, dir: String): DataFrame = {
+    val c  = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o  = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .filter(col("l_quantity") =!= 0)                          // F5
+      .filter(col("l_quantity") <= col("l_extendedprice"))      // F6
+      .groupBy(col("c_custkey").as("customer_id"),
+        col("c_name").as("customer_name"), col("l_partkey").as("asset_id"))
+      .agg(count(lit(1)).as("play_count"),
+           max(col("l_extendedprice")).as("clip_length"),
+           Exact.moneyAvg(col("l_quantity")).as("avg_view"),
+           max(col("l_quantity")).as("longest_view"))
+      .withColumn("avg_view_fmt", formatTime(floor(col("avg_view")).cast("long")))
+      .withColumn("longest_view_fmt", formatTime(floor(col("longest_view")).cast("long")))
+      .orderBy(col("customer_id"), col("asset_id"))
+  }
+
+  val customerReportSql: String =
+    s"""WITH g AS (
+         SELECT c_custkey AS customer_id, c_name AS customer_name,
+           l_partkey AS asset_id,
+           CAST(count(*) AS BIGINT) AS play_count,
+           max(l_extendedprice) AS clip_length,
+           ${Exact.moneyAvgSql("l_quantity")} AS avg_view,
+           max(l_quantity) AS longest_view
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING' AND l_quantity <> 0
+           AND l_quantity <= l_extendedprice
+         GROUP BY 1, 2, 3),
+       f AS (
+         SELECT *, CAST(floor(avg_view) AS BIGINT) AS a_s,
+                   CAST(floor(longest_view) AS BIGINT) AS l_s
+         FROM g)
+       SELECT customer_id, customer_name, asset_id, play_count,
+         clip_length, avg_view, longest_view,
+         CASE WHEN a_s >= 3600 THEN printf('%d:%02d:%02d', a_s // 3600, (a_s % 3600) // 60, a_s % 60)
+              ELSE printf('%d:%02d', a_s // 60, a_s % 60) END AS avg_view_fmt,
+         CASE WHEN l_s >= 3600 THEN printf('%d:%02d:%02d', l_s // 3600, (l_s % 3600) // 60, l_s % 60)
+              ELSE printf('%d:%02d', l_s // 60, l_s % 60) END AS longest_view_fmt
+       FROM f ORDER BY customer_id, asset_id"""
+
   val formatTimeSql: String =
     """WITH s AS (SELECT l_orderkey, l_linenumber,
          CAST(floor(l_extendedprice) AS BIGINT) % 90000 AS view_secs

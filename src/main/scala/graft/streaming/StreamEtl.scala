@@ -63,6 +63,32 @@ object StreamEtl {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Running per-client totals carried in custom keyed state
+    * (`mapGroupsWithState` — the §2.8 extension point for state the
+    * built-in aggregations can't express). State lives in the
+    * checkpointed store, so totals accumulate across restarts and
+    * log rotations; at scale state is partitioned by key like any
+    * shuffle, bounded here by the client-IP cardinality. */
+  case class ClientTotals(client_ip: String, n_requests: Long, total_bytes: Long)
+
+  def runningClientTotals(spark: SparkSession, inputGlob: String)
+      : org.apache.spark.sql.Dataset[ClientTotals] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    parseLines(spark.readStream.text(inputGlob))
+      .select(col("client_ip_address"), col("bytes_sent"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[ClientTotals, ClientTotals](GroupStateTimeout.NoTimeout) {
+        case (ip, rows, state) =>
+          val prev = state.getOption.getOrElse(ClientTotals(ip, 0L, 0L))
+          val (n, b) = rows.foldLeft((0L, 0L)) { case ((cn, cb), r) => (cn + 1, cb + r._2) }
+          val next = ClientTotals(ip, prev.n_requests + n, prev.total_bytes + b)
+          state.update(next)
+          next
+      }
+  }
+
   /** Streaming per-hour per-status counts with late-data drop — the
     * §2.7 windowed-aggregation extension. Append mode: a window only
     * emits once the watermark passes it (deterministic final counts). */

@@ -39,6 +39,41 @@ class StreamSpec extends AnyFunSuite {
            batch.agg(sum("bytes_sent")).head().getLong(0))
   }
 
+  test("mapGroupsWithState totals accumulate across restarts") {
+    val base = Files.createTempDirectory("graft_state").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    val lines = Style5.renderedLines(spark, sf).cache()
+
+    def runOnce(qname: String): Map[String, (Long, Long)] = {
+      // memory sink can't recover from a checkpoint; foreachBatch can
+      val buf = new scala.collection.concurrent.TrieMap[String, (Long, Long)]()
+      val q = StreamEtl.runningClientTotals(spark, s"$in/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamEtl.ClientTotals], _: Long) =>
+          batch.collect().foreach(t => buf.put(t.client_ip, (t.n_requests, t.total_bytes)))
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      buf.toMap
+    }
+
+    lines.filter(col("event_id") < 200).select("line")
+      .coalesce(1).write.mode("overwrite").text(s"$in/f1")
+    val t1 = runOnce("totals_run1")
+    assert(t1.values.map(_._1).sum == 200)
+
+    lines.filter(col("event_id") >= 200 && col("event_id") < 350).select("line")
+      .coalesce(1).write.mode("overwrite").text(s"$in/f2")
+    val t2 = runOnce("totals_run2")
+    // update-mode memory sink accumulates rows; keep the latest per key
+    // by checking that some client's total grew beyond its t1 value
+    val grew = t2.exists { case (ip, (n, _)) => n > t1.getOrElse(ip, (0L, 0L))._1 }
+    assert(grew, "state did not accumulate across the restart")
+  }
+
   test("hourlyCounts is a valid streaming plan") {
     val base = Files.createTempDirectory("graft_stream2").toString
     val in = s"$base/in"; new java.io.File(in).mkdirs()
