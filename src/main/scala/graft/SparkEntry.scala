@@ -56,6 +56,7 @@ object SparkEntry {
     "minhash_signatures"    -> (Dedup.minhashSignatures _),
     "dedup_minhash_lsh"     -> (Dedup.dedupMinhashLsh _),
     "simhash"               -> (Dedup.simhash _),
+    "simhash_pairs"         -> (Dedup.simhashPairs _),
     "ngram_jaccard"         -> (Dedup.ngramJaccard _),
     "knn_bruteforce"        -> (Similarity.knnBruteforce _),
     "knn_lsh"               -> (Similarity.knnLsh _),
@@ -98,6 +99,7 @@ object SparkEntry {
     "minhash_signatures"    -> Dedup.minhashSignaturesSql,
     "dedup_minhash_lsh"     -> Dedup.dedupMinhashLshSql,
     "simhash"               -> Dedup.simhashSql,
+    "simhash_pairs"         -> Dedup.simhashPairsSql,
     "ngram_jaccard"         -> Dedup.ngramJaccardSql,
     "knn_bruteforce"        -> Similarity.knnBruteforceSql,
     "knn_lsh"               -> Similarity.knnLshSql,

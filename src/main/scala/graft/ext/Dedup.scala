@@ -194,9 +194,9 @@ object Dedup {
 
   // ---- SimHash ------------------------------------------------------
 
-  private val SIMBITS = 16
+  private val SIMBITS = 32
 
-  /** 16-bit SimHash per document: explode distinct tokens, one
+  /** 32-bit SimHash per document: explode distinct tokens, one
     * groupBy(doc) with a conditional sum per bit, bit-pack. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val tok = corpus(spark, dir)
@@ -213,22 +213,71 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val simhashSql: String = {
+  /** DuckDB CTE chain ending in `sims(doc_id, simhash)`. */
+  private val simhashCte: String = {
     val sums = (0 until SIMBITS).map(j =>
       s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n           ")
     val pack = (0 until SIMBITS).map(j =>
       s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-    s"""WITH $corpusSql,
-       tok AS (
+    s"""tok AS (
          SELECT doc_id, ${Hashing.phashSql("t", "sim_")} AS h
          FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
                FROM corpus)),
        sums AS (
          SELECT doc_id,
            $sums
-         FROM tok GROUP BY doc_id)
-       SELECT doc_id, CAST($pack AS BIGINT) AS simhash
-       FROM sums ORDER BY doc_id"""
+         FROM tok GROUP BY doc_id),
+       sims AS (
+         SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM sums)"""
+  }
+
+  val simhashSql: String =
+    s"""WITH $corpusSql,
+       $simhashCte
+       SELECT doc_id, simhash FROM sims ORDER BY doc_id"""
+
+  /** SimHash near-dup pairs: band the 32-bit hash into 4 bytes; a
+    * pair sharing ANY byte is a candidate (pigeonhole: hamming <= 3
+    * always leaves one band intact, so recall at distance 3 is
+    * complete); verify candidates with bit_count(xor). The same
+    * band→bucket-join shape as MinHash LSH, so candidate generation
+    * is an equi-join, never a cross join. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sims = simhash(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      explode_outer(array((0 until 4).map { b =>
+        struct(lit(b).as("band"), (shiftright(col("simhash"), b * 8) % 256).as("bv"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"),
+        col("l.simhash").as("s1"), col("r.simhash").as("s2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val simhashPairsSql: String = {
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (b * 8)}) % 256 AS bv FROM sims")
+      .mkString("\n         UNION ALL\n         ")
+    s"""WITH $corpusSql,
+       $simhashCte,
+       banded AS (
+         $bandRows),
+       cand AS (
+         SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+                l.simhash AS s1, r.simhash AS s2
+         FROM banded l JOIN banded r
+           ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id)
+       SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+       FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+       ORDER BY id1, id2"""
   }
 
   /** n-gram (unigram-set) Jaccard similarity, pairwise within a

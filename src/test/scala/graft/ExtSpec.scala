@@ -29,11 +29,11 @@ class ExtSpec extends AnyFunSuite {
     val dists = (0L until 500L by 5).map { i =>
       java.lang.Long.bitCount(sh(i) ^ sh(i + 100000))
     }
-    // one extra token on a short doc can flip a few of 16 bits; the
+    // one extra token on a short doc can flip several of 32 bits; the
     // near-dup property is "small hamming distance", not equality
-    assert(dists.count(_ <= 4) >= dists.size * 9 / 10,
+    assert(dists.count(_ <= 6) >= dists.size * 9 / 10,
       s"too many distant twins: ${dists.groupBy(identity).view.mapValues(_.size).toMap}")
-    assert(dists.max <= 8, s"twin drifted to hamming ${dists.max}")
+    assert(dists.max <= 10, s"twin drifted to hamming ${dists.max}")
   }
 
   test("knn_bruteforce returns 5 ordered neighbors per query") {
