@@ -23,6 +23,9 @@ object SparkEntry {
     "report_metrics"        -> (Report.reportMetrics _),
     "report_chain"          -> (Report.reportChain _),
     "q1_pricing_summary"    -> (Report.q1PricingSummary _),
+    "q3_shipping"           -> (graft.report.Tpch.q3Shipping _),
+    "q5_local_supplier"     -> (graft.report.Tpch.q5LocalSupplier _),
+    "q6_forecast"           -> (graft.report.Tpch.q6Forecast _),
     "topk_assets"           -> (Report.topkAssets _),
     "watermark_incremental" -> (Report.watermarkIncremental _),
     "incremental_antijoin"  -> (Incremental.incrementalAntijoin _),
@@ -36,6 +39,7 @@ object SparkEntry {
     "parse_file"            -> (Style5.parseFile _),
     "parse_client"          -> (Style5.parseClient _),
     "parse_stats"           -> (Style5.parseStats _),
+    "parse_rejects"         -> (Style5.parseRejects _),
     "parse_weblog"          -> (WebLog.parseWeb _),
     "media_formats"         -> (WebLog.mediaFormats _),
     "star_etl_summary"      -> (graft.etl.StarEtl.starSummary _),
@@ -69,6 +73,9 @@ object SparkEntry {
     "report_metrics"        -> Report.reportMetricsSql,
     "report_chain"          -> Report.reportChainSql,
     "q1_pricing_summary"    -> Report.q1PricingSummarySql,
+    "q3_shipping"           -> graft.report.Tpch.q3ShippingSql,
+    "q5_local_supplier"     -> graft.report.Tpch.q5LocalSupplierSql,
+    "q6_forecast"           -> graft.report.Tpch.q6ForecastSql,
     "topk_assets"           -> Report.topkAssetsSql,
     "watermark_incremental" -> Report.watermarkIncrementalSql,
     "incremental_antijoin"  -> Incremental.incrementalAntijoinSql,
@@ -81,6 +88,7 @@ object SparkEntry {
     "parse_file"            -> Style5.parseFileSql,
     "parse_client"          -> Style5.parseClientSql,
     "parse_stats"           -> Style5.parseStatsSql,
+    "parse_rejects"         -> Style5.parseRejectsSql,
     "parse_weblog"          -> WebLog.parseWebSql,
     "media_formats"         -> WebLog.mediaFormatsSql,
     "star_etl_summary"      -> graft.etl.StarEtl.starSummarySql,

@@ -217,6 +217,37 @@ object Style5 {
   val renderSql: String =
     s"WITH $renderCtes SELECT event_id, line FROM lines ORDER BY event_id"
 
+  /** Reject-lane ETL quality gate: corrupt a deterministic slice of
+    * the rendered lines (k%13==7 truncated mid-record, the way a
+    * crashed logger leaves partial writes), classify every line
+    * against the full style-5 shape, and count accepted vs rejected
+    * per status class. Real 100 TB ingest always needs this lane —
+    * bad rows quarantine instead of poisoning the load (the reference
+    * would die or silently mis-parse). */
+  def parseRejects(spark: SparkSession, dir: String): DataFrame = {
+    val shape = "^\\S+ \\S+ \\S+ \\[[^\\]]*\\] \"[^\"]*\" \\d+ \\d+ .*\\d$"
+    val l = renderedLines(spark, dir)
+      .withColumn("k2", col("event_id") % 13)
+      .withColumn("line2",
+        when(col("k2") === 7, substring(col("line"), 1, 40)).otherwise(col("line")))
+      .withColumn("ok", col("line2").rlike(shape))
+    l.groupBy(col("ok"))
+      .agg(count(lit(1)).as("n"),
+           min(col("event_id")).as("first_event"))
+      .orderBy(col("ok"))
+  }
+
+  val parseRejectsSql: String =
+    s"""WITH $renderCtes,
+       c AS (
+         SELECT event_id,
+           CASE WHEN event_id % 13 = 7 THEN substr(line, 1, 40) ELSE line END AS line2
+         FROM lines)
+       SELECT regexp_matches(line2, '^\\S+ \\S+ \\S+ \\[[^\\]]*\\] "[^"]*" \\d+ \\d+ .*\\d$$') AS ok,
+         CAST(count(*) AS BIGINT) AS n,
+         min(event_id) AS first_event
+       FROM c GROUP BY 1 ORDER BY ok"""
+
   /** The `access` hub projection (S7; `real_parse.pl:96-106`). */
   def parseAccess(spark: SparkSession, dir: String): DataFrame = {
     val l = renderedLines(spark, dir)
