@@ -33,6 +33,8 @@ object SparkEntry {
     "salted_agg"            -> (Incremental.saltedAgg _),
     "format_time"           -> (Report.formatTimeQuery _),
     "customer_report"       -> (Report.customerReport _),
+    "name_match"            -> (Report.nameMatch _),
+    "dedup_embedding"       -> (graft.ext.Similarity.dedupEmbedding _),
     // -- parse family (real_parse.pl / web_parse.pl parity: P1-P17, F2, F10) --
     "render_style5"         -> (Style5.renderQuery _),
     "parse_access"          -> (Style5.parseAccess _),
@@ -83,6 +85,8 @@ object SparkEntry {
     "salted_agg"            -> Incremental.saltedAggSql,
     "format_time"           -> Report.formatTimeSql,
     "customer_report"       -> Report.customerReportSql,
+    "name_match"            -> Report.nameMatchSql,
+    "dedup_embedding"       -> graft.ext.Similarity.dedupEmbeddingSql,
     "render_style5"         -> Style5.renderSql,
     "parse_access"          -> Style5.parseAccessSql,
     "parse_file"            -> Style5.parseFileSql,

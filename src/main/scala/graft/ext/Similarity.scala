@@ -35,16 +35,20 @@ object Similarity {
   private val NQUERIES = 8
   private val TOPK = 5
 
-  /** Deterministic ±1 hyperplane matrix derived from md5 — a public,
-    * seed-reproducible construction (no RNG, same values in the SQL
-    * twin because they are embedded as literals). */
-  private[ext] val planes: Array[Array[Int]] = {
+  /** Deterministic ±1 hyperplane matrices derived from md5 — a
+    * public, seed-reproducible construction (no RNG, same values in
+    * the SQL twin because they are embedded as literals). Two
+    * independent tables: a vector pair split by a near-zero dot in
+    * one table almost surely shares a bucket in the other. */
+  private def planesFor(tag: String): Array[Array[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(PLANES, DIM) { (p, d) =>
-      val h = md.digest(s"pl_${p}_$d".getBytes("UTF-8"))
+      val h = md.digest(s"${tag}_${p}_$d".getBytes("UTF-8"))
       if ((h.last & 1) == 1) 1 else -1
     }
   }
+  private[ext] val planes: Array[Array[Int]] = planesFor("pl")
+  private[ext] val planes2: Array[Array[Int]] = planesFor("p2")
 
   /** float vector → exact integer milli-quantized vector. */
   private def quant(v: Column): Column =
@@ -97,17 +101,23 @@ object Similarity {
        FROM ranked WHERE rank <= $TOPK ORDER BY qid, rank"""
 
   /** LSH bucket id: sign bit per hyperplane dot, packed. */
-  private def bucket(qv: Column): Column =
+  private def bucketWith(ps: Array[Array[Int]])(qv: Column): Column =
     (0 until PLANES).map { p =>
-      val w = array(planes(p).map(lit(_)): _*)
+      val w = array(ps(p).map(lit(_)): _*)
       when(dot(w.cast("array<long>"), qv) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def bucketSql(qv: String): String =
+  private def bucket(qv: Column): Column = bucketWith(planes)(qv)
+  private def bucket2(qv: Column): Column = bucketWith(planes2)(qv)
+
+  private def bucketSqlWith(ps: Array[Array[Int]], qv: String): String =
     (0 until PLANES).map { p =>
-      val w = planes(p).mkString("[", ", ", "]")
+      val w = ps(p).mkString("[", ", ", "]")
       s"(CASE WHEN list_sum(list_transform(generate_series(1, $DIM), i -> ($w)[i] * $qv[i])) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  private def bucketSql(qv: String): String = bucketSqlWith(planes, qv)
+  private def bucket2Sql(qv: String): String = bucketSqlWith(planes2, qv)
 
   /** ANN via LSH buckets: candidates share the query's bucket; rank
     * by exact (quantized) cosine within the bucket. Compared to
@@ -132,6 +142,82 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("cosine"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Embedding-cosine near-duplicate detection — the vector-space
+    * dedup mode (complementing exact/MinHash/SimHash/Jaccard in
+    * [[Dedup]]). A twin corpus is synthesized in-query (vec_id%7==0
+    * gets a copy with dim 1 nudged by +0.01 → cosine ≈ 0.9999);
+    * candidates come from TWO independent hyperplane-LSH bucket
+    * joins (a pair split by one near-zero hyperplane dot in table 1
+    * almost surely shares its bucket in table 2) and must clear an
+    * exact quantized-cosine threshold. The bucket joins keep the
+    * candidate count far below the cross join; adding tables trades
+    * compute for recall the standard multi-table LSH way. */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val twins = base.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 1, x + lit(0.01f)).otherwise(x)).as("embedding"))
+    val e = base.unionAll(twins)
+      .withColumn("qv", quant(col("embedding")))
+      .withColumn("b1", bucket(col("qv")))
+      .withColumn("b2", bucket2(col("qv")))
+      .select(col("vec_id"), col("qv"), col("b1"), col("b2"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val r = e.as("r")
+    // multi-probe: the left side also probes every hamming-1 bucket,
+    // so a pair is missed only if >= 2 hyperplane dots flip sign in
+    // BOTH tables — vanishingly unlikely for near-identical vectors
+    def probes(k: String) = e.select(col("vec_id"), col("qv"),
+      explode(array(col(k) +: (0 until PLANES).map(b =>
+        col(k).bitwiseXOR(lit(1L << b))): _*)).as("probe"))
+    def table(k: String) =
+      probes(k).as("l")
+        .join(r, col("l.probe") === col(s"r.$k") && col("l.vec_id") < col("r.vec_id"))
+        .select(col("l.vec_id").as("id1"), col("r.vec_id").as("id2"),
+          col("l.qv").as("qv1"), col("r.qv").as("qv2"))
+    table("b1").unionAll(table("b2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("cosine", pr6(
+        dot(col("qv1"), col("qv2")).cast("double") /
+          (sqrt(norm2(col("qv1")).cast("double")) * sqrt(norm2(col("qv2")).cast("double")))))
+      .filter(col("cosine") >= 0.99)
+      .select(col("id1"), col("id2"), col("cosine"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""WITH base AS (
+         SELECT vec_id, embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 100000 AS vec_id,
+           list_transform(generate_series(1, $DIM),
+             i -> CASE WHEN i = 2 THEN embedding[i] + CAST(0.01 AS FLOAT) ELSE embedding[i] END) AS embedding
+         FROM embeddings WHERE vec_id % 7 = 0),
+       e AS (
+         SELECT vec_id, $quantSql AS qv, ${bucketSql(quantSql)} AS b1,
+                ${bucket2Sql(quantSql)} AS b2
+         FROM base),
+       p1 AS (
+         SELECT vec_id, qv, unnest([b1, xor(b1, 1), xor(b1, 2), xor(b1, 4), xor(b1, 8), xor(b1, 16), xor(b1, 32), xor(b1, 64), xor(b1, 128)]) AS probe
+         FROM e),
+       p2 AS (
+         SELECT vec_id, qv, unnest([b2, xor(b2, 1), xor(b2, 2), xor(b2, 4), xor(b2, 8), xor(b2, 16), xor(b2, 32), xor(b2, 64), xor(b2, 128)]) AS probe
+         FROM e),
+       cand AS (
+         SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2, l.qv AS qv1, r.qv AS qv2
+         FROM p1 l JOIN e r ON l.probe = r.b1 AND l.vec_id < r.vec_id
+         UNION
+         SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2, l.qv AS qv1, r.qv AS qv2
+         FROM p2 l JOIN e r ON l.probe = r.b2 AND l.vec_id < r.vec_id),
+       p AS (
+         SELECT id1, id2,
+           floor(CAST(list_sum(list_transform(generate_series(1, $DIM), i -> qv1[i] * qv2[i])) AS DOUBLE) /
+                 (sqrt(CAST(list_sum(list_transform(qv1, x -> x * x)) AS DOUBLE)) *
+                  sqrt(CAST(list_sum(list_transform(qv2, x -> x * x)) AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cosine
+         FROM cand)
+       SELECT id1, id2, cosine FROM p WHERE cosine >= 0.99 ORDER BY id1, id2"""
 
   val knnLshSql: String =
     s"""WITH e AS (

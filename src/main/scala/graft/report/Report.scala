@@ -171,6 +171,29 @@ object Report {
        WHERE ts > (SELECT max(ts) FROM events WHERE event_id < 500)
        GROUP BY event_type ORDER BY event_type"""
 
+  /** F11 — the reference's `LIKE '$project_file'` with no wildcard:
+    * semantically a case-insensitive equi-match under MySQL's default
+    * collation (`pull_report.pl:99`). Rebuilt as lower() = lower()
+    * against a deliberately upper-cased asset list. */
+  def nameMatch(spark: SparkSession, dir: String): DataFrame = {
+    val assets = Seq("CLIP1.RM", "CLIP42.RM", "CLIP87.RM").map(_.toLowerCase)
+    graft.parse.Style5.parseFile(spark, dir)
+      .filter(lower(col("name")).isin(assets: _*))
+      .groupBy(col("name"))
+      .agg(count(lit(1)).as("play_count"), sum(col("bytes_sent")).as("bytes_total"))
+      .orderBy(col("name"))
+  }
+
+  val nameMatchSql: String = {
+    val p = graft.parse.Style5.parseFileSql
+    // reuse the parse_file oracle as a subquery, filter with F11
+    s"""SELECT name, CAST(count(*) AS BIGINT) AS play_count,
+       CAST(sum(bytes_sent) AS BIGINT) AS bytes_total
+       FROM (${p.replace("ORDER BY event_id", "")})
+       WHERE lower(name) IN ('clip1.rm', 'clip42.rm', 'clip87.rm')
+       GROUP BY name ORDER BY name"""
+  }
+
   /** P19 `formatTime` (`pull_report.pl:178-187`): seconds →
     * `h:mm:ss` (>= 1h) or `m:ss` — pure built-ins, no UDF, stays in
     * whole-stage codegen. */

@@ -36,6 +36,17 @@ class ExtSpec extends AnyFunSuite {
     assert(dists.max <= 10, s"twin drifted to hamming ${dists.max}")
   }
 
+  test("dedup_embedding finds every injected perturbed twin") {
+    val pairs = SparkEntry.queries("dedup_embedding")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nVecs = graft.model.Tables.embeddings(spark, sf).count()
+    val twins = (0L until nVecs by 7).map(i => (i, i + 100000)).toSet
+    val missed = twins -- pairs
+    assert(missed.isEmpty, s"missed twins: ${missed.take(5)}")
+    // and nothing but near-identical pairs clears 0.99 on random vectors
+    assert(pairs.size == twins.size, s"unexpected extra pairs: ${(pairs -- twins).take(5)}")
+  }
+
   test("knn_bruteforce returns 5 ordered neighbors per query") {
     val rows = SparkEntry.queries("knn_bruteforce")(spark, sf).collect()
     assert(rows.length == 40)   // 8 queries × 5
