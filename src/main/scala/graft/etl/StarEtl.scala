@@ -89,22 +89,35 @@ object StarEtl {
     * plus per-table checksums — proves the full star split without a
     * filesystem side effect. */
   def starSummary(spark: SparkSession, dir: String): DataFrame = {
-    val wide = wideParsed(spark, dir)
+    // one aggregate pass over each parse pipeline, then unpivot —
+    // a per-table union of aggregates would re-run the whole render
+    // once per branch (7 full parses instead of 2)
+    val wideRow = wideParsed(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("status_code")).as("ck_access"),
+      sum(col("bytes_sent")).as("ck_file"),
+      sum(length(col("client_info"))).as("ck_client"),
+      sum(col("resends")).as("ck_network"))
+    val hub = wideRow.select(explode(array(
+      struct(lit("access").as("table_name"), col("n_rows").as("n"),
+        col("ck_access").cast("long").as("checksum")),
+      struct(lit("file").as("table_name"), col("n_rows").as("n"),
+        col("ck_file").cast("long").as("checksum")),
+      struct(lit("client").as("table_name"), col("n_rows").as("n"),
+        col("ck_client").cast("long").as("checksum")),
+      struct(lit("network").as("table_name"), col("n_rows").as("n"),
+        col("ck_network").cast("long").as("checksum")))).as("t"))
+      .select(col("t.table_name"), col("t.n"), col("t.checksum"))
     val stats = Style5.parseStats(spark, dir)
-    val perTable = Seq(
-      ("access", wide.agg(count(lit(1)).as("n"), sum(col("status_code")).as("checksum"))),
-      ("file", wide.agg(count(lit(1)).as("n"), sum(col("bytes_sent")).as("checksum"))),
-      ("client", wide.agg(count(lit(1)).as("n"), sum(length(col("client_info"))).as("checksum"))),
-      ("network", wide.agg(count(lit(1)).as("n"), sum(col("resends")).as("checksum"))),
-      ("stats_mask1", stats.filter(col("stat_type") === "Stat1")
-        .agg(count(lit(1)).as("n"), sum(col("packets_received")).as("checksum"))),
-      ("stats_mask2", stats.filter(col("stat_type") === "Stat2")
-        .agg(count(lit(1)).as("n"), sum(col("bandwidth")).as("checksum"))),
-      ("stats_mask3", stats.filter(col("stat_type") === "Stat3")
-        .agg(count(lit(1)).as("n"), sum(length(col("raw_stat_text"))).as("checksum"))))
-    perTable.map { case (name, df) =>
-      df.select(lit(name).as("table_name"), col("n"), col("checksum").cast("long").as("checksum"))
-    }.reduce(_ unionAll _).orderBy(col("table_name"))
+      .groupBy(col("stat_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("stat_type") === "Stat1", col("packets_received"))
+          .when(col("stat_type") === "Stat2", col("bandwidth"))
+          .otherwise(length(col("raw_stat_text")))).cast("long").as("checksum"))
+      .select(concat(lit("stats_mask"),
+          regexp_extract(col("stat_type"), "(\\d)", 1)).as("table_name"),
+        col("n"), col("checksum"))
+    hub.unionAll(stats).orderBy(col("table_name"))
   }
 
   val starSummarySql: String = {
