@@ -6,8 +6,10 @@ Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
 Loads each Spark result parquet written by graft.Verify, runs the
 corresponding oracle SQL from oracle_sql.json in DuckDB over the same
 test tables, sorts columns by name and rows by value, and compares
-cell-by-cell (with a small float tolerance fallback so we can spot
-"real" mismatches vs representation noise).
+cell-by-cell EXACTLY (floats via their %.9g rendering — queries are
+expected to produce bit-identical values through graft.util.Exact;
+note that when a float does drift, the string row-sort can misalign
+pairs, so read the first diff, not the cascade).
 """
 import sys, os, json, glob
 import duckdb

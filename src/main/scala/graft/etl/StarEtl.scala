@@ -48,7 +48,9 @@ object StarEtl {
       element_at(col("m"), -2).cast("long").as("failed_resends"),
       element_at(col("m"), -1).cast("long").as("presentation_id"),
       col("cinfo").as("client_info"),
-      element_at(Style5.brackets(col("line")), 3).as("client_guid"))
+      element_at(Style5.brackets(col("line")), 3).as("client_guid"),
+      slice(Style5.brackets(col("line")), lit(4),
+        greatest(size(Style5.brackets(col("line"))) - 3, lit(0))).as("stat_blocks"))
   }
 
   /** Write the 7 star tables under `outDir` (parquet). Returns the
@@ -66,12 +68,19 @@ object StarEtl {
         col("bytes_sent"), col("file_size"), col("file_time"),
         col("sent_time"), lit(null).cast("long").as("start_time"),
         col("presentation_id"))
-      val client = graft.parse.Style5.parseClient(spark, dir)
+      // client and stats derive from the persisted wide frame too —
+      // calling the contract queries here would re-run the whole
+      // render+regex parse (and their presentation sorts) per table
+      val client = wide.select(
+        col("line_id") +: Style5.clientFieldCols(col("client_info")) :+ col("client_guid"): _*)
       val network = wide.select(col("line_id"), col("resends"),
         col("failed_resends"), lit(null).cast("string").as("server_address"),
         lit(null).cast("long").as("packets_sent"),
         lit(null).cast("long").as("average_bitrate"))
-      val stats = graft.parse.Style5.parseStats(spark, dir)
+      val stats = Style5.statFields(
+        wide.select(col("line_id").as("event_id"),
+            explode_outer(col("stat_blocks")).as("stat"))
+          .filter(col("stat").isNotNull))
       val tables = Map(
         "access" -> access, "file" -> file, "client" -> client,
         "network" -> network,

@@ -90,8 +90,11 @@ object Multimodal {
       def fakeDecode(blob: Array[Byte], frame: Int): Double =
         (blob((frame * 7) % blob.length) & 0xff) / 255.0   // STUB
       rows.flatMap { case (id, blob) =>
-        val nFrames = (blob.length % 30) + 1
-        (0 until nFrames by 5).map(f => FrameFeature(id, f, fakeDecode(blob, f)))
+        if (blob.isEmpty) Iterator.empty   // empty media: nothing to decode
+        else {
+          val nFrames = (blob.length % 30) + 1
+          (0 until nFrames by 5).iterator.map(f => FrameFeature(id, f, fakeDecode(blob, f)))
+        }
       }
     }
   }

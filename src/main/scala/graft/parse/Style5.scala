@@ -43,12 +43,23 @@ object Style5 {
   /** props.k — the per-event deterministic seed (JSON extraction op). */
   def kCol: Column = coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(0))
 
+  /** Shared render pieces (used by the style-5 AND web-log renders —
+    * one definition per engine so the twins cannot drift apart). */
+  private[parse] def ipCol: Column =
+    concat(lit("10."), s(col("user_id") % 256), lit("."),
+      s(expr("user_id div 256") % 256), lit("."), s(col("event_id") % 256))
+  private[parse] def dstrCol: Column = date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss")
+  private[parse] val ipSql: String =
+    """concat('10.', CAST(user_id % 256 AS VARCHAR), '.',
+                  CAST((user_id // 256) % 256 AS VARCHAR), '.',
+                  CAST(event_id % 256 AS VARCHAR))"""
+  private[parse] val dstrSql: String = "strftime(ts, '%d/%b/%Y:%H:%M:%S')"
+
   /** Derived render fields; input: events columns. */
   private def withFields(ev: DataFrame): DataFrame = {
     ev.withColumn("k", kCol)
-      .withColumn("ip", concat(lit("10."), s(col("user_id") % 256), lit("."),
-        s(expr("user_id div 256") % 256), lit("."), s(col("event_id") % 256)))
-      .withColumn("dstr", date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"))
+      .withColumn("ip", ipCol)
+      .withColumn("dstr", dstrCol)
       .withColumn("status", when(col("event_type") === "error", 404).otherwise(200))
       .withColumn("bytes", floor(col("value") * 1000).cast("long"))
       .withColumn("fname",
@@ -112,16 +123,14 @@ object Style5 {
 
   /** DuckDB twin of [[renderedLines]]: CTEs `src` → `r` → `lines`. */
   val renderCtes: String =
-    """src AS (
+    s"""src AS (
          SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
-                coalesce(CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k
+                coalesce(CAST(json_extract_string(props, '$$.k') AS INTEGER), 0) AS k
          FROM events),
        r AS (
          SELECT *,
-           concat('10.', CAST(user_id % 256 AS VARCHAR), '.',
-                  CAST((user_id // 256) % 256 AS VARCHAR), '.',
-                  CAST(event_id % 256 AS VARCHAR)) AS ip,
-           strftime(ts, '%d/%b/%Y:%H:%M:%S') AS dstr,
+           $ipSql AS ip,
+           $dstrSql AS dstr,
            CASE WHEN event_type = 'error' THEN 404 ELSE 200 END AS status,
            CAST(floor(value * 1000) AS BIGINT) AS bytes,
            CASE WHEN k % 7 = 0 THEN '/'
@@ -218,8 +227,8 @@ object Style5 {
     s"WITH $renderCtes SELECT event_id, line FROM lines ORDER BY event_id"
 
   /** Reject-lane ETL quality gate: corrupt a deterministic slice of
-    * the rendered lines (k%13==7 truncated mid-record, the way a
-    * crashed logger leaves partial writes), classify every line
+    * the rendered lines (event_id%13==7 truncated mid-record, the way
+    * a crashed logger leaves partial writes), classify every line
     * against the full style-5 shape, and count accepted vs rejected
     * per status class. Real 100 TB ingest always needs this lane —
     * bad rows quarantine instead of poisoning the load (the reference
@@ -227,9 +236,9 @@ object Style5 {
   def parseRejects(spark: SparkSession, dir: String): DataFrame = {
     val shape = "^\\S+ \\S+ \\S+ \\[[^\\]]*\\] \"[^\"]*\" \\d+ \\d+ .*\\d$"
     val l = renderedLines(spark, dir)
-      .withColumn("k2", col("event_id") % 13)
+      .withColumn("corrupt_key", col("event_id") % 13)
       .withColumn("line2",
-        when(col("k2") === 7, substring(col("line"), 1, 40)).otherwise(col("line")))
+        when(col("corrupt_key") === 7, substring(col("line"), 1, 40)).otherwise(col("line")))
       .withColumn("ok", col("line2").rlike(shape))
     l.groupBy(col("ok"))
       .agg(count(lit(1)).as("n"),
@@ -328,26 +337,31 @@ object Style5 {
   /** The `client` satellite (S9; P11/P12 dispatch,
     * `real_parse.pl:250-277`): underscore-delimited RealPlayer info
     * split into 8 fields vs QuickTime `QTS (qtver=..;os=..)` parse. */
-  def parseClient(spark: SparkSession, dir: String): DataFrame = {
-    val l = renderedLines(spark, dir)
-      .withColumn("cinfo", element_at(brackets(col("line")), 2))
-    val isRp = col("cinfo").rlike("^[A-Za-z0-9]+_")
-    def part(n: Int): Column = when(isRp, split_part(col("cinfo"), lit("_"), lit(n))).otherwise(lit(""))
+  /** P11/P12 dispatch over a `cinfo` column → the 9 client columns
+    * (shared by the contract query and the star ETL). */
+  def clientFieldCols(cinfo: Column): Seq[Column] = {
+    val isRp = cinfo.rlike("^[A-Za-z0-9]+_")
+    def part(n: Int): Column = when(isRp, split_part(cinfo, lit("_"), lit(n))).otherwise(lit(""))
     val qt = "^(Q\\w*)\\s\\(qtver=(\\d.+\\d);os=([A-Za-z].+)\\)"
-    l.select(
-      col("event_id"),
-      col("cinfo").as("client_info"),
+    Seq(
+      cinfo.as("client_info"),
       part(1).as("platform"),
-      when(isRp, split_part(col("cinfo"), lit("_"), lit(2)))
-        .otherwise(regexp_extract(col("cinfo"), qt, 3)).as("os_version"),
-      when(isRp, split_part(col("cinfo"), lit("_"), lit(3)))
-        .otherwise(regexp_extract(col("cinfo"), qt, 2)).as("client_version"),
-      when(isRp, split_part(col("cinfo"), lit("_"), lit(4)))
-        .otherwise(regexp_extract(col("cinfo"), qt, 1)).as("type"),
+      when(isRp, split_part(cinfo, lit("_"), lit(2)))
+        .otherwise(regexp_extract(cinfo, qt, 3)).as("os_version"),
+      when(isRp, split_part(cinfo, lit("_"), lit(3)))
+        .otherwise(regexp_extract(cinfo, qt, 2)).as("client_version"),
+      when(isRp, split_part(cinfo, lit("_"), lit(4)))
+        .otherwise(regexp_extract(cinfo, qt, 1)).as("type"),
       part(5).as("distribution"),
       part(6).as("language"),
       part(7).as("cpu"),
       part(8).as("embedded"))
+  }
+
+  def parseClient(spark: SparkSession, dir: String): DataFrame = {
+    val l = renderedLines(spark, dir)
+      .withColumn("cinfo", element_at(brackets(col("line")), 2))
+    l.select(col("event_id") +: clientFieldCols(col("cinfo")): _*)
       .orderBy("event_id")
   }
 
@@ -390,6 +404,12 @@ object Style5 {
       .withColumn("stats", slice(col("b"), lit(4), greatest(size(col("b")) - 3, lit(0))))
       .select(col("event_id"), explode_outer(col("stats")).as("stat"))
       .filter(col("stat").isNotNull)
+    statFields(l).orderBy("event_id", "stat_type")
+  }
+
+  /** P13-P17 field extraction over an exploded (event_id, stat)
+    * frame (shared by the contract query and the star ETL). */
+  def statFields(l: DataFrame): DataFrame = {
     // DuckDB caps regexp_extract group index at 9, so every field is
     // captured as group 1 with non-capturing prefixes — same patterns
     // verbatim on both sides.
@@ -415,7 +435,6 @@ object Style5 {
             .otherwise(regexp_extract(col("stat"), s2audio, 1)))
         .otherwise(lit("")).as("audio_format"),
       when(tag === "Stat3", col("stat")).otherwise(lit("")).as("raw_stat_text"))
-      .orderBy("event_id", "stat_type")
   }
 
   val parseStatsSql: String =

@@ -34,9 +34,8 @@ object WebLog {
         when(col("k") % 4 === 0, ".wmv").when(col("k") % 4 === 1, ".wma")
           .when(col("k") % 4 === 2, ".mov").otherwise(".html"))
     ev.select(col("event_id"), concat(
-      lit("10."), s(col("user_id") % 256), lit("."),
-      s(expr("user_id div 256") % 256), lit("."), s(col("event_id") % 256),
-      lit(" - - ["), date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"),
+      Style5.ipCol,
+      lit(" - - ["), Style5.dstrCol,
       lit(" -0700] \"GET /web/v"), s(col("user_id")), lit("/t"), s(col("k")),
       col("ext"), lit(" HTTP/1.1\" "),
       s(when(col("event_type") === "error", 404).otherwise(206)), lit(" "),
@@ -46,16 +45,14 @@ object WebLog {
 
   /** DuckDB twin of [[renderedLines]] — CTE `wlines`. */
   val renderCte: String =
-    """wsrc AS (
+    s"""wsrc AS (
          SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
-                coalesce(CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k
+                coalesce(CAST(json_extract_string(props, '$$.k') AS INTEGER), 0) AS k
          FROM events),
        wlines AS (
          SELECT event_id, concat(
-           '10.', CAST(user_id % 256 AS VARCHAR), '.',
-           CAST((user_id // 256) % 256 AS VARCHAR), '.',
-           CAST(event_id % 256 AS VARCHAR),
-           ' - - [', strftime(ts, '%d/%b/%Y:%H:%M:%S'),
+           ${Style5.ipSql},
+           ' - - [', ${Style5.dstrSql},
            ' -0700] "GET /web/v', CAST(user_id AS VARCHAR), '/t', CAST(k AS VARCHAR),
            CASE WHEN k % 4 = 0 THEN '.wmv' WHEN k % 4 = 1 THEN '.wma'
                 WHEN k % 4 = 2 THEN '.mov' ELSE '.html' END,

@@ -29,11 +29,27 @@ import graft.parse.Style5
 object StreamEtl {
 
   /** The shared line→star-schema parse, usable on batch AND streaming
-    * DataFrames (same Catalyst expressions as the batch queries). */
+    * DataFrames (same Catalyst expressions as the batch queries).
+    *
+    * Malformed lines (truncated partial writes, foreign formats) are
+    * REJECTED up front: under Spark 4's default ANSI mode an
+    * element_at on a short token array would otherwise throw, fail
+    * the micro-batch, and leave a restart loop replaying the same
+    * poison file forever. The filter is the quarantine gate —
+    * [[rejectedLines]] returns the complement for a dead-letter sink. */
+  private def wellFormed(line: org.apache.spark.sql.Column) =
+    line.rlike("^\\S+ \\S+ \\S+ \\[[^\\]]*\\] \"[^\"]*\" \\d+ \\d+ .*\\d$") &&
+      size(Style5.spaceMatches(line)) >= 8
+
+  /** Complement of [[parseLines]]'s accept filter — route to a
+    * quarantine sink in production. */
+  def rejectedLines(lines: DataFrame): DataFrame =
+    lines.filter(!wellFormed(col("value")))
+
   def parseLines(lines: DataFrame): DataFrame = {
     val line = col("value")
     val m = Style5.dropHead(Style5.spaceMatches(line))
-    lines.select(
+    lines.filter(wellFormed(line)).select(
       Style5.clientIp(line).as("client_ip_address"),
       Style5.logTimestamp(line).as("datetime"),
       Style5.gmtOffset(line).as("gmt_offset"),

@@ -39,6 +39,23 @@ class StreamSpec extends AnyFunSuite {
            batch.agg(sum("bytes_sent")).head().getLong(0))
   }
 
+  test("ingestStream survives malformed lines (no poison-file crash loop)") {
+    val base = Files.createTempDirectory("graft_poison").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    val good = Style5.renderedLines(spark, sf).filter(col("event_id") < 100)
+    good.select("line").coalesce(1).write.mode("overwrite").text(s"$in/f1")
+    // a rotated file with truncated partial writes mixed in
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/f1/poison.txt"),
+      "10.0.0.1 - - [13/Oc\n\n10.1.2.3 - - [13/Oct/2002:09:04:38 -0700] \"GET\n")
+    StreamEtl.ingestStream(spark, s"$in/*", s"$base/cp", s"$base/out")
+      .awaitTermination()
+    assert(spark.read.parquet(s"$base/out").count() == 100) // good rows only
+    // and the quarantine lane sees exactly the bad ones
+    val rejects = StreamEtl.rejectedLines(spark.read.text(s"$in/f1"))
+    assert(rejects.count() == 3) // 2 truncated + 1 blank
+  }
+
   test("mapGroupsWithState totals accumulate across restarts") {
     val base = Files.createTempDirectory("graft_state").toString
     val in = s"$base/in"; new java.io.File(in).mkdirs()
