@@ -176,23 +176,36 @@ object Report {
     * collation (`pull_report.pl:99`). Rebuilt as lower() = lower()
     * against a deliberately upper-cased asset list. */
   def nameMatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.parse.Style5
     val assets = Seq("CLIP1.RM", "CLIP42.RM", "CLIP87.RM").map(_.toLowerCase)
-    graft.parse.Style5.parseFile(spark, dir)
+    // project only name + bytes (the full 13-column parse would make
+    // the pushed-down filter re-evaluate every field expression)
+    Style5.renderedLines(spark, dir)
+      .select(Style5.fileName(Style5.reqFile(col("line"))).as("name"),
+        element_at(Style5.dropHead(Style5.spaceMatches(col("line"))), 2)
+          .cast("long").as("bytes_sent"))
       .filter(lower(col("name")).isin(assets: _*))
       .groupBy(col("name"))
       .agg(count(lit(1)).as("play_count"), sum(col("bytes_sent")).as("bytes_total"))
       .orderBy(col("name"))
   }
 
-  val nameMatchSql: String = {
-    val p = graft.parse.Style5.parseFileSql
-    // reuse the parse_file oracle as a subquery, filter with F11
-    s"""SELECT name, CAST(count(*) AS BIGINT) AS play_count,
+  val nameMatchSql: String =
+    s"""WITH ${graft.parse.Style5.renderCtes},
+       p AS (
+         SELECT
+           regexp_extract(regexp_extract(regexp_extract(line, '"(\\S+) (.*?) (\\S+)"', 2), '([^/]*)$$', 1), '^(.+\\.\\w*)', 1) AS name,
+           regexp_extract_all(line, '\\s(\\d+)', 1) AS m0
+         FROM lines),
+       p2 AS (
+         SELECT name, CASE WHEN len(m0) > 0 AND regexp_matches(m0[1], '^[6_9]\\w+')
+                           THEN CAST(m0[2:][2] AS BIGINT) ELSE CAST(m0[2] AS BIGINT) END AS bytes_sent
+         FROM p)
+       SELECT name, CAST(count(*) AS BIGINT) AS play_count,
        CAST(sum(bytes_sent) AS BIGINT) AS bytes_total
-       FROM (${p.replace("ORDER BY event_id", "")})
+       FROM p2
        WHERE lower(name) IN ('clip1.rm', 'clip42.rm', 'clip87.rm')
        GROUP BY name ORDER BY name"""
-  }
 
   /** P19 `formatTime` (`pull_report.pl:178-187`): seconds →
     * `h:mm:ss` (>= 1h) or `m:ss` — pure built-ins, no UDF, stays in

@@ -61,6 +61,8 @@ object StreamEtl {
       element_at(m, -6).cast("long").as("file_size"),
       element_at(m, -5).cast("long").as("file_time"),
       element_at(m, -4).cast("long").as("sent_time"),
+      element_at(m, -3).cast("long").as("resends"),
+      element_at(m, -2).cast("long").as("failed_resends"),
       element_at(m, -1).cast("long").as("presentation_id"))
   }
 
