@@ -42,9 +42,15 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
-    result_dirs = [d for d in os.listdir(outdir)
-                   if os.path.isdir(os.path.join(outdir, d))]
-    for name in sorted(result_dirs):
+    # iterate the DECLARED query set, not just whatever dirs exist —
+    # a query that threw inside Verify must fail here, not vanish
+    result_dirs = set(d for d in os.listdir(outdir)
+                      if os.path.isdir(os.path.join(outdir, d)))
+    for name in sorted(result_dirs | set(oracle)):
+        if name not in result_dirs:
+            print(f"[FAIL] {name}: declared but Verify wrote no output")
+            n_bad += 1
+            continue
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"[FAIL] {name}: no spark output"); n_bad += 1; continue

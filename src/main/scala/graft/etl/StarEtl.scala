@@ -131,31 +131,21 @@ object StarEtl {
 
   val starSummarySql: String = {
     // the oracle rebuilds the same seven aggregates over the shared
-    // rendered-lines + parse CTEs
-    val parse =
-      s"""p AS (
-         SELECT event_id, line,
-           regexp_extract(line, '"(\\S+) (.*?) (\\S+)"', 2) AS fname,
-           regexp_extract_all(line, '\\s(\\d+)', 1) AS m0,
-           regexp_extract_all(line, '\\[([^\\]]*)\\]', 1) AS bl
-         FROM lines),
-       p2 AS (
-         SELECT event_id, line, bl,
-           CASE WHEN len(m0) > 0 AND regexp_matches(m0[1], '^[6_9]\\w+')
-                THEN m0[2:] ELSE m0 END AS m
-         FROM p),
+    // rendered-lines + parse CTEs (Style5.fileParseCtes — one copy)
+    val st =
+      """st AS (
+         SELECT event_id, stat,
+           regexp_extract(stat, '^(Stat[1-3]):', 1) AS stat_type
+         FROM (SELECT event_id, unnest(bl[4:]) AS stat FROM pf))"""
+    s"""WITH ${graft.parse.Style5.renderCtes}, ${graft.parse.Style5.fileParseCtes},
        wide AS (
          SELECT event_id,
            CAST(m[1] AS BIGINT) AS status_code,
            CAST(m[2] AS BIGINT) AS bytes_sent,
            CAST(m[-3] AS BIGINT) AS resends,
-           bl[2] AS client_info, bl AS brackets
-         FROM p2),
-       st AS (
-         SELECT event_id, stat,
-           regexp_extract(stat, '^(Stat[1-3]):', 1) AS stat_type
-         FROM (SELECT event_id, unnest(bl[4:]) AS stat FROM p2))"""
-    s"""WITH ${Style5.renderCtes}, $parse
+           bl[2] AS client_info
+         FROM pf),
+       $st
        SELECT 'access' AS table_name, CAST(count(*) AS BIGINT) AS n, CAST(sum(status_code) AS BIGINT) AS checksum FROM wide
        UNION ALL SELECT 'file', CAST(count(*) AS BIGINT), CAST(sum(bytes_sent) AS BIGINT) FROM wide
        UNION ALL SELECT 'client', CAST(count(*) AS BIGINT), CAST(sum(len(client_info)) AS BIGINT) FROM wide

@@ -43,16 +43,20 @@ object TextAnalysis {
         t => t.isInCollection(stopwords))))
       .withColumn("char_sum", aggregate(col("toks"), lit(0),
         (acc, x) => acc + length(x)))
+    // nullif divisors: an empty document must yield NULL metrics in
+    // BOTH engines, not an ANSI DIVIDE_BY_ZERO in Spark only
+    val nTok = nullif(col("n_tokens").cast("double"), lit(0.0))
+    val nCh  = nullif(col("n_chars").cast("double"), lit(0.0))
     d.select(
       col("doc_id"),
       col("n_chars"),
       col("n_tokens").cast("long").as("n_tokens"),
-      pr4(col("char_sum").cast("double") / col("n_tokens")).as("avg_token_len"),
-      pr4(col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
-      pr4(col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
-      pr4(col("n_stop").cast("double") / col("n_tokens") * 0.5 +
+      pr4(col("char_sum").cast("double") / nTok).as("avg_token_len"),
+      pr4(col("n_punct").cast("double") / nCh).as("punct_ratio"),
+      pr4(col("n_stop").cast("double") / nTok).as("stopword_ratio"),
+      pr4(col("n_stop").cast("double") / nTok * 0.5 +
           least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.3 +
-          (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.2)
+          (lit(1.0) - col("n_punct").cast("double") / nCh) * 0.2)
         .as("quality_score"))
       .orderBy(col("doc_id"))
   }
@@ -67,10 +71,10 @@ object TextAnalysis {
            list_aggregate(list_transform(${toksSql("text")}, x -> len(x)), 'sum') AS char_sum
          FROM documents)
        SELECT doc_id, n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
-         ${pr4Sql("CAST(char_sum AS DOUBLE) / n_tokens")} AS avg_token_len,
-         ${pr4Sql("CAST(n_punct AS DOUBLE) / n_chars")} AS punct_ratio,
-         ${pr4Sql("CAST(n_stop AS DOUBLE) / n_tokens")} AS stopword_ratio,
-         ${pr4Sql("CAST(n_stop AS DOUBLE) / n_tokens * 0.5 + least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.3 + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.2")} AS quality_score
+         ${pr4Sql("CAST(char_sum AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0)")} AS avg_token_len,
+         ${pr4Sql("CAST(n_punct AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0)")} AS punct_ratio,
+         ${pr4Sql("CAST(n_stop AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0)")} AS stopword_ratio,
+         ${pr4Sql("CAST(n_stop AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0) * 0.5 + least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.3 + (1.0 - CAST(n_punct AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0)) * 0.2")} AS quality_score
        FROM d ORDER BY doc_id"""
   }
 

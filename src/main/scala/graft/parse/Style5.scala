@@ -307,23 +307,31 @@ object Style5 {
       .orderBy("event_id")
   }
 
-  val parseFileSql: String =
-    s"""WITH $renderCtes,
-       p AS (
+  /** Shared DuckDB parse CTEs over `lines`: request-line fields,
+    * numeric tokens with the P4 head-drop, brackets, path/name.
+    * ONE copy — parseFileSql, Report.nameMatchSql and
+    * StarEtl.starSummarySql all build on `pf` so the token heuristics
+    * cannot drift between oracles. */
+  val fileParseCtes: String =
+    """pfile AS (
          SELECT event_id, line,
-           regexp_extract(line, '"(\\S+) (.*?) (\\S+)"', 1) AS method,
-           regexp_extract(line, '"(\\S+) (.*?) (\\S+)"', 2) AS fname,
-           regexp_extract(line, '"(\\S+) (.*?) (\\S+)"', 3) AS protocol_version,
-           regexp_extract_all(line, '\\s(\\d+)', 1) AS m0
+           regexp_extract(line, '"(\S+) (.*?) (\S+)"', 1) AS method,
+           regexp_extract(line, '"(\S+) (.*?) (\S+)"', 2) AS fname,
+           regexp_extract(line, '"(\S+) (.*?) (\S+)"', 3) AS protocol_version,
+           regexp_extract_all(line, '\s(\d+)', 1) AS m0,
+           regexp_extract_all(line, '\[([^\]]*)\]', 1) AS bl
          FROM lines),
-       p2 AS (
-         SELECT *, CASE WHEN len(m0) > 0 AND regexp_matches(m0[1], '^[6_9]\\w+')
-                        THEN m0[2:] ELSE m0 END AS m
-         FROM p)
-       SELECT event_id, method,
-         regexp_extract(fname, '^(.*)/[^/]*$$', 1) AS path,
-         regexp_extract(regexp_extract(fname, '([^/]*)$$', 1), '^(.+\\.\\w*)', 1) AS name,
-         protocol_version,
+       pf AS (
+         SELECT *,
+           CASE WHEN len(m0) > 0 AND regexp_matches(m0[1], '^[6_9]\w+')
+                THEN m0[2:] ELSE m0 END AS m,
+           regexp_extract(fname, '^(.*)/[^/]*$', 1) AS path,
+           regexp_extract(regexp_extract(fname, '([^/]*)$', 1), '^(.+\.\w*)', 1) AS name
+         FROM pfile)"""
+
+  val parseFileSql: String =
+    s"""WITH $renderCtes, $fileParseCtes
+       SELECT event_id, method, path, name, protocol_version,
          CAST(m[1] AS BIGINT) AS status_code,
          CAST(m[2] AS BIGINT) AS bytes_sent,
          CAST(m[-6] AS BIGINT) AS file_size,
@@ -332,7 +340,7 @@ object Style5 {
          CAST(m[-3] AS BIGINT) AS resends,
          CAST(m[-2] AS BIGINT) AS failed_resends,
          CAST(m[-1] AS BIGINT) AS presentation_id
-       FROM p2 ORDER BY event_id"""
+       FROM pf ORDER BY event_id"""
 
   /** The `client` satellite (S9; P11/P12 dispatch,
     * `real_parse.pl:250-277`): underscore-delimited RealPlayer info

@@ -49,8 +49,8 @@ object Incremental {
 
   val dedupBoundarySql: String =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct
-       FROM (SELECT user_id, ts, event_type, min(event_id) AS event_id
-             FROM events GROUP BY user_id, ts, event_type)
+       FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_type, min(event_id) AS event_id
+             FROM events GROUP BY user_id, tsu, event_type)
        GROUP BY event_type ORDER BY event_type"""
 
   /** Skew-resistant two-phase aggregation (salting): partial agg on

@@ -168,7 +168,7 @@ object Report {
     s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_new,
        ${Exact.moneySumSql("value")} AS sum_value
        FROM events
-       WHERE ts > (SELECT max(ts) FROM events WHERE event_id < 500)
+       WHERE CAST(ts AS TIMESTAMP) > (SELECT max(CAST(ts AS TIMESTAMP)) FROM events WHERE event_id < 500)
        GROUP BY event_type ORDER BY event_type"""
 
   /** F11 — the reference's `LIKE '$project_file'` with no wildcard:
@@ -191,19 +191,10 @@ object Report {
   }
 
   val nameMatchSql: String =
-    s"""WITH ${graft.parse.Style5.renderCtes},
-       p AS (
-         SELECT
-           regexp_extract(regexp_extract(regexp_extract(line, '"(\\S+) (.*?) (\\S+)"', 2), '([^/]*)$$', 1), '^(.+\\.\\w*)', 1) AS name,
-           regexp_extract_all(line, '\\s(\\d+)', 1) AS m0
-         FROM lines),
-       p2 AS (
-         SELECT name, CASE WHEN len(m0) > 0 AND regexp_matches(m0[1], '^[6_9]\\w+')
-                           THEN CAST(m0[2:][2] AS BIGINT) ELSE CAST(m0[2] AS BIGINT) END AS bytes_sent
-         FROM p)
+    s"""WITH ${graft.parse.Style5.renderCtes}, ${graft.parse.Style5.fileParseCtes}
        SELECT name, CAST(count(*) AS BIGINT) AS play_count,
-       CAST(sum(bytes_sent) AS BIGINT) AS bytes_total
-       FROM p2
+       CAST(sum(CAST(m[2] AS BIGINT)) AS BIGINT) AS bytes_total
+       FROM pf
        WHERE lower(name) IN ('clip1.rm', 'clip42.rm', 'clip87.rm')
        GROUP BY name ORDER BY name"""
 

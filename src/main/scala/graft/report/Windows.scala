@@ -34,7 +34,7 @@ object Windows {
   val sessionRankSql: String =
     """SELECT user_id, rn, event_id, event_type
        FROM (SELECT user_id, event_id, event_type,
-               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
              FROM events)
        WHERE rn <= 3 ORDER BY user_id, rn"""
 
@@ -60,8 +60,8 @@ object Windows {
 
   val sessionizeSql: String =
     """WITH l AS (
-         SELECT user_id, ts, event_id,
-           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
          FROM events),
        s AS (
          SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
@@ -102,8 +102,8 @@ object Windows {
   val sessionWindowAggSql: String =
     """WITH l AS (
          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
-           epoch_us(ts) AS us
+           lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us
          FROM events),
        s AS (
          SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new

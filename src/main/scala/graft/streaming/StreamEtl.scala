@@ -38,7 +38,10 @@ object StreamEtl {
     * poison file forever. The filter is the quarantine gate —
     * [[rejectedLines]] returns the complement for a dead-letter sink. */
   private def wellFormed(line: org.apache.spark.sql.Column) =
-    line.rlike("^\\S+ \\S+ \\S+ \\[[^\\]]*\\] \"[^\"]*\" \\d+ \\d+ .*\\d$") &&
+    // the bracket must hold a PARSEABLE style-5 timestamp (a bare
+    // [^]]* would admit foreign date formats whose to_timestamp("")
+    // then throws under ANSI — the crash this gate exists to stop)
+    line.rlike("^\\S+ \\S+ \\S+ \\[\\d\\d/\\w\\w\\w/\\d{4}:\\d\\d:\\d\\d:\\d\\d [^\\]]*\\] \"[^\"]*\" \\d+ \\d+ .*\\d$") &&
       size(Style5.spaceMatches(line)) >= 8
 
   /** Complement of [[parseLines]]'s accept filter — route to a
