@@ -64,7 +64,7 @@ object WebLog {
 
   /** `web_parse.pl:106-107` request regex: request-line + status +
     * bytes + the quoted user-agent tail. */
-  private val webRe = "\"(\\S+) (.*?) (\\S+)\" (\\d\\d\\d) (\\d+) \"-\" \"(.*?)\""
+  private[graft] val webRe = "\"(\\S+) (.*?) (\\S+)\" (\\d\\d\\d) (\\d+) \"-\" \"(.*?)\""
 
   /** F2 filter + combined-format parse → the web rows' access/file
     * projection (server_type=1, logging_style NULL —

@@ -69,6 +69,29 @@ object StreamEtl {
       element_at(m, -1).cast("long").as("presentation_id"))
   }
 
+  /** Combined-format (Caudium/Apache) streaming parse —
+    * `web_parse.pl` parity in the streaming path (SURVEY.md §3.3:
+    * one parser per format, one watermark per server_type). The F2
+    * media-extension filter doubles as the well-formed gate: a line
+    * matching the full request regex shape cannot throw downstream. */
+  def parseWebLines(lines: DataFrame): DataFrame = {
+    val line = col("value")
+    val re = graft.parse.WebLog.webRe
+    lines
+      .filter(line.rlike("\\.wma|\\.wmv"))                              // F2
+      .filter(line.rlike("^\\S+ \\S+ \\S+ \\[\\d\\d/\\w\\w\\w/\\d{4}:\\d\\d:\\d\\d:\\d\\d [^\\]]*\\] " + re))
+      .select(
+        Style5.clientIp(line).as("client_ip_address"),
+        Style5.logTimestamp(line).as("datetime"),
+        regexp_extract(line, re, 1).as("method"),
+        Style5.filePath(regexp_extract(line, re, 2)).as("path"),
+        Style5.fileName(regexp_extract(line, re, 2)).as("name"),
+        regexp_extract(line, re, 4).cast("long").as("status_code"),
+        regexp_extract(line, re, 5).cast("long").as("bytes_sent"),
+        regexp_extract(line, re, 6).as("client_info"),
+        lit(1).as("server_type"))                                       // F8 discriminator
+  }
+
   /** Incremental ingest: rotated log dir → parsed parquet, one file
     * parsed exactly once across restarts (checkpointed). */
   def ingestStream(spark: SparkSession, inputGlob: String,

@@ -91,6 +91,25 @@ class StreamSpec extends AnyFunSuite {
     assert(grew, "state did not accumulate across the restart")
   }
 
+  test("parseWebLines ingests only well-formed wma/wmv lines") {
+    val base = Files.createTempDirectory("graft_web").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    graft.parse.WebLog.renderedLines(spark, sf).select("line")
+      .coalesce(1).write.mode("overwrite").text(s"$in/f1")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/f1/junk.txt"), "not a log .wmv line\n")
+    val q = StreamEtl.parseWebLines(spark.readStream.text(s"$in/*"))
+      .writeStream.format("memory").queryName("web_parsed")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("web_parsed")
+    val batch = SparkEntry.queries("parse_weblog")(spark, sf)
+    assert(got.count() == batch.count())   // junk + non-media dropped
+    assert(got.filter(col("server_type") =!= 1).count() == 0)
+  }
+
   test("hourlyCounts is a valid streaming plan") {
     val base = Files.createTempDirectory("graft_stream2").toString
     val in = s"$base/in"; new java.io.File(in).mkdirs()
