@@ -111,8 +111,13 @@ object Style5 {
     * the input has thousands of splits and this becomes a no-op knob
     * (or a deliberate rebalance after a skewed source). */
   def renderedLines(spark: SparkSession, dir: String): DataFrame =
-    withFields(Tables.events(spark, dir)
+    renderedLinesFrom(Tables.events(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Render from an arbitrary events-shaped frame (scale trials,
+    * synthetic corpora). */
+  def renderedLinesFrom(ev: DataFrame): DataFrame =
+    withFields(ev)
       .select(col("event_id"), concat(
       col("ip"), lit(" - - ["), col("dstr"), lit(" -0700] \"GET "), col("fname"),
       lit(" RTSP/1.0\" "), s(col("status")), lit(" "), s(col("bytes")),
