@@ -24,6 +24,9 @@ object SparkEntry {
     "report_chain"          -> (Report.reportChain _),
     "q1_pricing_summary"    -> (Report.q1PricingSummary _),
     "q3_shipping"           -> (graft.report.Tpch.q3Shipping _),
+    "q4_order_priority"     -> (graft.report.Tpch.q4OrderPriority _),
+    "cube_revenue"          -> (graft.report.Tpch.cubeRevenue _),
+    "pivot_events"          -> (graft.report.Tpch.pivotEvents _),
     "q5_local_supplier"     -> (graft.report.Tpch.q5LocalSupplier _),
     "q6_forecast"           -> (graft.report.Tpch.q6Forecast _),
     "topk_assets"           -> (Report.topkAssets _),
@@ -76,6 +79,9 @@ object SparkEntry {
     "report_chain"          -> Report.reportChainSql,
     "q1_pricing_summary"    -> Report.q1PricingSummarySql,
     "q3_shipping"           -> graft.report.Tpch.q3ShippingSql,
+    "q4_order_priority"     -> graft.report.Tpch.q4OrderPrioritySql,
+    "cube_revenue"          -> graft.report.Tpch.cubeRevenueSql,
+    "pivot_events"          -> graft.report.Tpch.pivotEventsSql,
     "q5_local_supplier"     -> graft.report.Tpch.q5LocalSupplierSql,
     "q6_forecast"           -> graft.report.Tpch.q6ForecastSql,
     "topk_assets"           -> Report.topkAssetsSql,

@@ -81,11 +81,75 @@ object Tpch {
        WHERE r_name = 'ASIA'
        GROUP BY n_name ORDER BY revenue DESC, n_name"""
 
+  /** Q4-shaped: orders having at least one late-shipped item — the
+    * left_semi join (EXISTS) operator. The semi join keeps the probe
+    * side narrow: only order keys flow from lineitem, no row
+    * multiplication. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > to_timestamp(lit("1996-06-30")))
+      .select(col("l_orderkey"))
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4OrderPrioritySql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > TIMESTAMP '1996-06-30')
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** CUBE over flag/status — all four grouping sets in one pass
+    * (completes the rollup in Windows.rollupRevenue). */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(Exact.moneySum(col("l_extendedprice")).as("sum_price"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val cubeRevenueSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       ${Exact.moneySumSql("l_extendedprice")} AS sum_price,
+       CAST(count(*) AS BIGINT) AS n
+       FROM lineitem
+       GROUP BY CUBE(l_returnflag, l_linestatus)
+       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  /** Pivot: user cohorts × event types as a wide count matrix — the
+    * oracle uses portable conditional sums so column names align. */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("cohort", col("user_id") % 10)
+      .groupBy(col("cohort"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("cohort"))
+
+  val pivotEventsSql: String =
+    """SELECT user_id % 10 AS cohort,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+       FROM events GROUP BY 1 ORDER BY cohort"""
+
   /** Q6-shaped: the pushed-down scan-only forecast aggregate. */
   def q6Forecast(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") >= to_timestamp(lit("1994-01-01")) &&
-              col("l_shipdate") < to_timestamp(lit("1995-01-01")) &&
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
               col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
               col("l_quantity") < 24)
       .agg(Exact.moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"),
@@ -95,8 +159,8 @@ object Tpch {
     s"""SELECT ${Exact.moneySumSql("l_extendedprice * l_discount")} AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
        FROM lineitem
-       WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-         AND l_shipdate < TIMESTAMP '1995-01-01'
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
          AND l_discount >= 0.05 AND l_discount <= 0.07
          AND l_quantity < 24"""
 }
