@@ -52,6 +52,8 @@ object SparkEntry {
     "session_rank"          -> (Windows.sessionRank _),
     "sessionize"            -> (Windows.sessionize _),
     "hourly_window_agg"     -> (Windows.hourlyWindowAgg _),
+    "sliding_window_agg"    -> (Windows.slidingWindowAgg _),
+    "customer_order_counts" -> (Windows.customerOrderCounts _),
     "session_window_agg"    -> (Windows.sessionWindowAgg _),
     "union_rotated"         -> (Windows.unionRotated _),
     "json_props"            -> (Windows.jsonProps _),
@@ -105,6 +107,8 @@ object SparkEntry {
     "session_rank"          -> Windows.sessionRankSql,
     "sessionize"            -> Windows.sessionizeSql,
     "hourly_window_agg"     -> Windows.hourlyWindowAggSql,
+    "sliding_window_agg"    -> Windows.slidingWindowAggSql,
+    "customer_order_counts" -> Windows.customerOrderCountsSql,
     "session_window_agg"    -> Windows.sessionWindowAggSql,
     "union_rotated"         -> Windows.unionRotatedSql,
     "json_props"            -> Windows.jsonPropsSql,

@@ -114,6 +114,44 @@ object Windows {
        SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
        FROM c GROUP BY user_id, sess ORDER BY user_id, session_start"""
 
+  /** Sliding 2-hour windows advancing hourly — each event lands in
+    * two overlapping windows (the tumbling case is
+    * [[hourlyWindowAgg]]); the oracle expands each event into its two
+    * member windows with a list unnest. */
+  def slidingWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val slidingWindowAggSql: String =
+    """SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT event_type,
+               unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR]) AS window_start
+             FROM events)
+       GROUP BY window_start, event_type
+       ORDER BY window_start, event_type"""
+
+  /** LEFT OUTER join: order counts per customer INCLUDING customers
+    * with no orders at all (the outer-join class the inner reporting
+    * chain cannot express). */
+  def customerOrderCounts(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey").as("customer_id"))
+      .agg(count(col("o_orderkey")).as("n_orders"))   // count skips nulls
+      .orderBy(col("customer_id"))
+  }
+
+  val customerOrderCountsSql: String =
+    """SELECT c_custkey AS customer_id,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders
+       FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey ORDER BY customer_id"""
+
   /** UNION ALL of "rotated log files" — the reference's sequential
     * two-file loop is an implicit union (S2, `real_parse.pl:54`). */
   def unionRotated(spark: SparkSession, dir: String): DataFrame = {
