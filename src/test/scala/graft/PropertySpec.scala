@@ -96,6 +96,46 @@ class PropertySpec extends AnyFunSuite {
     assert(badRows.isEmpty, s"round-trip mismatch: ${badRows.take(2).mkString("\n")}")
   }
 
+  test("combined-log render → parse round-trips (web variant)") {
+    val webGen = for {
+      r <- recGen
+      ua <- Gen.oneOf("Windows-Media-Player/9.0", "Mozilla/4.0 (compatible)")
+      ext <- Gen.oneOf(".wmv", ".wma")
+    } yield (r, ua, ext)
+    val recs = Gen.listOfN(150, webGen)
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(7L))
+      .getOrElse(fail("generator produced no sample"))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      recs.map { case (r, ua, ext) =>
+        val nm = r.name.replace(".rm", ext)
+        val line = s"${r.ip} - - [${r.ts} -0700] \"GET ${r.dir}/$nm HTTP/1.1\" " +
+          s"${r.status} ${r.bytes} \"-\" \"$ua\""
+        org.apache.spark.sql.Row(line, r.ip, nm, r.status.toLong, r.bytes, ua)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        ("line", org.apache.spark.sql.types.StringType),
+        ("e_ip", org.apache.spark.sql.types.StringType),
+        ("e_name", org.apache.spark.sql.types.StringType),
+        ("e_status", org.apache.spark.sql.types.LongType),
+        ("e_bytes", org.apache.spark.sql.types.LongType),
+        ("e_ua", org.apache.spark.sql.types.StringType)
+      ).map { case (n, t) => org.apache.spark.sql.types.StructField(n, t) }))
+    val re = graft.parse.WebLog.webRe
+    val parsed = df.select(col("e_ip"), col("e_name"), col("e_status"),
+      col("e_bytes"), col("e_ua"),
+      Style5.clientIp(col("line")).as("ip"),
+      Style5.fileName(regexp_extract(col("line"), re, 2)).as("name"),
+      regexp_extract(col("line"), re, 4).cast("long").as("status"),
+      regexp_extract(col("line"), re, 5).cast("long").as("bytes"),
+      regexp_extract(col("line"), re, 6).as("ua"))
+    val bad = parsed.filter(
+      col("ip") =!= col("e_ip") || col("name") =!= col("e_name") ||
+      col("status") =!= col("e_status") || col("bytes") =!= col("e_bytes") ||
+      col("ua") =!= col("e_ua")).collect()
+    assert(bad.isEmpty, s"web round-trip mismatch: ${bad.take(2).mkString("\n")}")
+  }
+
   test("timestamp parse matches the rendered wall clock") {
     val line = "1.2.3.4 - - [15/Mar/2002:13:45:59 -0800] \"GET /a/b.rm RTSP/1.0\" 200 5 [i] [g] 5 1 1 1 1 1"
     val r = spark.createDataFrame(

@@ -110,6 +110,29 @@ class StreamSpec extends AnyFunSuite {
     assert(got.filter(col("server_type") =!= 1).count() == 0)
   }
 
+  test("stream-static enrichment joins the parsed stream to a dimension") {
+    val base = Files.createTempDirectory("graft_enrich").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    Style5.renderedLines(spark, sf).filter(col("event_id") < 200)
+      .select("line").coalesce(1).write.mode("overwrite").text(s"$in/f1")
+    // static dimension: status code → class label (broadcast side)
+    import spark.implicits._
+    val dim = Seq((200L, "ok"), (404L, "not_found")).toDF("status_code", "status_class")
+    val q = StreamEtl.parseLines(spark.readStream.text(s"$in/*"))
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("status_code"), "left_outer")
+      .groupBy("status_class").count()
+      .writeStream.format("memory").queryName("enriched")
+      .option("checkpointLocation", s"$base/cp")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("enriched").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.values.sum == 200)
+    assert(rows.keySet == Set("ok", "not_found"))   // every status mapped
+  }
+
   test("hourlyCounts is a valid streaming plan") {
     val base = Files.createTempDirectory("graft_stream2").toString
     val in = s"$base/in"; new java.io.File(in).mkdirs()
