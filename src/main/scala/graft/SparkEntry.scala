@@ -34,6 +34,7 @@ object SparkEntry {
     "incremental_antijoin"  -> (Incremental.incrementalAntijoin _),
     "dedup_boundary"        -> (Incremental.dedupBoundary _),
     "salted_agg"            -> (Incremental.saltedAgg _),
+    "asof_join_rates"       -> (graft.report.AsOf.asofJoinRates _),
     "format_time"           -> (Report.formatTimeQuery _),
     "customer_report"       -> (Report.customerReport _),
     "name_match"            -> (Report.nameMatch _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "incremental_antijoin"  -> Incremental.incrementalAntijoinSql,
     "dedup_boundary"        -> Incremental.dedupBoundarySql,
     "salted_agg"            -> Incremental.saltedAggSql,
+    "asof_join_rates"       -> graft.report.AsOf.asofJoinRatesSql,
     "format_time"           -> Report.formatTimeSql,
     "customer_report"       -> Report.customerReportSql,
     "name_match"            -> Report.nameMatchSql,
