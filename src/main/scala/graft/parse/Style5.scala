@@ -180,6 +180,13 @@ object Style5 {
   // Parser expressions (the §2.2 library, pure Column -> Column)
   // ----------------------------------------------------------------
 
+  /** Shape prefix every parseable line must carry: leading tokens +
+    * a bracket holding a style-5 timestamp. Kept in sync with
+    * [[logTimestamp]]'s pattern — a line passing a gate built on
+    * this cannot throw in to_timestamp under ANSI mode. */
+  val timestampShapeRe: String =
+    "^\\S+ \\S+ \\S+ \\[\\d\\d/\\w\\w\\w/\\d{4}:\\d\\d:\\d\\d:\\d\\d [^\\]]*\\] "
+
   /** P1 — leading token (`real_parse.pl:65-66`). */
   def clientIp(line: Column): Column = regexp_extract(line, "^(\\S*)", 1)
 

@@ -74,21 +74,25 @@ object WebLog {
   /** F2 filter + combined-format parse → the web rows' access/file
     * projection (server_type=1, logging_style NULL —
     * the web/Real discriminator F8, `web_parse.pl:42,87-95`). */
+  /** The combined-format field projection shared by the batch query
+    * and the streaming parser — one definition, so the batch and
+    * streaming web schemas cannot diverge. */
+  def webFieldCols(line: Column): Seq[Column] = Seq(
+    Style5.clientIp(line).as("client_ip_address"),
+    Style5.logTimestamp(line).as("datetime"),
+    regexp_extract(line, webRe, 1).as("method"),
+    Style5.filePath(regexp_extract(line, webRe, 2)).as("path"),
+    Style5.fileName(regexp_extract(line, webRe, 2)).as("name"),
+    regexp_extract(line, webRe, 3).as("protocol_version"),
+    regexp_extract(line, webRe, 4).cast("long").as("status_code"),
+    regexp_extract(line, webRe, 5).cast("long").as("bytes_sent"),
+    regexp_extract(line, webRe, 6).as("client_info"),
+    lit(1).cast("int").as("server_type"))
+
   def parseWeb(spark: SparkSession, dir: String): DataFrame = {
     renderedLines(spark, dir)
       .filter(col("line").rlike("\\.wma|\\.wmv"))   // F2 before the big regex
-      .select(
-        col("event_id"),
-        Style5.clientIp(col("line")).as("client_ip_address"),
-        Style5.logTimestamp(col("line")).as("datetime"),
-        regexp_extract(col("line"), webRe, 1).as("method"),
-        Style5.filePath(regexp_extract(col("line"), webRe, 2)).as("path"),
-        Style5.fileName(regexp_extract(col("line"), webRe, 2)).as("name"),
-        regexp_extract(col("line"), webRe, 3).as("protocol_version"),
-        regexp_extract(col("line"), webRe, 4).cast("long").as("status_code"),
-        regexp_extract(col("line"), webRe, 5).cast("long").as("bytes_sent"),
-        regexp_extract(col("line"), webRe, 6).as("client_info"),
-        lit(1).cast("int").as("server_type"))
+      .select(col("event_id") +: webFieldCols(col("line")): _*)
       .orderBy("event_id")
   }
 

@@ -26,9 +26,11 @@ object AsOf {
 
   def asofJoinRates(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
+    // rate rows KEEP their source event_id: two rate changes sharing
+    // (event_type, ts) would otherwise tie on every ORDER BY key and
+    // make rate_in_force nondeterministic across runs and engines
     val rates = ev.filter(col("event_id") % 97 === 0)
-      .select(col("event_type"), col("ts"),
-        lit(null).cast("long").as("event_id"),
+      .select(col("event_type"), col("ts"), col("event_id"),
         col("value").as("rate"), lit(0).as("is_event"))
     val base = ev.select(col("event_type"), col("ts"), col("event_id"),
       lit(null).cast("double").as("rate"), lit(1).as("is_event"))
@@ -48,7 +50,7 @@ object AsOf {
   val asofJoinRatesSql: String =
     s"""WITH rates AS (
          SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
-           CAST(NULL AS BIGINT) AS event_id, value AS rate, 0 AS is_event
+           event_id, value AS rate, 0 AS is_event
          FROM events WHERE event_id % 97 = 0),
        base AS (
          SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,

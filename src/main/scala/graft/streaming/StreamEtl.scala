@@ -41,7 +41,7 @@ object StreamEtl {
     // the bracket must hold a PARSEABLE style-5 timestamp (a bare
     // [^]]* would admit foreign date formats whose to_timestamp("")
     // then throws under ANSI — the crash this gate exists to stop)
-    line.rlike("^\\S+ \\S+ \\S+ \\[\\d\\d/\\w\\w\\w/\\d{4}:\\d\\d:\\d\\d:\\d\\d [^\\]]*\\] \"[^\"]*\" \\d+ \\d+ .*\\d$") &&
+    line.rlike(Style5.timestampShapeRe + "\"[^\"]*\" \\d+ \\d+ .*\\d$") &&
       size(Style5.spaceMatches(line)) >= 8
 
   /** Complement of [[parseLines]]'s accept filter — route to a
@@ -76,20 +76,10 @@ object StreamEtl {
     * matching the full request regex shape cannot throw downstream. */
   def parseWebLines(lines: DataFrame): DataFrame = {
     val line = col("value")
-    val re = graft.parse.WebLog.webRe
     lines
       .filter(line.rlike("\\.wma|\\.wmv"))                              // F2
-      .filter(line.rlike("^\\S+ \\S+ \\S+ \\[\\d\\d/\\w\\w\\w/\\d{4}:\\d\\d:\\d\\d:\\d\\d [^\\]]*\\] " + re))
-      .select(
-        Style5.clientIp(line).as("client_ip_address"),
-        Style5.logTimestamp(line).as("datetime"),
-        regexp_extract(line, re, 1).as("method"),
-        Style5.filePath(regexp_extract(line, re, 2)).as("path"),
-        Style5.fileName(regexp_extract(line, re, 2)).as("name"),
-        regexp_extract(line, re, 4).cast("long").as("status_code"),
-        regexp_extract(line, re, 5).cast("long").as("bytes_sent"),
-        regexp_extract(line, re, 6).as("client_info"),
-        lit(1).as("server_type"))                                       // F8 discriminator
+      .filter(line.rlike(Style5.timestampShapeRe + graft.parse.WebLog.webRe))
+      .select(graft.parse.WebLog.webFieldCols(line): _*)  // shared with the batch query
   }
 
   /** Incremental ingest: rotated log dir → parsed parquet, one file

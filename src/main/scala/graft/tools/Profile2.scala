@@ -21,7 +21,7 @@ object Profile2 {
     val lines = Style5.renderedLines(spark, dir).withColumnRenamed("line", "value")
     t("warmup")(lines.limit(10).count())
     t("render_count")(lines.agg(count(lit(1))).head())
-    val shape = "^\\S+ \\S+ \\S+ \\[\\d\\d/\\w\\w\\w/\\d{4}:\\d\\d:\\d\\d:\\d\\d [^\\]]*\\] \"[^\"]*\" \\d+ \\d+ .*\\d$"
+    val shape = Style5.timestampShapeRe + "\"[^\"]*\" \\d+ \\d+ .*\\d$"
     t("render_shape_filter")(lines.filter(col("value").rlike(shape)).agg(count(lit(1))).head())
     t("render_size_filter")(lines.filter(
       size(Style5.spaceMatches(col("value"))) >= 8).agg(count(lit(1))).head())

@@ -31,8 +31,11 @@ object ScaleTrial {
     // in-plan rendered frame would mostly time the optimizer
     // re-inlining the render below the filters.
     def corpus(m: Int): String = {
-      val out = s"/tmp/graft_scale_${m}x"
-      if (!new java.io.File(out).exists()) {
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = s"/tmp/graft_scale_${tag}_${m}x"
+      // _SUCCESS marker, not bare existence: a crashed partial write
+      // must not be reused
+      if (!new java.io.File(s"$out/_SUCCESS").exists()) {
         val ev = Tables.events(spark, dir)
         val big =
           if (m == 1) ev

@@ -31,8 +31,7 @@ class BucketingSpec extends AnyFunSuite {
       val plan = joined.queryExecution.executedPlan.toString
       // the join itself must read co-located buckets: no shuffle
       // between the scans and the SortMergeJoin
-      val joinSection = plan.substring(0, plan.length)
-      assert(joinSection.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
       val shufflesBeforeAgg = "Exchange hashpartitioning\\((l|o)_orderkey".r
         .findAllIn(plan).length
       assert(shufflesBeforeAgg == 0,
