@@ -64,6 +64,7 @@ object SparkEntry {
     "lang_id"               -> (TextAnalysis.langId _),
     "token_count"           -> (TextAnalysis.tokenCount _),
     "doc_fingerprint"       -> (TextAnalysis.docFingerprint _),
+    "pii_redact"            -> (TextAnalysis.piiRedact _),
     "dedup_exact"           -> (Dedup.dedupExact _),
     "minhash_signatures"    -> (Dedup.minhashSignatures _),
     "dedup_minhash_lsh"     -> (Dedup.dedupMinhashLsh _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "lang_id"               -> TextAnalysis.langIdSql,
     "token_count"           -> TextAnalysis.tokenCountSql,
     "doc_fingerprint"       -> TextAnalysis.docFingerprintSql,
+    "pii_redact"            -> TextAnalysis.piiRedactSql,
     "dedup_exact"           -> Dedup.dedupExactSql,
     "minhash_signatures"    -> Dedup.minhashSignaturesSql,
     "dedup_minhash_lsh"     -> Dedup.dedupMinhashLshSql,

@@ -149,6 +149,61 @@ object TextAnalysis {
        CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens
        FROM documents GROUP BY source ORDER BY source"""
 
+  /** PII detection + redaction — the compliance pass every
+    * training-data pipeline runs before anything else. Synthetic PII
+    * is injected in-query (the word-salad fixtures contain none):
+    * every doc_id%4==0 doc gains an email, every doc_id%6==0 an IPv4.
+    * Detection counts per source and redaction replaces matches with
+    * typed placeholders; the redacted-length checksum proves the
+    * rewrite byte-identically in both engines. Pure regexp_replace —
+    * narrow, codegen'd, trivially parallel at any scale. */
+  private val emailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("text2", concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          concat(lit(" from 10.1."), ((col("doc_id") % 250) + 1).cast("string"), lit(".7")))
+          .otherwise(lit(""))))
+      .withColumn("n_emails", size(regexp_extract_all(col("text2"), lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_ips", size(regexp_extract_all(col("text2"), lit(ipRe), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text2"), emailRe, "<EMAIL>"), ipRe, "<IP>"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_emails")).as("n_emails"),
+           sum(col("n_ips")).as("n_ips"),
+           sum(length(col("redacted"))).cast("long").as("redacted_chars"))
+      .orderBy(col("source"))
+  }
+
+  val piiRedactSql: String =
+    s"""WITH d AS (
+         SELECT source,
+           concat(text,
+             CASE WHEN doc_id % 4 = 0
+                  THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com')
+                  ELSE '' END,
+             CASE WHEN doc_id % 6 = 0
+                  THEN concat(' from 10.1.', CAST((doc_id % 250) + 1 AS VARCHAR), '.7')
+                  ELSE '' END) AS text2
+         FROM documents),
+       r AS (
+         SELECT source,
+           len(regexp_extract_all(text2, '$emailRe')) AS n_emails,
+           len(regexp_extract_all(text2, '$ipRe')) AS n_ips,
+           len(regexp_replace(regexp_replace(text2, '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g')) AS redacted_chars
+         FROM d)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_emails) AS BIGINT) AS n_emails,
+         CAST(sum(n_ips) AS BIGINT) AS n_ips,
+         CAST(sum(redacted_chars) AS BIGINT) AS redacted_chars
+       FROM r GROUP BY source ORDER BY source"""
+
   /** Document fingerprint: minimum rolling 8-char-shingle hash
     * (MinHash with k=1 — the content-defined fingerprint used for
     * near-dup candidate grouping). Identical [[Hashing.phash]] on
