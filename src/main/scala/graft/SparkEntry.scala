@@ -57,6 +57,7 @@ object SparkEntry {
     "customer_order_counts" -> (Windows.customerOrderCounts _),
     "session_window_agg"    -> (Windows.sessionWindowAgg _),
     "union_rotated"         -> (Windows.unionRotated _),
+    "user_churn"            -> (Windows.userChurn _),
     "json_props"            -> (Windows.jsonProps _),
     "rollup_revenue"        -> (Windows.rollupRevenue _),
     // -- training-data pipeline extensions (north-star ops) --
@@ -114,6 +115,7 @@ object SparkEntry {
     "customer_order_counts" -> Windows.customerOrderCountsSql,
     "session_window_agg"    -> Windows.sessionWindowAggSql,
     "union_rotated"         -> Windows.unionRotatedSql,
+    "user_churn"            -> Windows.userChurnSql,
     "json_props"            -> Windows.jsonPropsSql,
     "rollup_revenue"        -> Windows.rollupRevenueSql,
     "text_stats"            -> TextAnalysis.textStatsSql,

@@ -172,6 +172,34 @@ object Windows {
              SELECT * FROM events WHERE event_id % 2 = 1)
        GROUP BY event_type ORDER BY event_type"""
 
+  /** INTERSECT / EXCEPT: user churn between the first and second half
+    * of the event stream — retained users (both halves), new users
+    * (second only), lapsed users (first only), as one labeled frame. */
+  def userChurn(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val first  = ev.filter(col("event_id") < 500).select(col("user_id")).distinct()
+    val second = ev.filter(col("event_id") >= 500).select(col("user_id")).distinct()
+    val retained = first.intersect(second).withColumn("cohort", lit("retained"))
+    val fresh    = second.except(first).withColumn("cohort", lit("new"))
+    val lapsed   = first.except(second).withColumn("cohort", lit("lapsed"))
+    retained.unionAll(fresh).unionAll(lapsed)
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"))
+  }
+
+  val userChurnSql: String =
+    """WITH f AS (SELECT DISTINCT user_id FROM events WHERE event_id < 500),
+       s AS (SELECT DISTINCT user_id FROM events WHERE event_id >= 500),
+       u AS (
+         SELECT user_id, 'retained' AS cohort FROM (SELECT user_id FROM f INTERSECT SELECT user_id FROM s)
+         UNION ALL
+         SELECT user_id, 'new' AS cohort FROM (SELECT user_id FROM s EXCEPT SELECT user_id FROM f)
+         UNION ALL
+         SELECT user_id, 'lapsed' AS cohort FROM (SELECT user_id FROM f EXCEPT SELECT user_id FROM s))
+       SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+       FROM u GROUP BY cohort ORDER BY cohort"""
+
   /** JSON prop extraction over `events.props` (§7.2 module 6):
     * get_json_object ≙ json_extract_string. */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =
