@@ -53,16 +53,31 @@ object StarEtl {
         greatest(size(Style5.brackets(col("line"))) - 3, lit(0))).as("stat_blocks"))
   }
 
-  /** Write the 7 star tables under `outDir` (parquet). Returns the
-    * per-table row counts. The wide frame is persisted once for the
-    * 7-way fan-out. */
-  def runBatch(spark: SparkSession, dir: String, outDir: String): Map[String, Long] = {
+  /** StatsMask semantics (`real_parse.pl:218-235`): `StatsMask="1-7"`
+    * in rmserver.cfg is a 3-bit mask of which stat block types the
+    * server logs — bit 0 = Stat1, bit 1 = Stat2, bit 2 = Stat3
+    * (mask 7 = all three, the superset the round-1 build always
+    * parsed). The ETL honors it by dispatching only the enabled
+    * types; a disabled type's blocks are dropped exactly as the
+    * server would never have emitted them. */
+  def maskedStatTypes(statsMask: Int): Seq[String] = {
+    require(statsMask >= 1 && statsMask <= 7, s"StatsMask must be 1-7, got $statsMask")
+    (0 until 3).filter(b => (statsMask & (1 << b)) != 0).map(b => s"Stat${b + 1}")
+  }
+
+  /** Write the 7 star tables under `outDir` (parquet) at the
+    * reference's full column arity (`real_parse.pl:96-177,301-331`).
+    * Returns the per-table row counts. The wide frame is persisted
+    * once for the 7-way fan-out; `statsMask` gates which stat block
+    * types are parsed (S5 config knob, default all). */
+  def runBatch(spark: SparkSession, dir: String, outDir: String,
+               statsMask: Int = 7): Map[String, Long] = {
     val wide = wideParsed(spark, dir).persist()
     try {
       val access = wide.select(col("line_id"), col("client_ip_address"),
         lit("-").as("identuser"), lit("-").as("authuser"), col("datetime"),
-        col("gmt_offset"), lit(5).as("logging_style"), lit(3).as("stats_mask"),
-        lit(0).as("server_type"))
+        col("gmt_offset"), lit(5).as("logging_style"),
+        lit(statsMask).as("stats_mask"), lit(0).as("server_type"))
       val file = wide.select(col("line_id"), col("method"), col("path"),
         col("name"), col("protocol_version"), col("status_code"),
         col("bytes_sent"), col("file_size"), col("file_time"),
@@ -77,16 +92,31 @@ object StarEtl {
         col("failed_resends"), lit(null).cast("string").as("server_address"),
         lit(null).cast("long").as("packets_sent"),
         lit(null).cast("long").as("average_bitrate"))
+      val enabled = maskedStatTypes(statsMask)
       val stats = Style5.statFields(
         wide.select(col("line_id").as("event_id"),
             explode_outer(col("stat_blocks")).as("stat"))
           .filter(col("stat").isNotNull))
+        .filter(col("stat_type").isin(enabled: _*))
+      // per-table projections at the reference's full INSERT arity;
+      // stats_mask2's `late` is `s2_late` in the unified frame (name
+      // collision with Stat1's) and renamed back here
+      val stats1 = stats.filter(col("stat_type") === "Stat1").select(
+        col("event_id").as("line_id"), col("packets_received"),
+        col("out_of_order"), col("missing"), col("early"), col("late"),
+        col("audio_format"))
+      val stats2 = stats.filter(col("stat_type") === "Stat2").select(
+        col("event_id").as("line_id"), col("bandwidth"), col("available"),
+        col("highest"), col("lowest"), col("average"), col("requested"),
+        col("received"), col("s2_late").as("late"), col("rebuffering"),
+        col("transport"), col("startup"), col("audio_format"))
+      val stats3 = stats.filter(col("stat_type") === "Stat3").select(
+        col("event_id").as("line_id"), col("raw_stat_text"))
       val tables = Map(
         "access" -> access, "file" -> file, "client" -> client,
         "network" -> network,
-        "stats_mask1" -> stats.filter(col("stat_type") === "Stat1"),
-        "stats_mask2" -> stats.filter(col("stat_type") === "Stat2"),
-        "stats_mask3" -> stats.filter(col("stat_type") === "Stat3"))
+        "stats_mask1" -> stats1, "stats_mask2" -> stats2,
+        "stats_mask3" -> stats3)
       tables.map { case (name, df) =>
         df.write.mode("overwrite").parquet(s"$outDir/$name")
         name -> spark.read.parquet(s"$outDir/$name").count()
@@ -117,11 +147,20 @@ object StarEtl {
       struct(lit("network").as("table_name"), col("n_rows").as("n"),
         col("ck_network").cast("long").as("checksum")))).as("t"))
       .select(col("t.table_name"), col("t.n"), col("t.checksum"))
+    // checksums cover EVERY stat field so a regression in any of the
+    // 6+12 extracted columns flips the hash (rebuffering is a double:
+    // scaled ×10 and rounded so both engines agree bit-exactly)
     val stats = Style5.parseStats(spark, dir)
       .groupBy(col("stat_type"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("stat_type") === "Stat1", col("packets_received"))
-          .when(col("stat_type") === "Stat2", col("bandwidth"))
+        sum(when(col("stat_type") === "Stat1",
+            col("packets_received") + col("out_of_order") + col("missing") +
+            col("early") + col("late"))
+          .when(col("stat_type") === "Stat2",
+            col("bandwidth") + col("available") + col("highest") + col("lowest") +
+            col("average") + col("requested") + col("received") + col("s2_late") +
+            col("transport") + col("startup") +
+            floor(col("rebuffering") * 10 + 0.5).cast("long"))
           .otherwise(length(col("raw_stat_text")))).cast("long").as("checksum"))
       .select(concat(lit("stats_mask"),
           regexp_extract(col("stat_type"), "(\\d)", 1)).as("table_name"),
@@ -135,7 +174,8 @@ object StarEtl {
     val st =
       """st AS (
          SELECT event_id, stat,
-           regexp_extract(stat, '^(Stat[1-3]):', 1) AS stat_type
+           regexp_extract(stat, '^(Stat[1-3]):', 1) AS stat_type,
+           regexp_extract_all(stat, '\s(\d+[.]?\d*)', 1) AS nums
          FROM (SELECT event_id, unnest(bl[4:]) AS stat FROM pf))"""
     s"""WITH ${graft.parse.Style5.renderCtes}, ${graft.parse.Style5.fileParseCtes},
        wide AS (
@@ -151,10 +191,15 @@ object StarEtl {
        UNION ALL SELECT 'client', CAST(count(*) AS BIGINT), CAST(sum(len(client_info)) AS BIGINT) FROM wide
        UNION ALL SELECT 'network', CAST(count(*) AS BIGINT), CAST(sum(resends) AS BIGINT) FROM wide
        UNION ALL SELECT 'stats_mask1', CAST(count(*) AS BIGINT),
-         CAST(sum(CAST(regexp_extract(stat, '^Stat1:\\s+(\\d+)', 1) AS BIGINT)) AS BIGINT)
+         CAST(sum(CAST(nums[1] AS BIGINT) + CAST(nums[2] AS BIGINT) + CAST(nums[3] AS BIGINT)
+                + CAST(nums[4] AS BIGINT) + CAST(nums[5] AS BIGINT)) AS BIGINT)
          FROM st WHERE stat_type = 'Stat1'
        UNION ALL SELECT 'stats_mask2', CAST(count(*) AS BIGINT),
-         CAST(sum(CAST(regexp_extract(stat, '^Stat2:\\s+(\\d+)', 1) AS BIGINT)) AS BIGINT)
+         CAST(sum(CAST(nums[1] AS BIGINT) + CAST(nums[2] AS BIGINT) + CAST(nums[3] AS BIGINT)
+                + CAST(nums[4] AS BIGINT) + CAST(nums[5] AS BIGINT) + CAST(nums[6] AS BIGINT)
+                + CAST(nums[7] AS BIGINT) + CAST(nums[8] AS BIGINT) + CAST(nums[10] AS BIGINT)
+                + CAST(nums[11] AS BIGINT)
+                + CAST(floor(CAST(nums[9] AS DOUBLE) * 10 + 0.5) AS BIGINT)) AS BIGINT)
          FROM st WHERE stat_type = 'Stat2'
        UNION ALL SELECT 'stats_mask3', CAST(count(*) AS BIGINT),
          CAST(sum(len(stat)) AS BIGINT) FROM st WHERE stat_type = 'Stat3'

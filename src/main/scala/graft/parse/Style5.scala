@@ -428,25 +428,57 @@ object Style5 {
   }
 
   /** P13-P17 field extraction over an exploded (event_id, stat)
-    * frame (shared by the contract query and the star ETL). */
+    * frame (shared by the contract query and the star ETL), at the
+    * reference's FULL field arity: 6 Stat1 data fields
+    * (`real_parse.pl:296-309` — packets_received, out_of_order,
+    * missing, early, late, audio_format) and 12 Stat2 data fields
+    * (`real_parse.pl:313-331` — bandwidth, available, highest,
+    * lowest, average, requested, received, late, rebuffering,
+    * transport, startup, audio_format).
+    *
+    * All numerics come from ONE `regexp_extract_all` pass (the
+    * reference's single big positional regex, minus per-field capture
+    * groups DuckDB can't index past 9) plus positional
+    * `try_element_at` binds — one regex evaluation per stat block
+    * instead of one per field, with the same `nums[i]` indexing
+    * verbatim in the DuckDB twin. `\s(\d+[.]?\d*)` matches both the
+    * integer fields and Stat2's decimal `rebuffering`; audio_format
+    * is non-numeric (`\w.+` starting with a letter) and trails the
+    * numerics, so it can never shift the positional bind.
+    *
+    * The two `late` fields live in different reference tables, so in
+    * this unified exploded frame Stat2's is `s2_late`; the
+    * stats_mask2 star projection renames it back to `late`.
+    */
   def statFields(l: DataFrame): DataFrame = {
-    // DuckDB caps regexp_extract group index at 9, so every field is
-    // captured as group 1 with non-capturing prefixes — same patterns
-    // verbatim on both sides.
-    val tag      = regexp_extract(col("stat"), "^(Stat[1-3]):", 1)
-    val s1first  = "^Stat1:\\s+(\\d+)"
-    val s1late   = "^Stat1:(?:\\s+\\d+){4}\\s+(\\d+)"
-    val s1audio  = "^Stat1:(?:\\s+\\d+){5}(?:\\s+(\\w.*))?$"
-    val s2first  = "^Stat2:\\s+(\\d+)"
-    val s2rebuf  = "^Stat2:(?:\\s+\\d+){8}\\s+(\\d+[.]?\\d*)"
-    val s2audio  = "^Stat2:(?:\\s+\\d+){8}\\s+\\d+[.]?\\d*(?:\\s+\\d+){2}(?:\\s+(\\w.*))?$"
+    val tag  = regexp_extract(col("stat"), "^(Stat[1-3]):", 1)
+    val nums = regexp_extract_all(col("stat"), lit("\\s(\\d+[.]?\\d*)"), lit(1))
+    def n1(i: Int): Column = when(tag === "Stat1", try_element_at(nums, lit(i)).cast("long"))
+    def n2(i: Int): Column = when(tag === "Stat2", try_element_at(nums, lit(i)).cast("long"))
+    // DuckDB caps regexp_extract group index at 9, so the audio tail
+    // is captured as group 1 with non-capturing prefixes — same
+    // patterns verbatim on both sides.
+    val s1audio = "^Stat1:(?:\\s+\\d+){5}(?:\\s+(\\w.*))?$"
+    val s2audio = "^Stat2:(?:\\s+\\d+){8}\\s+\\d+[.]?\\d*(?:\\s+\\d+){2}(?:\\s+(\\w.*))?$"
     l.select(
       col("event_id"),
       tag.as("stat_type"),
-      when(tag === "Stat1", regexp_extract(col("stat"), s1first, 1).cast("long")).as("packets_received"),
-      when(tag === "Stat1", regexp_extract(col("stat"), s1late, 1).cast("long")).as("late"),
-      when(tag === "Stat2", regexp_extract(col("stat"), s2first, 1).cast("long")).as("bandwidth"),
-      when(tag === "Stat2", regexp_extract(col("stat"), s2rebuf, 1).cast("double")).as("rebuffering"),
+      n1(1).as("packets_received"),
+      n1(2).as("out_of_order"),
+      n1(3).as("missing"),
+      n1(4).as("early"),
+      n1(5).as("late"),
+      n2(1).as("bandwidth"),
+      n2(2).as("available"),
+      n2(3).as("highest"),
+      n2(4).as("lowest"),
+      n2(5).as("average"),
+      n2(6).as("requested"),
+      n2(7).as("received"),
+      n2(8).as("s2_late"),
+      when(tag === "Stat2", try_element_at(nums, lit(9)).cast("double")).as("rebuffering"),
+      n2(10).as("transport"),
+      n2(11).as("startup"),
       when(tag === "Stat1",
         when(regexp_extract(col("stat"), s1audio, 1) === "", "UNKNOWN")
           .otherwise(regexp_extract(col("stat"), s1audio, 1)))
@@ -457,16 +489,33 @@ object Style5 {
       when(tag === "Stat3", col("stat")).otherwise(lit("")).as("raw_stat_text"))
   }
 
-  val parseStatsSql: String =
+  val parseStatsSql: String = {
+    def num1(i: Int) = s"CASE WHEN stat_type = 'Stat1' THEN CAST(nums[$i] AS BIGINT) END"
+    def num2(i: Int) = s"CASE WHEN stat_type = 'Stat2' THEN CAST(nums[$i] AS BIGINT) END"
     s"""WITH $renderCtes,
        b AS (SELECT event_id, regexp_extract_all(line, '\\[([^\\]]*)\\]', 1) AS bl FROM lines),
        e AS (SELECT event_id, unnest(bl[4:]) AS stat FROM b),
-       t AS (SELECT event_id, stat, regexp_extract(stat, '^(Stat[1-3]):', 1) AS stat_type FROM e)
+       t AS (SELECT event_id, stat,
+               regexp_extract(stat, '^(Stat[1-3]):', 1) AS stat_type,
+               regexp_extract_all(stat, '\\s(\\d+[.]?\\d*)', 1) AS nums
+             FROM e)
        SELECT event_id, stat_type,
-         CASE WHEN stat_type = 'Stat1' THEN CAST(regexp_extract(stat, '^Stat1:\\s+(\\d+)', 1) AS BIGINT) END AS packets_received,
-         CASE WHEN stat_type = 'Stat1' THEN CAST(regexp_extract(stat, '^Stat1:(?:\\s+\\d+){4}\\s+(\\d+)', 1) AS BIGINT) END AS late,
-         CASE WHEN stat_type = 'Stat2' THEN CAST(regexp_extract(stat, '^Stat2:\\s+(\\d+)', 1) AS BIGINT) END AS bandwidth,
-         CASE WHEN stat_type = 'Stat2' THEN CAST(regexp_extract(stat, '^Stat2:(?:\\s+\\d+){8}\\s+(\\d+[.]?\\d*)', 1) AS DOUBLE) END AS rebuffering,
+         ${num1(1)} AS packets_received,
+         ${num1(2)} AS out_of_order,
+         ${num1(3)} AS missing,
+         ${num1(4)} AS early,
+         ${num1(5)} AS late,
+         ${num2(1)} AS bandwidth,
+         ${num2(2)} AS available,
+         ${num2(3)} AS highest,
+         ${num2(4)} AS lowest,
+         ${num2(5)} AS average,
+         ${num2(6)} AS requested,
+         ${num2(7)} AS received,
+         ${num2(8)} AS s2_late,
+         CASE WHEN stat_type = 'Stat2' THEN CAST(nums[9] AS DOUBLE) END AS rebuffering,
+         ${num2(10)} AS transport,
+         ${num2(11)} AS startup,
          CASE WHEN stat_type = 'Stat1' THEN
                 CASE WHEN regexp_extract(stat, '^Stat1:(?:\\s+\\d+){5}(?:\\s+(\\w.*))?$$', 1) = '' THEN 'UNKNOWN'
                      ELSE regexp_extract(stat, '^Stat1:(?:\\s+\\d+){5}(?:\\s+(\\w.*))?$$', 1) END
@@ -476,4 +525,5 @@ object Style5 {
               ELSE '' END AS audio_format,
          CASE WHEN stat_type = 'Stat3' THEN stat ELSE '' END AS raw_stat_text
        FROM t ORDER BY event_id, stat_type"""
+  }
 }

@@ -26,8 +26,41 @@ class EtlSpec extends AnyFunSuite {
     val file = spark.read.parquet(s"$out/file")
     assert(access.join(file, "line_id").count() == 1000)
     val s1 = spark.read.parquet(s"$out/stats_mask1")
-    assert(s1.join(access, s1("event_id") === access("line_id")).count() ==
-      counts("stats_mask1"))
+    assert(s1.join(access.withColumnRenamed("line_id", "hub_id"),
+      s1("line_id") === col("hub_id")).count() == counts("stats_mask1"))
+  }
+
+  test("stats tables carry the reference's full column arity") {
+    val out = Files.createTempDirectory("graft_etl_arity").toString
+    StarEtl.runBatch(spark, sf, out)
+    assert(spark.read.parquet(s"$out/stats_mask1").columns.toSeq ==
+      Seq("line_id", "packets_received", "out_of_order", "missing",
+          "early", "late", "audio_format"))
+    assert(spark.read.parquet(s"$out/stats_mask2").columns.toSeq ==
+      Seq("line_id", "bandwidth", "available", "highest", "lowest",
+          "average", "requested", "received", "late", "rebuffering",
+          "transport", "startup", "audio_format"))
+    assert(spark.read.parquet(s"$out/stats_mask3").columns.toSeq ==
+      Seq("line_id", "raw_stat_text"))
+    // every extracted numeric is non-null on its own table
+    val s2 = spark.read.parquet(s"$out/stats_mask2")
+    assert(s2.filter(col("bandwidth").isNull || col("rebuffering").isNull ||
+      col("startup").isNull).count() == 0)
+  }
+
+  test("StatsMask config gates the stat dispatch (real_parse.pl:218-235)") {
+    assert(StarEtl.maskedStatTypes(1) == Seq("Stat1"))
+    assert(StarEtl.maskedStatTypes(2) == Seq("Stat2"))
+    assert(StarEtl.maskedStatTypes(5) == Seq("Stat1", "Stat3"))
+    assert(StarEtl.maskedStatTypes(7) == Seq("Stat1", "Stat2", "Stat3"))
+    val out = Files.createTempDirectory("graft_etl_mask").toString
+    val counts = StarEtl.runBatch(spark, sf, out, statsMask = 1)
+    assert(counts("stats_mask1") > 0)
+    assert(counts("stats_mask2") == 0)
+    assert(counts("stats_mask3") == 0)
+    // the access hub records the mask it was loaded under
+    assert(spark.read.parquet(s"$out/access")
+      .filter(col("stats_mask") =!= 1).count() == 0)
   }
 
   test("star summary matches the written tables") {

@@ -90,6 +90,43 @@ class ParseSpec extends AnyFunSuite {
     assert(b(3).startsWith("Stat1:") && b(4).startsWith("Stat2:"))
   }
 
+  test("P13/P14: full Stat1 (6 fields) and Stat2 (12 fields) arity " +
+       "(real_parse.pl:296-331)") {
+    val stats = Seq(
+      "Stat1: 1042 3 7 0 2 sipr",
+      "Stat2: 225000 224000 226000 80000 198000 1050 1042 2 1.500 1 3 cook",
+      "Stat1: 10 20 30 40 50",   // no audio_format → UNKNOWN
+      "Stat3: raw 17 data")
+    val df = spark.createDataFrame(
+      java.util.List.of(stats.zipWithIndex.map { case (s, i) =>
+        org.apache.spark.sql.Row(i.toLong, s) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("stat",
+          org.apache.spark.sql.types.StringType))))
+    val r = Style5.statFields(df).orderBy("event_id").collect()
+    // Stat1 row: packets_received, out_of_order, missing, early, late, audio
+    val s1 = r(0)
+    assert(Seq("packets_received", "out_of_order", "missing", "early", "late")
+      .map(c => s1.getLong(s1.fieldIndex(c))) == Seq(1042L, 3L, 7L, 0L, 2L))
+    assert(s1.getString(s1.fieldIndex("audio_format")) == "sipr")
+    // Stat2 row: all 11 numerics + audio
+    val s2 = r(1)
+    assert(Seq("bandwidth", "available", "highest", "lowest", "average",
+               "requested", "received", "s2_late", "transport", "startup")
+      .map(c => s2.getLong(s2.fieldIndex(c))) ==
+      Seq(225000L, 224000L, 226000L, 80000L, 198000L, 1050L, 1042L, 2L, 1L, 3L))
+    assert(s2.getDouble(s2.fieldIndex("rebuffering")) == 1.5)
+    assert(s2.getString(s2.fieldIndex("audio_format")) == "cook")
+    // missing audio_format → UNKNOWN; Stat1 fields null on Stat2 rows
+    assert(r(2).getString(r(2).fieldIndex("audio_format")) == "UNKNOWN")
+    assert(s2.isNullAt(s2.fieldIndex("packets_received")))
+    assert(s1.isNullAt(s1.fieldIndex("bandwidth")))
+    // Stat3 passthrough
+    assert(r(3).getString(r(3).fieldIndex("raw_stat_text")) == "Stat3: raw 17 data")
+  }
+
   test("parse_stats handles 0/1/2 stat blocks and UNKNOWN default") {
     val df = SparkEntry.queries("parse_stats")(spark, sf)
     val types = df.select("stat_type").distinct().collect().map(_.getString(0)).toSet
