@@ -194,16 +194,23 @@ object Dedup {
 
   // ---- SimHash ------------------------------------------------------
 
-  private val SIMBITS = 32
+  private val SIMBITS = 64
 
-  /** 32-bit SimHash per document: explode distinct tokens, one
-    * groupBy(doc) with a conditional sum per bit, bit-pack. */
+  /** 64-bit SimHash per document: explode distinct tokens, one
+    * groupBy(doc) with a conditional sum per bit, bit-pack. Two
+    * 60-bit phashes under different salts supply independent bit
+    * sources for the low and high 32 bits (one phash only carries 60
+    * usable bits). Packing adds distinct powers of two, so no carry
+    * and no overflow; bit 63's term is Long.MinValue, which is the
+    * correct two's-complement bit pattern in both engines. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val tok = corpus(spark, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
-      .withColumn("h", Hashing.phash(col("t"), "sim_"))
+      .withColumn("h1", Hashing.phash(col("t"), "sim_"))
+      .withColumn("h2", Hashing.phash(col("t"), "simB_"))
     val bitSums = (0 until SIMBITS).map { j =>
-      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
+      val h = if (j < 32) col("h1") else col("h2")
+      sum(when(shiftright(h, j % 32) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
     }
     val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val packed = (0 until SIMBITS).map(j =>
@@ -215,12 +222,15 @@ object Dedup {
 
   /** DuckDB CTE chain ending in `sims(doc_id, simhash)`. */
   private val simhashCte: String = {
-    val sums = (0 until SIMBITS).map(j =>
-      s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n           ")
+    val sums = (0 until SIMBITS).map { j =>
+      val h = if (j < 32) "h1" else "h2"
+      s"sum(CASE WHEN ($h // ${1L << (j % 32)}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n           ")
     val pack = (0 until SIMBITS).map(j =>
       s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
     s"""tok AS (
-         SELECT doc_id, ${Hashing.phashSql("t", "sim_")} AS h
+         SELECT doc_id, ${Hashing.phashSql("t", "sim_")} AS h1,
+                ${Hashing.phashSql("t", "simB_")} AS h2
          FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
                FROM corpus)),
        sums AS (
@@ -236,18 +246,32 @@ object Dedup {
        $simhashCte
        SELECT doc_id, simhash FROM sims ORDER BY doc_id"""
 
-  /** SimHash near-dup pairs: band the 32-bit hash into 4 bytes; a
-    * pair sharing ANY byte is a candidate (pigeonhole: hamming <= 3
-    * always leaves one band intact, so recall at distance 3 is
-    * complete); verify candidates with bit_count(xor). The same
-    * band→bucket-join shape as MinHash LSH, so candidate generation
-    * is an equi-join, never a cross join. */
+  /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit
+    * bands; a pair sharing ANY band is a candidate (pigeonhole:
+    * hamming <= 3 always leaves one band intact, so recall at
+    * distance 3 is complete); verify candidates with bit_count(xor).
+    * The same band→bucket-join shape as MinHash LSH, so candidate
+    * generation is an equi-join, never a cross join.
+    *
+    * Bucket math at scale (the round-1 8-bit version was the
+    * scale-killer): 16-bit bands give 65,536 buckets per band, so
+    * with uniform hashing the expected bucket is N/65,536 and the
+    * per-band candidate count is Σ C(n_b, 2) ≈ N²/(2·65,536) — 256×
+    * fewer candidates than 8-bit bands at any N. At N = 10⁹ that is
+    * still ~7.6×10¹² raw candidates, so the next rungs on the scale
+    * ladder (documented, not yet needed at this corpus) are fewer/
+    * wider bands (2×32-bit: complete only at hamming ≤ 1, N²/2³³
+    * candidates) or a segmented multi-index over rotated hashes. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sims = simhash(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
+    // shiftright is an arithmetic shift (simhash may be negative with
+    // bit 63 set): mask to the band's 16 bits after shifting; DuckDB's
+    // `>>` sign-extends identically and `& 65535` masks the same way
     val banded = sims.select(col("doc_id"), col("simhash"),
       explode_outer(array((0 until 4).map { b =>
-        struct(lit(b).as("band"), (shiftright(col("simhash"), b * 8) % 256).as("bv"))
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L)).as("bv"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
     val l = banded.as("l"); val r = banded.as("r")
@@ -264,7 +288,7 @@ object Dedup {
 
   val simhashPairsSql: String = {
     val bandRows = (0 until 4).map(b =>
-      s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (b * 8)}) % 256 AS bv FROM sims")
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 16}) & 65535 AS bv FROM sims")
       .mkString("\n         UNION ALL\n         ")
     s"""WITH $corpusSql,
        $simhashCte,
@@ -280,38 +304,86 @@ object Dedup {
        ORDER BY id1, id2"""
   }
 
-  /** n-gram (unigram-set) Jaccard similarity, pairwise within a
-    * source bucket — pre-bucketing bounds the pair count (the same
-    * trick LSH banding generalizes). */
+  /** n-gram (unigram-set) Jaccard near-dup pairs within a source.
+    *
+    * Candidate generation goes through the SAME banded MinHash LSH
+    * pipeline as [[dedupMinhashLsh]] (K=16 affine minhashes over the
+    * unigram set, 8 bands × 2 rows, bucket equi-join) — exact Jaccard
+    * is only the verify step on candidates. Round 1 did all-pairs
+    * within a `source` bucket; `source` has fixed tiny cardinality,
+    * so that was O((N/20)²) — quadratic in N. Here the join key is
+    * (band, band_hash): high-cardinality, linear-ish at any N.
+    *
+    * Recall at the 0.8 threshold: P(candidate) = 1-(1-s²)⁸ ≥ 0.9997
+    * for unigram-Jaccard s ≥ 0.8 — and identical in both engines,
+    * since the minhash family is the same deterministic arithmetic. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
         array_distinct(tokens(col("text"))).as("ts"))
-    // broadcast the (small) right side: parallelism then comes from
-    // the left side's splits instead of the 20 source keys a shuffle
-    // join would hash to; the probe side is repartitioned so the
-    // array-intersect work uses every core
-    val l = d.repartition(spark.sparkContext.defaultParallelism).as("l")
-    val r = broadcast(d).as("r")
-    l.join(r, col("l.source") === col("r.source") && col("l.doc_id") < col("r.doc_id"))
-      .withColumn("jaccard",
-        floor(size(array_intersect(col("l.ts"), col("r.ts"))).cast("double") /
-              size(array_union(col("l.ts"), col("r.ts"))) * 10000 + 0.5) / 10000)
-      .filter(col("jaccard") >= 0.8)
+      .withColumn("hs", transform(col("ts"), t => Hashing.phash(t, "ng_") % 4294967296L))
+      .withColumn("sig", array(affine.map { case (a, b) =>
+        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % MODP))
+      }: _*))
+      .drop("hs")
+      // barrier: the band explode references `sig` 8× and the verify
+      // references `ts` — fence the minhash pipeline so the optimizer
+      // can't inline it once per reference (single-split test parquet)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val banded = d.select(col("source"), col("doc_id"), col("ts"),
+      explode(array((0 until BANDS).map { b =>
+        struct(lit(b).as("band"),
+          Hashing.phash(concat_ws("_",
+            (0 until ROWS).map(r => element_at(col("sig"), b * ROWS + r + 1).cast("string")): _*),
+            s"ngband${b}_").as("bh"))
+      }: _*)).as("bb"))
+      .select(col("source"), col("doc_id"), col("ts"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.source") === col("r.source") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.source").as("source"), col("l.doc_id").as("id1"),
-        col("r.doc_id").as("id2"), col("jaccard"))
+        col("r.doc_id").as("id2"), col("l.ts").as("ts1"), col("r.ts").as("ts2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("jaccard",
+        floor(size(array_intersect(col("ts1"), col("ts2"))).cast("double") /
+              size(array_union(col("ts1"), col("ts2"))) * 10000 + 0.5) / 10000)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("source"), col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("source"), col("id1"), col("id2"))
   }
 
-  val ngramJaccardSql: String =
-    """WITH d AS (
-         SELECT source, doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS ts
-         FROM documents)
-       SELECT l.source AS source, l.doc_id AS id1, r.doc_id AS id2,
-         floor(CAST(len(list_intersect(l.ts, r.ts)) AS DOUBLE) /
-               len(list_distinct(list_concat(l.ts, r.ts))) * 10000 + 0.5) / 10000 AS jaccard
-       FROM d l JOIN d r ON l.source = r.source AND l.doc_id < r.doc_id
-       WHERE floor(CAST(len(list_intersect(l.ts, r.ts)) AS DOUBLE) /
-               len(list_distinct(list_concat(l.ts, r.ts))) * 10000 + 0.5) / 10000 >= 0.8
+  val ngramJaccardSql: String = {
+    val mins = affine.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $MODP))"
+    }.mkString(",\n           ")
+    val bandRows = (0 until BANDS).map { b =>
+      val parts = (0 until ROWS).map(r => s"CAST(sig[${b * ROWS + r + 1}] AS VARCHAR)").mkString(", ")
+      s"SELECT source, doc_id, $b AS band, ${Hashing.phashSql(s"concat_ws('_', $parts)", s"ngband${b}_")} AS bh FROM sigs"
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH d AS (
+         SELECT source, doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS ts
+         FROM documents),
+       hs AS (SELECT source, doc_id, ts,
+                list_transform(ts, t -> ${Hashing.phashSql("t", "ng_")} % 4294967296) AS hs
+              FROM d),
+       sigs AS (SELECT source, doc_id, [$mins] AS sig FROM hs),
+       banded AS (
+         $bandRows),
+       cand AS (
+         SELECT DISTINCT l.source AS source, l.doc_id AS id1, r.doc_id AS id2
+         FROM banded l JOIN banded r
+           ON l.band = r.band AND l.bh = r.bh AND l.source = r.source
+          AND l.doc_id < r.doc_id),
+       j AS (
+         SELECT c.source, c.id1, c.id2,
+           floor(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.ts, b.ts))) * 10000 + 0.5) / 10000 AS jaccard
+         FROM cand c
+         JOIN d a ON a.doc_id = c.id1
+         JOIN d b ON b.doc_id = c.id2)
+       SELECT source, id1, id2, jaccard FROM j WHERE jaccard >= 0.8
        ORDER BY source, id1, id2"""
+  }
 }

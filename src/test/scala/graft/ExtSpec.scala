@@ -29,11 +29,13 @@ class ExtSpec extends AnyFunSuite {
     val dists = (0L until 500L by 5).map { i =>
       java.lang.Long.bitCount(sh(i) ^ sh(i + 100000))
     }
-    // one extra token on a short doc can flip several of 32 bits; the
+    // one extra token on a short doc can flip several of 64 bits; the
     // near-dup property is "small hamming distance", not equality
-    assert(dists.count(_ <= 6) >= dists.size * 9 / 10,
+    // (bounds are 2× the 32-bit calibration: twice the bit positions
+    // where the ±1 token vote can tip a near-zero bit sum)
+    assert(dists.count(_ <= 12) >= dists.size * 9 / 10,
       s"too many distant twins: ${dists.groupBy(identity).view.mapValues(_.size).toMap}")
-    assert(dists.max <= 10, s"twin drifted to hamming ${dists.max}")
+    assert(dists.max <= 20, s"twin drifted to hamming ${dists.max}")
   }
 
   test("dedup_embedding finds every injected perturbed twin") {
