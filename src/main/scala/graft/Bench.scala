@@ -49,7 +49,16 @@ object Bench {
     // look faster than a clean one
     val total =
       if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // also write the metric to a file: sbt decorates stdout with
+    // [info]/[error] prefixes and interleaves log4j chatter, so a
+    // driver scraping the console can miss the line — the file copy
+    // is unambiguous ($SPARK_GRAFT_OUT/bench.json, default ./bench.json)
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_OUT", "."), "bench.json")
+    java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
