@@ -45,6 +45,7 @@ object SparkEntry {
     "parse_file"            -> (Style5.parseFile _),
     "parse_client"          -> (Style5.parseClient _),
     "parse_stats"           -> (Style5.parseStats _),
+    "parse_fastpath"        -> (Style5.parseFastpath _),
     "parse_rejects"         -> (Style5.parseRejects _),
     "parse_weblog"          -> (WebLog.parseWeb _),
     "media_formats"         -> (WebLog.mediaFormats _),
@@ -104,6 +105,7 @@ object SparkEntry {
     "parse_file"            -> Style5.parseFileSql,
     "parse_client"          -> Style5.parseClientSql,
     "parse_stats"           -> Style5.parseStatsSql,
+    "parse_fastpath"        -> Style5.parseFastpathSql,
     "parse_rejects"         -> Style5.parseRejectsSql,
     "parse_weblog"          -> WebLog.parseWebSql,
     "media_formats"         -> WebLog.mediaFormatsSql,

@@ -405,6 +405,55 @@ object Style5 {
          CASE WHEN is_rp THEN split_part(cinfo, '_', 8) ELSE '' END AS embedded
        FROM c ORDER BY event_id"""
 
+  /** P18 — the prototype whitespace-split positional parser
+    * (`open_log.pl:42-56`): `split(/ /)` + fixed field indexes
+    * (ip, identuser, authuser from the head; status_code and
+    * bytes_sent at the post-request positions), the reference's
+    * no-regex fast path for lines whose request filename carries no
+    * embedded space. The gate is positional self-validation — the
+    * status slot must be all digits — so lines the fast path would
+    * mis-bind (the k%7==2 `clip 6<k>.rm` render case, whose embedded
+    * space shifts every later token) are rejected here and belong to
+    * the full regex parser. On our render the timestamp bracket
+    * splits into two tokens, so status/bytes sit at 1-based 9/10
+    * (the reference's 0-based 9/10 applied to its own fixture,
+    * `open_log.pl:55-56`).
+    *
+    * Scale: pure codegen split+compare, no regex on the hot fields —
+    * this is the cheap first pass of a two-lane parser at 100 TB
+    * (fast lane for plain lines, regex lane for the rest).
+    */
+  def parseFastpath(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint fences the render lineage: the gate filter is
+    // over a line-derived column and would otherwise be pushed (with
+    // the whole split+render inlined) through the exchange onto the
+    // raw single-split scan (see Report.nameMatch)
+    val l = renderedLines(spark, dir)
+      .localCheckpoint(false)
+      .withColumn("p", split(col("line"), " "))
+    l.filter(coalesce(try_element_at(col("p"), lit(9)).rlike("^\\d+$"), lit(false)))
+      .select(
+        col("event_id"),
+        try_element_at(col("p"), lit(1)).as("client_ip_address"),
+        try_element_at(col("p"), lit(2)).as("identuser"),
+        try_element_at(col("p"), lit(3)).as("authuser"),
+        try_element_at(col("p"), lit(9)).cast("long").as("status_code"),
+        try_element_at(col("p"), lit(10)).cast("long").as("bytes_sent"))
+      .orderBy("event_id")
+  }
+
+  val parseFastpathSql: String =
+    s"""WITH $renderCtes,
+       p AS (SELECT event_id, string_split(line, ' ') AS p FROM lines)
+       SELECT event_id,
+         p[1] AS client_ip_address,
+         p[2] AS identuser,
+         p[3] AS authuser,
+         CAST(p[9] AS BIGINT) AS status_code,
+         CAST(p[10] AS BIGINT) AS bytes_sent
+       FROM p WHERE regexp_matches(p[9], '^\\d+$$')
+       ORDER BY event_id"""
+
   /** Stats-mask explode + dispatch (S11/F10/P13-P17,
     * `real_parse.pl:280-344`): bracket groups index ≥ 3 are Stat
     * blocks; `explode` is the Generator (§2.8) — one output row per

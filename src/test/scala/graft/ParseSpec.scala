@@ -134,6 +134,23 @@ class ParseSpec extends AnyFunSuite {
     assert(df.filter(col("audio_format") === "UNKNOWN").count() > 0)
   }
 
+  test("P18: fast path parses plain lines, rejects space-in-filename lines") {
+    val df = SparkEntry.queries("parse_fastpath")(spark, sf)
+    // k%7==2 renders "clip 6<k>.rm" (embedded space): the positional
+    // gate must reject exactly those lines
+    val kept = df.count()
+    val all = graft.parse.Style5.renderedLines(spark, sf).count()
+    assert(kept > 0 && kept < all)
+    // everything kept carries digit status and sane fields
+    assert(df.filter(col("status_code").isNull || col("bytes_sent").isNull ||
+      col("identuser") =!= "-").count() == 0)
+    // and the fast path agrees with the regex parser on shared fields
+    val full = SparkEntry.queries("parse_access")(spark, sf)
+      .select(col("event_id"), col("client_ip_address").as("ip_full"))
+    assert(df.join(full, "event_id")
+      .filter(col("client_ip_address") =!= col("ip_full")).count() == 0)
+  }
+
   test("parse_weblog keeps only .wma/.wmv lines (F2)") {
     val df = SparkEntry.queries("parse_weblog")(spark, sf)
     assert(df.filter(!col("name").rlike("\\.(wma|wmv)$")).count() == 0)
