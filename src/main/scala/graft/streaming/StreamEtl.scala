@@ -97,6 +97,25 @@ object StreamEtl {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Incremental web-log ingest — `web_parse.pl` in the streaming
+    * path, mirroring [[ingestStream]]: rotated Caudium logs → parsed
+    * parquet, one file exactly once across restarts. The web format
+    * has no presentation_id, so the dedup natural key is
+    * (ip, datetime, name) — the same triple the reference's
+    * strictly-greater watermark made unique per run (SURVEY §3.3:
+    * one parser and one watermark per server_type). */
+  def ingestWebStream(spark: SparkSession, inputGlob: String,
+                      checkpointDir: String, outDir: String): StreamingQuery =
+    parseWebLines(spark.readStream.text(inputGlob))
+      .withWatermark("datetime", "1 hour")
+      .dropDuplicatesWithinWatermark("client_ip_address", "datetime", "name")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Running per-client totals carried in custom keyed state
     * (`mapGroupsWithState` — the §2.8 extension point for state the
     * built-in aggregations can't express). State lives in the

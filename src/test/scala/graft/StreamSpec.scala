@@ -91,6 +91,36 @@ class StreamSpec extends AnyFunSuite {
     assert(grew, "state did not accumulate across the restart")
   }
 
+  test("ingestWebStream: checkpointed rotation pickup, exactly-once, " +
+       "batch parity (web format)") {
+    val base = Files.createTempDirectory("graft_webstream").toString
+    val in = s"$base/in"; val cp = s"$base/cp"; val out = s"$base/out"
+    new java.io.File(in).mkdirs()
+    val lines = graft.parse.WebLog.renderedLines(spark, sf).cache()
+
+    // rotation 1: first 300 lines (F2 keeps only the wma/wmv subset)
+    lines.filter(col("event_id") < 300).select("line")
+      .coalesce(1).write.mode("overwrite").text(s"$in/f1")
+    StreamEtl.ingestWebStream(spark, s"$in/*", cp, out).awaitTermination()
+    val batch1 = SparkEntry.queries("parse_weblog")(spark, sf)
+      .filter(col("event_id") < 300)
+    assert(spark.read.parquet(out).count() == batch1.count())
+
+    // rotation 2: restart parses ONLY the new file — counts and sums
+    // match the batch parser over the union, nothing double-loaded
+    lines.filter(col("event_id") >= 300 && col("event_id") < 500).select("line")
+      .coalesce(1).write.mode("overwrite").text(s"$in/f2")
+    StreamEtl.ingestWebStream(spark, s"$in/*", cp, out).awaitTermination()
+    val streamed = spark.read.parquet(out)
+    val batch = SparkEntry.queries("parse_weblog")(spark, sf)
+      .filter(col("event_id") < 500)
+    assert(streamed.count() == batch.count())
+    assert(streamed.agg(sum("bytes_sent")).head().getLong(0) ==
+           batch.agg(sum("bytes_sent")).head().getLong(0))
+    // web rows carry the server_type discriminator (F8)
+    assert(streamed.filter(col("server_type") =!= 1).count() == 0)
+  }
+
   test("parseWebLines ingests only well-formed wma/wmv lines") {
     val base = Files.createTempDirectory("graft_web").toString
     val in = s"$base/in"; new java.io.File(in).mkdirs()
