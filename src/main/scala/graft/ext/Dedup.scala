@@ -203,8 +203,8 @@ object Dedup {
     * usable bits). Packing adds distinct powers of two, so no carry
     * and no overflow; bit 63's term is Long.MinValue, which is the
     * correct two's-complement bit pattern in both engines. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = corpus(spark, dir)
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
       .withColumn("h1", Hashing.phash(col("t"), "sim_"))
       .withColumn("h2", Hashing.phash(col("t"), "simB_"))
@@ -217,8 +217,10 @@ object Dedup {
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     sums.select(col("doc_id"), packed.as("simhash"))
-      .orderBy(col("doc_id"))
   }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(corpus(spark, dir)).orderBy(col("doc_id"))
 
   /** DuckDB CTE chain ending in `sims(doc_id, simhash)`. */
   private val simhashCte: String = {
@@ -262,8 +264,9 @@ object Dedup {
     * ladder (documented, not yet needed at this corpus) are fewer/
     * wider bands (2×32-bit: complete only at hamming ≤ 1, N²/2³³
     * candidates) or a segmented multi-index over rotated hashes. */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sims = simhash(spark, dir)
+  private[graft] def simhashPairsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val sims = simhashOf(docs)
       .repartition(spark.sparkContext.defaultParallelism)
     // shiftright is an arithmetic shift (simhash may be negative with
     // bit 63 set): mask to the band's 16 bits after shifting; DuckDB's
@@ -285,6 +288,9 @@ object Dedup {
       .select(col("id1"), col("id2"), col("hamming"))
       .orderBy(col("id1"), col("id2"))
   }
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(corpus(spark, dir))
 
   val simhashPairsSql: String = {
     val bandRows = (0 until 4).map(b =>
@@ -317,8 +323,9 @@ object Dedup {
     * Recall at the 0.8 threshold: P(candidate) = 1-(1-s²)⁸ ≥ 0.9997
     * for unigram-Jaccard s ≥ 0.8 — and identical in both engines,
     * since the minhash family is the same deterministic arithmetic. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  private[graft] def ngramJaccardOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val d = docs
       .select(col("source"), col("doc_id"),
         array_distinct(tokens(col("text"))).as("ts"))
       .withColumn("hs", transform(col("ts"), t => Hashing.phash(t, "ng_") % 4294967296L))
@@ -353,6 +360,9 @@ object Dedup {
       .select(col("source"), col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("source"), col("id1"), col("id2"))
   }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(Tables.documents(spark, dir))
 
   val ngramJaccardSql: String = {
     val mins = affine.map { case (a, b) =>

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.ext.Dedup
+
+/** Dev tool: empirical scale evidence for the LSH dedup family (the
+  * round-1 "correct but weak at scale" items, reworked in round 2).
+  *
+  * The documents table is replicated M× with every token prefixed by
+  * its replica id — replicas are mutually DISSIMILAR (disjoint token
+  * sets), so the true near-dup pair count grows only M× while the
+  * corpus grows M×. A scale-safe candidate generator must therefore
+  * also grow ~M× in wall-clock; the round-1 all-pairs-within-source
+  * ngram join and 256-bucket simhash banding grew ~M².
+  *
+  * Usage: sbt "runMain graft.tools.ScaleTrial2 [multiplier] [sfDir]"
+  */
+object ScaleTrial2 {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[*]")
+      .config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors().toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def corpus(m: Int): DataFrame = {
+      val d = Tables.documents(spark, dir).select("source", "doc_id", "text")
+      val big =
+        if (m == 1) d
+        else d.crossJoin(spark.range(m).toDF("rep"))
+          .select(col("source"),
+            (col("doc_id") * m + col("rep")).as("doc_id"),
+            when(col("rep") === 0, col("text"))
+              .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+                concat(lit("r"), col("rep").cast("string"), lit("_$1"))))
+              .as("text"))
+      big.repartition(spark.sparkContext.defaultParallelism)
+    }
+
+    def trial(name: String, df: => DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = df.count()   // the pair filters force the full pipeline
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE2 $name: $n%,d pairs in $secs%.2f s")
+      (n, secs)
+    }
+
+    trial("warmup simhash 1x", Dedup.simhashPairsOf(corpus(1)))
+    val (sp1, st1) = trial("simhash_pairs  1x", Dedup.simhashPairsOf(corpus(1)))
+    val (spN, stN) = trial(f"simhash_pairs ${mult}%2dx", Dedup.simhashPairsOf(corpus(mult)))
+    val (np1, nt1) = trial("ngram_jaccard  1x", Dedup.ngramJaccardOf(corpus(1)))
+    val (npN, ntN) = trial(f"ngram_jaccard ${mult}%2dx", Dedup.ngramJaccardOf(corpus(mult)))
+    println(f"SCALE2 simhash: ${mult}x corpus -> ${spN.toDouble / math.max(sp1, 1)}%.1fx pairs, " +
+      f"${stN / st1}%.1fx time (linear target ~${mult}x, quadratic ~${mult * mult}x)")
+    println(f"SCALE2 ngram:   ${mult}x corpus -> ${npN.toDouble / math.max(np1, 1)}%.1fx pairs, " +
+      f"${ntN / nt1}%.1fx time (linear target ~${mult}x, quadratic ~${mult * mult}x)")
+    spark.stop()
+  }
+}
