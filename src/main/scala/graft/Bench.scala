@@ -28,10 +28,13 @@ object Bench {
     graft.model.Tables.region(spark, sfDir).count()
     graft.model.Tables.events(spark, sfDir).limit(10).count()
 
-    // two timed iterations, report the min: one stray GC pause or
-    // page-cache miss otherwise dominates a ~1s query's number
+    // three timed iterations, report the min: one stray GC pause or
+    // page-cache miss otherwise dominates a ~1s query's number (and
+    // min-of-2 provably wasn't enough — the r02 media_formats 4.7 s
+    // ghost survived it)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -52,6 +55,11 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    // stderr copy with a unique greppable prefix: sbt's stdout gets
+    // [info] decoration and interleaved log4j chatter, and the r02
+    // driver recorded parsed:null — stderr + prefix gives a scraper
+    // an unambiguous second channel
+    System.err.println("GRAFT_BENCH_JSON " + json)
     // also write the metric to a file: sbt decorates stdout with
     // [info]/[error] prefixes and interleaves log4j chatter, so a
     // driver scraping the console can miss the line — the file copy

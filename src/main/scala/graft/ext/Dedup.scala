@@ -113,7 +113,7 @@ object Dedup {
       .withColumn("sig", array(affine.map { case (a, b) =>
         array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % MODP))
       }: _*))
-      .select(col("doc_id"), col("text"), col("sh"), col("sig"))
+      .select(col("doc_id"), col("sh"), col("sig"))
       .repartition(spark.sparkContext.defaultParallelism)
 
   private val signaturesSql: String = {
@@ -143,24 +143,32 @@ object Dedup {
     * (band, band_hash), verify candidates with exact shingle Jaccard.
     * Output: the verified near-duplicate pairs (jaccard >= 0.5). */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(spark, dir).select(col("doc_id"), col("sig"), col("sh"))
-    // explode into BANDS buckets: band_hash = phash of the band's rows
-    val banded = sig.select(col("doc_id"), col("sh"),
+    val sig = signatures(spark, dir)
+    // explode into BANDS buckets: band_hash = phash of the band's
+    // rows. Banded rows carry ONLY (doc_id, band, bh) — the shingle
+    // arrays would otherwise ride the 8-way explode and the pair
+    // dropDuplicates shuffle; they are joined back by doc_id at the
+    // verify step, exactly like the DuckDB twin. The four references
+    // to `sig` (banded l/r, payload×2) share one physical shuffle
+    // via ReuseExchange.
+    val banded = sig.select(col("doc_id"),
       explode(array((0 until BANDS).map { b =>
         struct(lit(b).as("band"),
           Hashing.phash(concat_ws("_",
             (0 until ROWS).map(r => element_at(col("sig"), b * ROWS + r + 1).cast("string")): _*),
             s"band${b}_").as("bh"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val l = banded.as("l"); val r = banded.as("r")
     val cand = l.join(r,
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
         col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"),
-        col("l.sh").as("sh1"), col("r.sh").as("sh2"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
+    val sh = sig.select(col("doc_id"), col("sh"))
     cand
+      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
       .withColumn("jaccard",
         floor(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
               size(array_union(col("sh1"), col("sh2"))) * 10000 + 0.5) / 10000)
@@ -337,22 +345,29 @@ object Dedup {
       // references `ts` — fence the minhash pipeline so the optimizer
       // can't inline it once per reference (single-split test parquet)
       .repartition(spark.sparkContext.defaultParallelism)
-    val banded = d.select(col("source"), col("doc_id"), col("ts"),
+    // banded rows carry ONLY (source, doc_id, band, bh); the token
+    // sets join back by doc_id at the verify step like the SQL twin
+    // (the `d` references share one physical shuffle via ReuseExchange)
+    val banded = d.select(col("source"), col("doc_id"),
       explode(array((0 until BANDS).map { b =>
         struct(lit(b).as("band"),
           Hashing.phash(concat_ws("_",
             (0 until ROWS).map(r => element_at(col("sig"), b * ROWS + r + 1).cast("string")): _*),
             s"ngband${b}_").as("bh"))
       }: _*)).as("bb"))
-      .select(col("source"), col("doc_id"), col("ts"),
+      .select(col("source"), col("doc_id"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
     val l = banded.as("l"); val r = banded.as("r")
-    l.join(r,
+    val cand = l.join(r,
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
         col("l.source") === col("r.source") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.source").as("source"), col("l.doc_id").as("id1"),
-        col("r.doc_id").as("id2"), col("l.ts").as("ts1"), col("r.ts").as("ts2"))
+        col("r.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
+    val toks = d.select(col("doc_id"), col("ts"))
+    cand
+      .join(toks.select(col("doc_id").as("id1"), col("ts").as("ts1")), Seq("id1"))
+      .join(toks.select(col("doc_id").as("id2"), col("ts").as("ts2")), Seq("id2"))
       .withColumn("jaccard",
         floor(size(array_intersect(col("ts1"), col("ts2"))).cast("double") /
               size(array_union(col("ts1"), col("ts2"))) * 10000 + 0.5) / 10000)

@@ -23,32 +23,42 @@ import graft.model.Tables
   *    window — per-partition top-k then a k-row merge, no all-pairs
   *    shuffle. Cost is O(|Q|·N) — the exact baseline you periodically
   *    run to measure recall;
-  *  - LSH: each vector maps to a bucket id from sign-bits of 8
-  *    hyperplane dots; candidate generation becomes an equi-join on
-  *    the bucket id (shuffle on bucket, never a cross join). With B
-  *    buckets the pair count drops ~B× at equal recall per probe.
+  *  - kNN LSH: each vector maps to a bucket from sign-bits of 8
+  *    hyperplane dots; the BROADCAST query side probes its own bucket
+  *    plus all 8 hamming-1 neighbors (multi-probe), so cost is
+  *    O(|Q|·9·N/256) — linear in N — and a neighbor split from its
+  *    query by ONE near-zero hyperplane dot is no longer lost;
+  *  - dedup (self-join shape): bucket bits must scale with N because
+  *    candidates grow as N²/buckets — see [[dedupEmbedding]].
   */
 object Similarity {
 
   private val DIM = 64
-  private val PLANES = 8
+  private val PLANES = 8          // kNN: queries are broadcast, so 256 buckets keeps O(|Q|·N/256) linear
+  private val DEDUP_PLANES = 16   // dedup self-join: 65,536 buckets — candidates are O(N²/2^16) per table
   private val NQUERIES = 8
   private val TOPK = 5
 
   /** Deterministic ±1 hyperplane matrices derived from md5 — a
     * public, seed-reproducible construction (no RNG, same values in
-    * the SQL twin because they are embedded as literals). Two
-    * independent tables: a vector pair split by a near-zero dot in
-    * one table almost surely shares a bucket in the other. */
-  private def planesFor(tag: String): Array[Array[Int]] = {
+    * any engine because they are embedded as literals in the SQL
+    * twin). Two independent tables per use: a vector pair split by a
+    * near-zero dot in one table almost surely shares a bucket in the
+    * other. */
+  private def planesFor(tag: String, n: Int): Array[Array[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(PLANES, DIM) { (p, d) =>
+    Array.tabulate(n, DIM) { (p, d) =>
       val h = md.digest(s"${tag}_${p}_$d".getBytes("UTF-8"))
       if ((h.last & 1) == 1) 1 else -1
     }
   }
-  private[ext] val planes: Array[Array[Int]] = planesFor("pl")
-  private[ext] val planes2: Array[Array[Int]] = planesFor("p2")
+  // the 8-plane kNN tables are prefixes of the 16-plane dedup tables
+  // (same md5 stream), so the kNN buckets are unchanged by the dedup
+  // widening
+  private[ext] val planes16: Array[Array[Int]] = planesFor("pl", DEDUP_PLANES)
+  private[ext] val planes16b: Array[Array[Int]] = planesFor("p2", DEDUP_PLANES)
+  private[ext] val planes: Array[Array[Int]] = planes16.take(PLANES)
+  private[ext] val planes2: Array[Array[Int]] = planes16b.take(PLANES)
 
   /** float vector → exact integer milli-quantized vector. */
   private def quant(v: Column): Column =
@@ -102,35 +112,42 @@ object Similarity {
 
   /** LSH bucket id: sign bit per hyperplane dot, packed. */
   private def bucketWith(ps: Array[Array[Int]])(qv: Column): Column =
-    (0 until PLANES).map { p =>
+    ps.indices.map { p =>
       val w = array(ps(p).map(lit(_)): _*)
       when(dot(w.cast("array<long>"), qv) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def bucket(qv: Column): Column = bucketWith(planes)(qv)
-  private def bucket2(qv: Column): Column = bucketWith(planes2)(qv)
-
   private def bucketSqlWith(ps: Array[Array[Int]], qv: String): String =
-    (0 until PLANES).map { p =>
+    ps.indices.map { p =>
       val w = ps(p).mkString("[", ", ", "]")
       s"(CASE WHEN list_sum(list_transform(generate_series(1, $DIM), i -> ($w)[i] * $qv[i])) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  private def bucketSql(qv: String): String = bucketSqlWith(planes, qv)
-  private def bucket2Sql(qv: String): String = bucketSqlWith(planes2, qv)
+  /** DuckDB list literal of a bucket plus all its hamming-1 probes. */
+  private def probeListSql(k: String, nbits: Int): String =
+    (Seq(k) ++ (0 until nbits).map(b => s"xor($k, ${1L << b})"))
+      .mkString("[", ", ", "]")
 
-  /** ANN via LSH buckets: candidates share the query's bucket; rank
-    * by exact (quantized) cosine within the bucket. Compared to
-    * [[knnBruteforce]] this replaces the O(N) scan per query with a
-    * bucket equi-join. */
+  /** ANN via LSH buckets with hamming-1 multi-probe: each (broadcast)
+    * query probes its own bucket plus the 8 one-bit-flip neighbors,
+    * so a true neighbor is lost only when >= 2 hyperplane dots differ
+    * in sign between query and neighbor. Rank by exact (quantized)
+    * cosine within the probed buckets. Compared to [[knnBruteforce]]
+    * this replaces the O(N) scan per query with 9 bucket equi-joins'
+    * worth of candidates — still O(N/256) of the table per query. */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("qv", quant(col("embedding")))
-      .withColumn("bucket", bucket(col("qv")))
+      .withColumn("bucket", bucketWith(planes)(col("qv")))
     val q = e.filter(col("vec_id") < NQUERIES)
-      .select(col("vec_id").as("qid"), col("qv").as("qvec"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("qv").as("qvec"), col("bucket").as("qbucket"))
+    // probes are distinct values, and each candidate lives in exactly
+    // one bucket, so no (qid, vec_id) pair can be generated twice
+    val probes = q.select(col("qid"), col("qvec"), col("qbucket"),
+      explode(array(col("qbucket") +: (0 until PLANES).map(b =>
+        col("qbucket").bitwiseXOR(lit(1L << b))): _*)).as("probe"))
     val c = e.select(col("vec_id"), col("qv").as("cvec"), col("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))   // bucket equi-join, not a cross join
+    val scored = c.join(broadcast(probes), col("bucket") === col("probe"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cosine", pr6(
         dot(col("qvec"), col("cvec")).cast("double") /
@@ -138,7 +155,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TOPK)
-      .select(col("qid"), col("bucket"), col("rank"),
+      .select(col("qid"), col("qbucket").as("bucket"), col("rank"),
         col("vec_id").as("neighbor_id"), col("cosine"))
       .orderBy(col("qid"), col("rank"))
   }
@@ -147,38 +164,57 @@ object Similarity {
     * dedup mode (complementing exact/MinHash/SimHash/Jaccard in
     * [[Dedup]]). A twin corpus is synthesized in-query (vec_id%7==0
     * gets a copy with dim 1 nudged by +0.01 → cosine ≈ 0.9999);
-    * candidates come from TWO independent hyperplane-LSH bucket
-    * joins (a pair split by one near-zero hyperplane dot in table 1
-    * almost surely shares its bucket in table 2) and must clear an
-    * exact quantized-cosine threshold. The bucket joins keep the
-    * candidate count far below the cross join; adding tables trades
-    * compute for recall the standard multi-table LSH way. */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    * candidates come from TWO independent 16-hyperplane-LSH bucket
+    * joins and must clear an exact quantized-cosine threshold.
+    *
+    * Bucket math at scale (the round-2 8-plane version was the
+    * remaining quadratic candidate generator): 16 planes give 65,536
+    * buckets per table, so the bucket self-join generates
+    * ~N²/(2·65,536) candidates per table (×17 probes ×2 tables) —
+    * 256× fewer than 8 planes at any N. Recall is held by multi-probe
+    * (the left side also probes every hamming-1 bucket) plus the
+    * second independent table: a near-identical pair is missed only
+    * if >= 2 hyperplane dots flip sign in BOTH tables — for twin-like
+    * pairs (per-plane flip prob ~θ/π ≈ 0.005) that is ~(C(16,2)·p²)²
+    * ≈ 5×10⁻⁶. Next rungs when N²/2¹⁶ itself is too big: more planes
+    * per table (buckets double per plane; recall restored by more
+    * probes/tables), or an IVF-style coarse k-means partition.
+    *
+    * Candidate frames carry ONLY vec_ids; the quantized vectors join
+    * back by id at the verify step (ReuseExchange shares the one
+    * physical shuffle across all references to `e`). */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingOf(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+
+  /** [[dedupEmbedding]] over an arbitrary (vec_id, embedding) frame —
+    * the ScaleTrial entry point. vec_ids must stay below the 100,000
+    * twin offset. */
+  private[graft] def dedupEmbeddingOf(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
     val twins = base.filter(col("vec_id") % 7 === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"),
           (x, i) => when(i === 1, x + lit(0.01f)).otherwise(x)).as("embedding"))
     val e = base.unionAll(twins)
       .withColumn("qv", quant(col("embedding")))
-      .withColumn("b1", bucket(col("qv")))
-      .withColumn("b2", bucket2(col("qv")))
+      .withColumn("b1", bucketWith(planes16)(col("qv")))
+      .withColumn("b2", bucketWith(planes16b)(col("qv")))
       .select(col("vec_id"), col("qv"), col("b1"), col("b2"))
       .repartition(spark.sparkContext.defaultParallelism)
     val r = e.as("r")
-    // multi-probe: the left side also probes every hamming-1 bucket,
-    // so a pair is missed only if >= 2 hyperplane dots flip sign in
-    // BOTH tables — vanishingly unlikely for near-identical vectors
-    def probes(k: String) = e.select(col("vec_id"), col("qv"),
-      explode(array(col(k) +: (0 until PLANES).map(b =>
+    def probes(k: String) = e.select(col("vec_id"),
+      explode(array(col(k) +: (0 until DEDUP_PLANES).map(b =>
         col(k).bitwiseXOR(lit(1L << b))): _*)).as("probe"))
     def table(k: String) =
       probes(k).as("l")
         .join(r, col("l.probe") === col(s"r.$k") && col("l.vec_id") < col("r.vec_id"))
-        .select(col("l.vec_id").as("id1"), col("r.vec_id").as("id2"),
-          col("l.qv").as("qv1"), col("r.qv").as("qv2"))
+        .select(col("l.vec_id").as("id1"), col("r.vec_id").as("id2"))
+    val qvs = e.select(col("vec_id"), col("qv"))
     table("b1").unionAll(table("b2"))
       .dropDuplicates("id1", "id2")
+      .join(qvs.select(col("vec_id").as("id1"), col("qv").as("qv1")), Seq("id1"))
+      .join(qvs.select(col("vec_id").as("id2"), col("qv").as("qv2")), Seq("id2"))
       .withColumn("cosine", pr6(
         dot(col("qv1"), col("qv2")).cast("double") /
           (sqrt(norm2(col("qv1")).cast("double")) * sqrt(norm2(col("qv2")).cast("double")))))
@@ -196,40 +232,45 @@ object Similarity {
              i -> CASE WHEN i = 2 THEN embedding[i] + CAST(0.01 AS FLOAT) ELSE embedding[i] END) AS embedding
          FROM embeddings WHERE vec_id % 7 = 0),
        e AS (
-         SELECT vec_id, $quantSql AS qv, ${bucketSql(quantSql)} AS b1,
-                ${bucket2Sql(quantSql)} AS b2
+         SELECT vec_id, $quantSql AS qv, ${bucketSqlWith(planes16, quantSql)} AS b1,
+                ${bucketSqlWith(planes16b, quantSql)} AS b2
          FROM base),
        p1 AS (
-         SELECT vec_id, qv, unnest([b1, xor(b1, 1), xor(b1, 2), xor(b1, 4), xor(b1, 8), xor(b1, 16), xor(b1, 32), xor(b1, 64), xor(b1, 128)]) AS probe
+         SELECT vec_id, unnest(${probeListSql("b1", DEDUP_PLANES)}) AS probe
          FROM e),
        p2 AS (
-         SELECT vec_id, qv, unnest([b2, xor(b2, 1), xor(b2, 2), xor(b2, 4), xor(b2, 8), xor(b2, 16), xor(b2, 32), xor(b2, 64), xor(b2, 128)]) AS probe
+         SELECT vec_id, unnest(${probeListSql("b2", DEDUP_PLANES)}) AS probe
          FROM e),
        cand AS (
-         SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2, l.qv AS qv1, r.qv AS qv2
+         SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
          FROM p1 l JOIN e r ON l.probe = r.b1 AND l.vec_id < r.vec_id
          UNION
-         SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2, l.qv AS qv1, r.qv AS qv2
+         SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
          FROM p2 l JOIN e r ON l.probe = r.b2 AND l.vec_id < r.vec_id),
        p AS (
          SELECT id1, id2,
-           floor(CAST(list_sum(list_transform(generate_series(1, $DIM), i -> qv1[i] * qv2[i])) AS DOUBLE) /
-                 (sqrt(CAST(list_sum(list_transform(qv1, x -> x * x)) AS DOUBLE)) *
-                  sqrt(CAST(list_sum(list_transform(qv2, x -> x * x)) AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cosine
-         FROM cand)
+           floor(CAST(list_sum(list_transform(generate_series(1, $DIM), i -> a.qv[i] * b.qv[i])) AS DOUBLE) /
+                 (sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE)) *
+                  sqrt(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cosine
+         FROM cand c
+         JOIN e a ON a.vec_id = c.id1
+         JOIN e b ON b.vec_id = c.id2)
        SELECT id1, id2, cosine FROM p WHERE cosine >= 0.99 ORDER BY id1, id2"""
 
   val knnLshSql: String =
     s"""WITH e AS (
-         SELECT vec_id, $quantSql AS qv, ${bucketSql(quantSql)} AS bucket
+         SELECT vec_id, $quantSql AS qv, ${bucketSqlWith(planes, quantSql)} AS bucket
          FROM embeddings),
-       q AS (SELECT vec_id AS qid, qv AS qvec, bucket FROM e WHERE vec_id < $NQUERIES),
+       q AS (SELECT vec_id AS qid, qv AS qvec, bucket AS qbucket FROM e WHERE vec_id < $NQUERIES),
+       pr AS (
+         SELECT qid, qvec, qbucket, unnest(${probeListSql("qbucket", PLANES)}) AS probe
+         FROM q),
        scored AS (
-         SELECT q.qid, q.bucket, e.vec_id,
+         SELECT pr.qid, pr.qbucket AS bucket, e.vec_id,
            floor(CAST(list_sum(list_transform(generate_series(1, $DIM), i -> qvec[i] * e.qv[i])) AS DOUBLE) /
                  (sqrt(CAST(list_sum(list_transform(qvec, x -> x * x)) AS DOUBLE)) *
                   sqrt(CAST(list_sum(list_transform(e.qv, x -> x * x)) AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cosine
-         FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.qid),
+         FROM e JOIN pr ON e.bucket = pr.probe WHERE e.vec_id <> pr.qid),
        ranked AS (
          SELECT qid, bucket, vec_id, cosine,
            row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank

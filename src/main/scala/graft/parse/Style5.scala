@@ -424,12 +424,11 @@ object Style5 {
     * (fast lane for plain lines, regex lane for the rest).
     */
   def parseFastpath(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint fences the render lineage: the gate filter is
-    // over a line-derived column and would otherwise be pushed (with
-    // the whole split+render inlined) through the exchange onto the
-    // raw single-split scan (see Report.nameMatch)
-    val l = renderedLines(spark, dir)
-      .localCheckpoint(false)
+    // the gate filter is over a line-derived column and would
+    // otherwise be pushed (with the whole split+render inlined)
+    // through the exchange onto the raw single-split scan — see
+    // graft.util.Fence for the trap and the 100 TB contract
+    val l = graft.util.Fence.lineage(renderedLines(spark, dir))
       .withColumn("p", split(col("line"), " "))
     l.filter(coalesce(try_element_at(col("p"), lit(9)).rlike("^\\d+$"), lit(false)))
       .select(

@@ -41,11 +41,10 @@ object WebLog {
       s(when(col("event_type") === "error", 404).otherwise(206)), lit(" "),
       s(floor(col("value") * 1000).cast("long")),
       lit(" \"-\" \"Windows-Media-Player/"), s(col("k") % 12), lit(".0\"")).as("line"))
-      // lineage fence: consumers filter on line-derived columns (F2
-      // extension filter, ext != '') and PushDownPredicates would
-      // otherwise push those filters — with the render inlined — onto
-      // the raw single-split scan (see Report.nameMatch)
-      .localCheckpoint(false)
+      // consumers filter on line-derived columns (F2 extension
+      // filter); see graft.util.Fence for the pushdown trap and the
+      // 100 TB (read-from-files) contract
+      .transform(graft.util.Fence.lineage)
   }
 
   /** DuckDB twin of [[renderedLines]] — CTE `wlines`. */

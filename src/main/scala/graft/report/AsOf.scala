@@ -1,6 +1,7 @@
 package graft.report
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.util.Exact
@@ -10,26 +11,31 @@ import graft.util.Exact
   * is a §7 capability extension for time-series enrichment: "what
   * config/rate was in force when this event happened").
   *
-  * Built as a broadcast dimension lookup: the rate-change side is
-  * tiny by construction (every 97th event), so it collapses to one
-  * sorted (ts, event_id, rate) array per key, broadcast to every
-  * executor; each event resolves its rate-in-force by scanning that
-  * array — a narrow, shuffle-free map over the fact side.
+  * Built as a COARSE-TIME-BUCKET equi-join — the shape that survives
+  * any rate-side cardinality (the round-2 version broadcast one
+  * sorted array per event_type; rates here are derived from events
+  * (1%), so that array was O(N) — ~1 TB at 100 TB — and the
+  * per-event_type `collect_list` was unbounded):
   *
-  * Round 1 built this as tag+UNION+window partitioned by event_type;
-  * event_type has ~5 values, so at 100 TB one task would sort 20% of
-  * the data — the classic low-cardinality-window scale-killer. The
-  * broadcast form keeps the fact side embarrassingly parallel. If
-  * the rate side ever outgrows broadcast size, the fallback is a
-  * coarse time-bucket added to both join keys (bounded bucket scan),
-  * or a custom binary-search Expression over the sorted array — the
-  * in-array `filter` here is O(R) per event, fine while R/key is
-  * thousands, not millions.
+  *  1. rates land in (event_type, bucket) cells, bucket =
+  *     floor(epoch/W). Each cell's rates collect into ONE sorted
+  *     array whose size is bounded by rates·W/span — W is the knob
+  *     that caps it (W=1h here; shrink W as rate density grows);
+  *  2. events equi-join their own cell (shuffle on the
+  *     high-cardinality (event_type, bucket) key — never a broadcast
+  *     of the rate side) and binary-search-in-spirit scan that
+  *     bounded array for the last rate with ts <= event ts;
+  *  3. events whose cell has no earlier rate fall back to a CARRY
+  *     table: rate-in-force at each bucket's end, densified per type
+  *     over the bucket range. Its size is #types × #buckets —
+  *     bounded by the timeline, NOT by N — so it broadcasts safely,
+  *     and the window that builds it runs over that tiny frame, not
+  *     the data.
   *
-  * Tie semantics (bit-compatible with the round-1 window): rates
-  * sort by (ts, event_id); an event at ts T sees every rate with
-  * rate.ts <= T (a rate "arrives" before an event in the same
-  * second), and the latest (ts, event_id) wins.
+  * Tie semantics (bit-compatible with the round-2 array scan and the
+  * round-1 window): rates sort by (ts, event_id); an event at ts T
+  * sees every rate with rate.ts <= T (a rate "arrives" before an
+  * event in the same second), and the latest (ts, event_id) wins.
   *
   * The "rate changes" dimension is derived deterministically from the
   * events table itself (every event_id % 97 == 0 row becomes a rate
@@ -37,20 +43,54 @@ import graft.util.Exact
   */
 object AsOf {
 
+  /** Bucket width in seconds. Caps the per-cell rate array at
+    * n_rates·W/span; 1 hour over the 30-day test timeline gives ~720
+    * buckets per type. */
+  private val W = 3600L
+
   def asofJoinRates(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
     // rate rows KEEP their source event_id: two rate changes sharing
     // (event_type, ts) would otherwise tie on the sort key and make
     // rate_in_force nondeterministic across runs and engines
-    val rateArr = ev.filter(col("event_id") % 97 === 0)
-      .groupBy(col("event_type"))
+    val rates = ev.filter(col("event_id") % 97 === 0)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / W).cast("long").as("bucket"),
+        col("ts"), col("event_id"), col("value").as("rate"))
+    // per-cell sorted rate arrays — size bounded by construction
+    val arr = rates.groupBy(col("event_type"), col("bucket"))
       .agg(sort_array(collect_list(
-        struct(col("ts"), col("event_id"), col("value").as("rate")))).as("ra"))
-    // left join: an event_type with no rate changes must still count
-    ev.join(broadcast(rateArr), Seq("event_type"), "left")
-      .withColumn("rate_in_force",
+        struct(col("ts"), col("event_id"), col("rate")))).as("ra"))
+    // carry: rate in force at the END of each bucket, densified over
+    // each type's bucket range (#types × #buckets rows — tiny)
+    val span = rates.groupBy(col("event_type"))
+      .agg(min(col("bucket")).as("minb"), max(col("bucket")).as("maxb"))
+    val dense = span.select(col("event_type"),
+      explode(sequence(col("minb"), col("maxb"))).as("bucket"))
+    val lastPer = arr.select(col("event_type"), col("bucket"),
+      element_at(col("ra"), -1).as("lr"))
+    val wspec = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = dense.join(lastPer, Seq("event_type", "bucket"), "left")
+      .withColumn("carry_rate", last(col("lr"), ignoreNulls = true).over(wspec)("rate"))
+      .select(col("event_type"), col("bucket").as("cb"), col("carry_rate"))
+    val evb = ev.select(col("event_type"), col("ts"),
+      floor(unix_timestamp(col("ts")) / W).cast("long").as("bucket"))
+    // events past the last rate bucket clamp their carry lookup to it
+    // (explicit when(): engines differ on least() null handling)
+    evb
+      .join(arr, Seq("event_type", "bucket"), "left")
+      .join(broadcast(span.select(col("event_type"), col("maxb"))),
+        Seq("event_type"), "left")
+      .withColumn("cb",
+        when(col("maxb").isNull || col("bucket") - 1 < col("maxb"),
+          col("bucket") - 1).otherwise(col("maxb")))
+      .join(broadcast(carry), Seq("event_type", "cb"), "left")
+      .withColumn("rate_in_force", coalesce(
         try_element_at(
-          filter(col("ra"), r => r("ts") <= col("ts")), lit(-1))("rate"))
+          filter(col("ra"), r => r("ts") <= col("ts")), lit(-1))("rate"),
+        col("carry_rate")))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
            count(col("rate_in_force")).as("n_with_rate"),
@@ -59,19 +99,46 @@ object AsOf {
   }
 
   val asofJoinRatesSql: String =
-    s"""WITH rates AS (
-         SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS rate
-         FROM events WHERE event_id % 97 = 0),
-       ra AS (
-         SELECT event_type,
+    s"""WITH src AS (
+         SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+         FROM events),
+       rates AS (
+         SELECT event_type, CAST(floor(epoch(ts) / $W) AS BIGINT) AS bucket,
+                ts, event_id, value AS rate
+         FROM src WHERE event_id % 97 = 0),
+       arr AS (
+         SELECT event_type, bucket,
            list(struct_pack(ts := ts, event_id := event_id, rate := rate)
                 ORDER BY ts, event_id) AS ra
+         FROM rates GROUP BY event_type, bucket),
+       span AS (
+         SELECT event_type, min(bucket) AS minb, max(bucket) AS maxb
          FROM rates GROUP BY event_type),
+       dense AS (
+         SELECT s.event_type, unnest(generate_series(s.minb, s.maxb)) AS bucket
+         FROM span s),
+       lastper AS (SELECT event_type, bucket, ra[-1] AS lr FROM arr),
+       carry AS (
+         SELECT d.event_type, d.bucket AS cb,
+           (last_value(l.lr IGNORE NULLS) OVER (
+              PARTITION BY d.event_type ORDER BY d.bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).rate AS carry_rate
+         FROM dense d LEFT JOIN lastper l
+           ON d.event_type = l.event_type AND d.bucket = l.bucket),
+       evb AS (
+         SELECT event_type, ts,
+                CAST(floor(epoch(ts) / $W) AS BIGINT) AS bucket
+         FROM src),
        f AS (
          SELECT e.event_type,
-           (list_filter(ra.ra, r -> r.ts <= CAST(e.ts AS TIMESTAMP)))[-1].rate
-             AS rate_in_force
-         FROM events e LEFT JOIN ra ON e.event_type = ra.event_type)
+           coalesce((list_filter(a.ra, r -> r.ts <= e.ts))[-1].rate,
+                    c.carry_rate) AS rate_in_force
+         FROM evb e
+         LEFT JOIN arr a ON e.event_type = a.event_type AND e.bucket = a.bucket
+         LEFT JOIN span s ON e.event_type = s.event_type
+         LEFT JOIN carry c ON e.event_type = c.event_type
+           AND c.cb = (CASE WHEN s.maxb IS NULL OR e.bucket - 1 < s.maxb
+                       THEN e.bucket - 1 ELSE s.maxb END))
        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
          CAST(count(rate_in_force) AS BIGINT) AS n_with_rate,
          ${Exact.moneySumSql("coalesce(rate_in_force, 0.0)")} AS sum_rate

@@ -180,11 +180,9 @@ object Report {
     val assets = Seq("CLIP1.RM", "CLIP42.RM", "CLIP87.RM").map(_.toLowerCase)
     // project only name + bytes (the full 13-column parse would make
     // the pushed-down filter re-evaluate every field expression), and
-    // fence the lineage: PushDownPredicates would otherwise push the
-    // name filter through every exchange onto the raw single-split
-    // scan, evaluating the inlined render serially per row
-    Style5.renderedLines(spark, dir)
-      .localCheckpoint(false)
+    // fence the lineage — see graft.util.Fence for the pushdown trap
+    // and the 100 TB (read-from-files) contract
+    graft.util.Fence.lineage(Style5.renderedLines(spark, dir))
       .select(Style5.fileName(Style5.reqFile(col("line"))).as("name"),
         element_at(Style5.dropHead(Style5.spaceMatches(col("line"))), 2)
           .cast("long").as("bytes_sent"))

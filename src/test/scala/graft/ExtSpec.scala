@@ -65,6 +65,27 @@ class ExtSpec extends AnyFunSuite {
     assert(df.groupBy("qid").count().agg(max("count")).head().getLong(0) <= 5)
   }
 
+  test("knn_lsh multi-probe recall against the brute-force baseline") {
+    // recall@5 = |lsh ∩ bf| / |bf| over (qid, neighbor) pairs. The
+    // embeddings are near-orthogonal random vectors — the worst case
+    // for hyperplane LSH (true neighbors sit at cosine ≈ 0.3, so
+    // P(hamming<=1) per true pair is only ~0.12) — and data + planes
+    // are deterministic, so the measured recall (0.05 at HEAD) is a
+    // fixed regression floor, not a statistical bound. The hard
+    // multi-probe win is CANDIDATE COVERAGE: single-probe returned 10
+    // of 40 rows (sparse buckets starve most queries); hamming-1
+    // probing must fill all 8 queries × 5 ranks.
+    val bf = SparkEntry.queries("knn_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lshRows = SparkEntry.queries("knn_lsh")(spark, sf).collect()
+    val perQuery = lshRows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQuery.size == 8 && perQuery.values.forall(_ == 5),
+      s"multi-probe candidate pool starved: $perQuery")
+    val lsh = lshRows.map(r => (r.getLong(0), r.getLong(3))).toSet
+    val recall = (lsh & bf).size.toDouble / bf.size
+    assert(recall >= 0.05, f"multi-probe recall@5 degraded: $recall%.2f")
+  }
+
   test("decodeFrames kernel produces sampled frames per media row") {
     val ds = Multimodal.decodeFrames(spark, sf, parallelism = 4)
     val agg = ds.groupBy("media_id").count()

@@ -89,6 +89,16 @@ class StreamSpec extends AnyFunSuite {
     // by checking that some client's total grew beyond its t1 value
     val grew = t2.exists { case (ip, (n, _)) => n > t1.getOrElse(ip, (0L, 0L))._1 }
     assert(grew, "state did not accumulate across the restart")
+
+    // correctness surface, not just liveness: run 2 emits only the
+    // clients f2 touched, so (t1 overridden by t2) IS the final state
+    // — it must equal the batch aggregation over the full universe
+    val batch = StreamEtl.parseLines(spark.read.text(s"$in/*"))
+      .groupBy(col("client_ip_address"))
+      .agg(count(lit(1)).as("n"), sum(col("bytes_sent")).as("b"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert((t1 ++ t2) == batch,
+      "restart-spanning state diverged from the batch aggregation")
   }
 
   test("ingestWebStream: checkpointed rotation pickup, exactly-once, " +
@@ -163,20 +173,58 @@ class StreamSpec extends AnyFunSuite {
     assert(rows.keySet == Set("ok", "not_found"))   // every status mapped
   }
 
-  test("hourlyCounts is a valid streaming plan") {
+  test("hourlyCounts watermark-closed windows match the batch aggregation " +
+       "across restarts") {
     val base = Files.createTempDirectory("graft_stream2").toString
     val in = s"$base/in"; new java.io.File(in).mkdirs()
-    Style5.renderedLines(spark, sf).filter(col("event_id") < 100)
-      .select("line").coalesce(1).write.mode("overwrite").text(s"$in/f1")
-    val q = StreamEtl.hourlyCounts(spark, s"$in/*")
-      .writeStream.format("memory").queryName("hourly_test")
-      .option("checkpointLocation", s"$base/cp")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // append mode only emits watermark-closed windows; the plan
-    // running to completion (with state) is what we assert here
-    assert(spark.table("hourly_test").columns.length == 4)
+    val data = Style5.renderedLines(spark, sf).filter(col("event_id") < 2000)
+    data.select("line").coalesce(1).write.mode("overwrite").text(s"$in/f1")
+
+    def runOnce(qname: String): Seq[(java.sql.Timestamp, Long, Long, Long)] = {
+      // memory sink can't recover from a checkpoint; foreachBatch can
+      val buf = new scala.collection.mutable.ArrayBuffer[(java.sql.Timestamp, Long, Long, Long)]()
+      val q = StreamEtl.hourlyCounts(spark, s"$in/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= batch.collect().map(r =>
+              (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          }; ()
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      buf.synchronized(buf.toSeq)
+    }
+    // run 1: single batch, nothing is watermark-closed yet
+    val e1 = runOnce("hourly_r1")
+
+    // far-future sentinel lines advance the watermark past every real
+    // window on the next two restarts, forcing append-mode emission
+    // of ALL real windows while landing in no real window themselves
+    val sample = data.select("line").head().getString(0)
+    def sentinel(d: String) = sample.replaceFirst("\\[[^ ]+ ", s"[$d ")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/f2"), sentinel("01/Jan/2030:00:00:00") + "\n")
+    val e2 = runOnce("hourly_r2")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/f3"), sentinel("02/Jan/2030:00:00:00") + "\n")
+    val e3 = runOnce("hourly_r3")
+
+    // every real (pre-sentinel) window emitted exactly once across the
+    // restarts, with counts equal to the batch twin
+    val cutoff = java.sql.Timestamp.valueOf("2029-01-01 00:00:00")
+    val emitted = (e1 ++ e2 ++ e3).filter(_._1.before(cutoff))
+    assert(emitted.size == emitted.toSet.size, "a window emitted twice")
+    val batch = StreamEtl.parseLines(spark.read.text(s"$in/f1"))
+      .groupBy(window(col("datetime"), "1 hour"), col("status_code"))
+      .agg(count(lit(1)).as("n"), sum(col("bytes_sent")).as("bytes"))
+      .select(col("window.start"), col("status_code"), col("n"), col("bytes"))
+      .collect().toSeq
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(emitted.toSet == batch.toSet,
+      "emitted windows diverged from the batch aggregation")
   }
 }
