@@ -93,8 +93,8 @@ object Dedup {
     * All arithmetic stays < 2^63 (a < 2^31, h < 2^32) so both engines
     * compute it exactly. Coefficients are md5-derived constants,
     * embedded identically in the SQL twin. */
-  private val MODP = 4294967311L   // prime > 2^32
-  private[ext] val affine: Seq[(Long, Long)] = (0 until K).map { i =>
+  private[graft] val MODP = 4294967311L   // prime > 2^32
+  private[graft] val affine: Seq[(Long, Long)] = (0 until K).map { i =>
     val md = java.security.MessageDigest.getInstance("MD5")
     def h(s: String): Long =
       BigInt(1, md.digest(s.getBytes("UTF-8"))).longValue.abs
@@ -115,6 +115,11 @@ object Dedup {
       }: _*))
       .select(col("doc_id"), col("sh"), col("sig"))
       .repartition(spark.sparkContext.defaultParallelism)
+      // the repartition alone does NOT stop PushDownPredicates: the
+      // band explode's inferred generate-filter would travel through
+      // the exchange onto the raw scan with the whole md5+minhash
+      // pipeline inlined (single-split-serial — the CLAUDE.md trap)
+      .transform(graft.util.Fence.lineage)
 
   private val signaturesSql: String = {
     val mins = affine.map { case (a, b) =>
@@ -124,6 +129,27 @@ object Dedup {
        hs AS (SELECT doc_id, sh, list_transform(sh, s -> ${Hashing.phashSql("s")} % 4294967296) AS hs FROM sh),
        sigs AS (SELECT doc_id, sh, [$mins] AS sig FROM hs)"""
   }
+
+  /** Array of the BANDS per-band LSH bucket hashes of `sig`. */
+  private def bandHashes(saltPrefix: String): Column =
+    array((0 until BANDS).map { b =>
+      Hashing.phash(concat_ws("_",
+        (0 until ROWS).map(r => element_at(col("sig"), b * ROWS + r + 1).cast("string")): _*),
+        s"$saltPrefix${b}_")
+    }: _*)
+
+  /** True iff no band BEFORE `band` also matches — the emit-once
+    * guard that replaces a pair-dedup shuffle: a near-dup pair
+    * colliding in k bands would otherwise reach the candidate set k
+    * times (measured ~4× at sf0.1). `band` is 0-based, so the slice
+    * is empty for band 0 and forall(empty) = true. */
+  private def firstMatchingBand(bhs1: Column, bhs2: Column, band: Column): Column =
+    forall(zip_with(slice(bhs1, lit(1), band), slice(bhs2, lit(1), band), _ =!= _),
+      x => x)
+
+  /** SQL twin of [[firstMatchingBand]] (1-based prefix positions). */
+  private def firstMatchingBandSql(l: String, r: String): String =
+    s"len(list_filter(generate_series(1, CAST($l.band AS BIGINT)), i -> $l.bhs[i] = $r.bhs[i])) = 0"
 
   /** MinHash signature dump (itself oracle-checked: the sketches are
     * bit-identical across engines). */
@@ -145,58 +171,65 @@ object Dedup {
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sig = signatures(spark, dir)
     // explode into BANDS buckets: band_hash = phash of the band's
-    // rows. Banded rows carry ONLY (doc_id, band, bh) — the shingle
-    // arrays would otherwise ride the 8-way explode and the pair
-    // dropDuplicates shuffle; they are joined back by doc_id at the
-    // verify step, exactly like the DuckDB twin. The four references
-    // to `sig` (banded l/r, payload×2) share one physical shuffle
-    // via ReuseExchange.
-    val banded = sig.select(col("doc_id"),
-      explode(array((0 until BANDS).map { b =>
-        struct(lit(b).as("band"),
-          Hashing.phash(concat_ws("_",
-            (0 until ROWS).map(r => element_at(col("sig"), b * ROWS + r + 1).cast("string")): _*),
-            s"band${b}_").as("bh"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // rows. Banded rows carry (doc_id, bhs, band, bh) — the shingle
+    // arrays are joined back by doc_id at the verify step, exactly
+    // like the DuckDB twin, and the bhs prefix filter emits each pair
+    // only from its first matching band (no pair-dedup shuffle). The
+    // references to `sig` share one physical shuffle via ReuseExchange.
+    val banded = sig.withColumn("bhs", bandHashes("band"))
+      .select(col("doc_id"), col("bhs"),
+        posexplode_outer(col("bhs")).as(Seq("band", "bh")))
     val l = banded.as("l"); val r = banded.as("r")
     val cand = l.join(r,
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-        col("l.doc_id") < col("r.doc_id"))
+        col("l.doc_id") < col("r.doc_id") &&
+        firstMatchingBand(col("l.bhs"), col("r.bhs"), col("l.band")))
       .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
-      .dropDuplicates("id1", "id2")
-    val sh = sig.select(col("doc_id"), col("sh"))
+    // shingle lists can repeat, so set semantics need an explicit
+    // distinct; |A∪B| then comes from sizes (|A|+|B|-|A∩B|) — half
+    // the per-pair array work of materializing the union
+    val sh = sig.select(col("doc_id"), array_distinct(col("sh")).as("shd"))
     cand
-      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
-      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .join(sh.select(col("doc_id").as("id1"), col("shd").as("sh1")), Seq("id1"))
+      .join(sh.select(col("doc_id").as("id2"), col("shd").as("sh2")), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      // exact integer unfold of floor(j*10000+0.5)/10000 >= 0.5
+      // (j >= 9999/20000) — see ngramJaccardOf for why
+      .filter(col("inter") * 29999 >= (size(col("sh1")) + size(col("sh2"))) * 9999)
       .withColumn("jaccard",
-        floor(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-              size(array_union(col("sh1"), col("sh2"))) * 10000 + 0.5) / 10000)
-      .filter(col("jaccard") >= 0.5)
+        floor(col("inter").cast("double") /
+              (size(col("sh1")) + size(col("sh2")) - col("inter")) * 10000 + 0.5) / 10000)
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
   }
 
   val dedupMinhashLshSql: String = {
-    val bandRows = (0 until BANDS).map { b =>
+    val bhList = (0 until BANDS).map { b =>
       val parts = (0 until ROWS).map(r => s"CAST(sig[${b * ROWS + r + 1}] AS VARCHAR)").mkString(", ")
-      s"SELECT doc_id, sh, $b AS band, ${Hashing.phashSql(s"concat_ws('_', $parts)", s"band${b}_")} AS bh FROM sigs"
+      Hashing.phashSql(s"concat_ws('_', $parts)", s"band${b}_")
+    }.mkString("[", ",\n           ", "]")
+    val bandRows = (0 until BANDS).map { b =>
+      s"SELECT doc_id, bhs, $b AS band, bhs[${b + 1}] AS bh FROM sigs2"
     }.mkString("\n         UNION ALL\n         ")
     s"""WITH $corpusSql,
        $signaturesSql,
+       sigs2 AS (SELECT doc_id, $bhList AS bhs FROM sigs),
        banded AS (
          $bandRows),
        cand AS (
-         SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+         SELECT l.doc_id AS id1, r.doc_id AS id2
          FROM banded l JOIN banded r
-           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+          AND ${firstMatchingBandSql("l", "r")}),
+       shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
        j AS (
          SELECT c.id1, c.id2,
-           floor(CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE) /
-                 len(list_distinct(list_concat(a.sh, b.sh))) * 10000 + 0.5) / 10000 AS jaccard
+           floor(CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
+                 (len(a.shd) + len(b.shd) - len(list_intersect(a.shd, b.shd)))
+                 * 10000 + 0.5) / 10000 AS jaccard
          FROM cand c
-         JOIN sh a ON a.doc_id = c.id1
-         JOIN sh b ON b.doc_id = c.id2)
+         JOIN shd a ON a.doc_id = c.id1
+         JOIN shd b ON b.doc_id = c.id2)
        SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2"""
   }
 
@@ -278,7 +311,10 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism)
     // shiftright is an arithmetic shift (simhash may be negative with
     // bit 63 set): mask to the band's 16 bits after shifting; DuckDB's
-    // `>>` sign-extends identically and `& 65535` masks the same way
+    // `>>` sign-extends identically and `& 65535` masks the same way.
+    // Unlike the MinHash/ngram pipelines, the pair frame here is just
+    // four longs, so a dropDuplicates is CHEAPER than the emit-once
+    // band-prefix filter (measured: 2.3 s vs 2.7 s at sf0.1).
     val banded = sims.select(col("doc_id"), col("simhash"),
       explode_outer(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -345,33 +381,44 @@ object Dedup {
       // references `ts` — fence the minhash pipeline so the optimizer
       // can't inline it once per reference (single-split test parquet)
       .repartition(spark.sparkContext.defaultParallelism)
-    // banded rows carry ONLY (source, doc_id, band, bh); the token
-    // sets join back by doc_id at the verify step like the SQL twin
-    // (the `d` references share one physical shuffle via ReuseExchange)
-    val banded = d.select(col("source"), col("doc_id"),
-      explode(array((0 until BANDS).map { b =>
-        struct(lit(b).as("band"),
-          Hashing.phash(concat_ws("_",
-            (0 until ROWS).map(r => element_at(col("sig"), b * ROWS + r + 1).cast("string")): _*),
-            s"ngband${b}_").as("bh"))
-      }: _*)).as("bb"))
-      .select(col("source"), col("doc_id"),
-        col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .transform(graft.util.Fence.lineage)
+    // banded rows carry (source, doc_id, bhs, band, bh) — the token
+    // sets join back by doc_id at the verify step like the SQL twin.
+    // A true near-dup collides in MOST of the 8 bands (measured: 2.07M
+    // raw candidate rows → 545k unique pairs at sf0.1), so each pair
+    // is emitted only from its FIRST matching band — the bhs prefix
+    // filter below — which deletes the whole pair-dedup shuffle. That
+    // is why bhs (8 longs) rides the banded rows: 64 bytes buys the
+    // exactly-once guarantee.
+    val sigB = d.withColumn("bhs", bandHashes("ngband"))
+      .select(col("source"), col("doc_id"), col("bhs"))
+    val banded = sigB.select(col("source"), col("doc_id"), col("bhs"),
+      posexplode_outer(col("bhs")).as(Seq("band", "bh")))
     val l = banded.as("l"); val r = banded.as("r")
     val cand = l.join(r,
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-        col("l.source") === col("r.source") && col("l.doc_id") < col("r.doc_id"))
+        col("l.source") === col("r.source") && col("l.doc_id") < col("r.doc_id") &&
+        firstMatchingBand(col("l.bhs"), col("r.bhs"), col("l.band")))
       .select(col("l.source").as("source"), col("l.doc_id").as("id1"),
         col("r.doc_id").as("id2"))
-      .dropDuplicates("id1", "id2")
+    // ts is already distinct, so |A∪B| = |A|+|B|-|A∩B| — half the
+    // per-pair array work of materializing the union (the verify step
+    // dominates here: the sf0.1 corpus holds ~148k true near-dup
+    // pairs, so candidates are O(100k), each paying the array ops)
     val toks = d.select(col("doc_id"), col("ts"))
     cand
       .join(toks.select(col("doc_id").as("id1"), col("ts").as("ts1")), Seq("id1"))
       .join(toks.select(col("doc_id").as("id2"), col("ts").as("ts2")), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("ts1"), col("ts2"))))
+      // exact integer unfold of floor(j*10000+0.5)/10000 >= 0.8
+      // (j >= 15999/20000; a borderline tie needs |A∪B| >= 20000 —
+      // impossible here), referencing `inter` ONCE: the filter gets
+      // pushed into the join condition, and the rounded-jaccard form
+      // would evaluate array_intersect twice per candidate there
+      .filter(col("inter") * 35999 >= (size(col("ts1")) + size(col("ts2"))) * 15999)
       .withColumn("jaccard",
-        floor(size(array_intersect(col("ts1"), col("ts2"))).cast("double") /
-              size(array_union(col("ts1"), col("ts2"))) * 10000 + 0.5) / 10000)
-      .filter(col("jaccard") >= 0.8)
+        floor(col("inter").cast("double") /
+              (size(col("ts1")) + size(col("ts2")) - col("inter")) * 10000 + 0.5) / 10000)
       .select(col("source"), col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("source"), col("id1"), col("id2"))
   }
@@ -383,9 +430,12 @@ object Dedup {
     val mins = affine.map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $MODP))"
     }.mkString(",\n           ")
-    val bandRows = (0 until BANDS).map { b =>
+    val bhList = (0 until BANDS).map { b =>
       val parts = (0 until ROWS).map(r => s"CAST(sig[${b * ROWS + r + 1}] AS VARCHAR)").mkString(", ")
-      s"SELECT source, doc_id, $b AS band, ${Hashing.phashSql(s"concat_ws('_', $parts)", s"ngband${b}_")} AS bh FROM sigs"
+      Hashing.phashSql(s"concat_ws('_', $parts)", s"ngband${b}_")
+    }.mkString("[", ",\n           ", "]")
+    val bandRows = (0 until BANDS).map { b =>
+      s"SELECT source, doc_id, bhs, $b AS band, bhs[${b + 1}] AS bh FROM sigs2"
     }.mkString("\n         UNION ALL\n         ")
     s"""WITH d AS (
          SELECT source, doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS ts
@@ -394,17 +444,20 @@ object Dedup {
                 list_transform(ts, t -> ${Hashing.phashSql("t", "ng_")} % 4294967296) AS hs
               FROM d),
        sigs AS (SELECT source, doc_id, [$mins] AS sig FROM hs),
+       sigs2 AS (SELECT source, doc_id, $bhList AS bhs FROM sigs),
        banded AS (
          $bandRows),
        cand AS (
-         SELECT DISTINCT l.source AS source, l.doc_id AS id1, r.doc_id AS id2
+         SELECT l.source AS source, l.doc_id AS id1, r.doc_id AS id2
          FROM banded l JOIN banded r
            ON l.band = r.band AND l.bh = r.bh AND l.source = r.source
-          AND l.doc_id < r.doc_id),
+          AND l.doc_id < r.doc_id
+          AND ${firstMatchingBandSql("l", "r")}),
        j AS (
          SELECT c.source, c.id1, c.id2,
            floor(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
-                 len(list_distinct(list_concat(a.ts, b.ts))) * 10000 + 0.5) / 10000 AS jaccard
+                 (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+                 * 10000 + 0.5) / 10000 AS jaccard
          FROM cand c
          JOIN d a ON a.doc_id = c.id1
          JOIN d b ON b.doc_id = c.id2)

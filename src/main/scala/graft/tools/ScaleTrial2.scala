@@ -51,15 +51,35 @@ object ScaleTrial2 {
       (n, secs)
     }
 
+    // embeddings corpus: replicas get hash-driven per-dim sign flips,
+    // so they are mutually near-orthogonal — true near-dup (twin)
+    // count grows M×, and a scale-safe candidate generator must too
+    def ecorpus(m: Int): DataFrame = {
+      val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      val big =
+        if (m == 1) e
+        else e.crossJoin(spark.range(m).toDF("rep"))
+          .select((col("vec_id") * m + col("rep")).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x * when(col("rep") === 0, lit(1.0f))
+                .otherwise(when(pmod(hash(col("rep"), i), lit(2)) === 0, lit(1.0f))
+                  .otherwise(lit(-1.0f)))).as("embedding"))
+      big.repartition(spark.sparkContext.defaultParallelism)
+    }
+
     trial("warmup simhash 1x", Dedup.simhashPairsOf(corpus(1)))
     val (sp1, st1) = trial("simhash_pairs  1x", Dedup.simhashPairsOf(corpus(1)))
     val (spN, stN) = trial(f"simhash_pairs ${mult}%2dx", Dedup.simhashPairsOf(corpus(mult)))
     val (np1, nt1) = trial("ngram_jaccard  1x", Dedup.ngramJaccardOf(corpus(1)))
     val (npN, ntN) = trial(f"ngram_jaccard ${mult}%2dx", Dedup.ngramJaccardOf(corpus(mult)))
+    val (ep1, et1) = trial("dedup_embed    1x", graft.ext.Similarity.dedupEmbeddingOf(ecorpus(1)))
+    val (epN, etN) = trial(f"dedup_embed   ${mult}%2dx", graft.ext.Similarity.dedupEmbeddingOf(ecorpus(mult)))
     println(f"SCALE2 simhash: ${mult}x corpus -> ${spN.toDouble / math.max(sp1, 1)}%.1fx pairs, " +
       f"${stN / st1}%.1fx time (linear target ~${mult}x, quadratic ~${mult * mult}x)")
     println(f"SCALE2 ngram:   ${mult}x corpus -> ${npN.toDouble / math.max(np1, 1)}%.1fx pairs, " +
       f"${ntN / nt1}%.1fx time (linear target ~${mult}x, quadratic ~${mult * mult}x)")
+    println(f"SCALE2 embed:   ${mult}x corpus -> ${epN.toDouble / math.max(ep1, 1)}%.1fx pairs, " +
+      f"${etN / et1}%.1fx time (linear target ~${mult}x, quadratic ~${mult * mult}x)")
     spark.stop()
   }
 }
