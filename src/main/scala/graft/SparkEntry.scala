@@ -75,6 +75,8 @@ object SparkEntry {
     "ngram_jaccard"         -> (Dedup.ngramJaccard _),
     "knn_bruteforce"        -> (Similarity.knnBruteforce _),
     "knn_lsh"               -> (Similarity.knnLsh _),
+    "knn_ivf"               -> (Similarity.knnIvf _),
+    "dedup_groups"          -> (Dedup.dedupGroups _),
     "media_features"        -> (Multimodal.mediaFeatures _),
   )
 
@@ -133,6 +135,8 @@ object SparkEntry {
     "ngram_jaccard"         -> Dedup.ngramJaccardSql,
     "knn_bruteforce"        -> Similarity.knnBruteforceSql,
     "knn_lsh"               -> Similarity.knnLshSql,
+    "knn_ivf"               -> Similarity.knnIvfSql,
+    "dedup_groups"          -> Dedup.dedupGroupsSql,
     "media_features"        -> Multimodal.mediaFeaturesSql,
   )
 }

@@ -106,20 +106,23 @@ object Dedup {
     * explode and the self-join) reference `sig`/`sh` many times, and
     * without a materialization boundary the optimizer inlines the
     * whole md5+minhash pipeline once per reference. */
-  private def signatures(spark: SparkSession, dir: String): DataFrame =
-    corpus(spark, dir)
+  private def signaturesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("sh", shingles(col("text")))
       .withColumn("hs", transform(col("sh"), s => Hashing.phash(s) % 4294967296L))
       .withColumn("sig", array(affine.map { case (a, b) =>
         array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % MODP))
       }: _*))
       .select(col("doc_id"), col("sh"), col("sig"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       // the repartition alone does NOT stop PushDownPredicates: the
       // band explode's inferred generate-filter would travel through
       // the exchange onto the raw scan with the whole md5+minhash
       // pipeline inlined (single-split-serial — the CLAUDE.md trap)
       .transform(graft.util.Fence.lineage)
+
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesOf(corpus(spark, dir))
 
   private val signaturesSql: String = {
     val mins = affine.map { case (a, b) =>
@@ -165,17 +168,17 @@ object Dedup {
        SELECT doc_id, $cols FROM sigs ORDER BY doc_id"""
   }
 
-  /** LSH near-dup pairs: band the signature, bucket-join on
-    * (band, band_hash), verify candidates with exact shingle Jaccard.
-    * Output: the verified near-duplicate pairs (jaccard >= 0.5). */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(spark, dir)
-    // explode into BANDS buckets: band_hash = phash of the band's
-    // rows. Banded rows carry (doc_id, bhs, band, bh) — the shingle
-    // arrays are joined back by doc_id at the verify step, exactly
-    // like the DuckDB twin, and the bhs prefix filter emits each pair
-    // only from its first matching band (no pair-dedup shuffle). The
-    // references to `sig` share one physical shuffle via ReuseExchange.
+  /** Verified LSH near-dup pairs (jaccard >= 0.5, unordered) over a
+    * signature frame — shared by [[dedupMinhashLsh]] and
+    * [[dedupGroups]].
+    *
+    * Banded rows carry (doc_id, bhs, band, bh) — band_hash = phash of
+    * the band's signature rows; the shingle arrays are joined back by
+    * doc_id at the verify step, exactly like the DuckDB twin, and the
+    * bhs prefix filter emits each pair only from its first matching
+    * band (no pair-dedup shuffle). The references to `sig` share one
+    * physical shuffle via ReuseExchange. */
+  private def lshPairsOf(sig: DataFrame): DataFrame = {
     val banded = sig.withColumn("bhs", bandHashes("band"))
       .select(col("doc_id"), col("bhs"),
         posexplode_outer(col("bhs")).as(Seq("band", "bh")))
@@ -200,10 +203,17 @@ object Dedup {
         floor(col("inter").cast("double") /
               (size(col("sh1")) + size(col("sh2")) - col("inter")) * 10000 + 0.5) / 10000)
       .select(col("id1"), col("id2"), col("jaccard"))
-      .orderBy(col("id1"), col("id2"))
   }
 
-  val dedupMinhashLshSql: String = {
+  /** LSH near-dup pairs: band the signature, bucket-join on
+    * (band, band_hash), verify candidates with exact shingle Jaccard.
+    * Output: the verified near-duplicate pairs (jaccard >= 0.5). */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    lshPairsOf(signatures(spark, dir)).orderBy(col("id1"), col("id2"))
+
+  /** CTE chain `sh .. j(id1, id2, jaccard)` — the SQL twin of
+    * [[lshPairsOf]], downstream of a CTE named `corpus`. */
+  private val lshPairsCtes: String = {
     val bhList = (0 until BANDS).map { b =>
       val parts = (0 until ROWS).map(r => s"CAST(sig[${b * ROWS + r + 1}] AS VARCHAR)").mkString(", ")
       Hashing.phashSql(s"concat_ws('_', $parts)", s"band${b}_")
@@ -211,8 +221,7 @@ object Dedup {
     val bandRows = (0 until BANDS).map { b =>
       s"SELECT doc_id, bhs, $b AS band, bhs[${b + 1}] AS bh FROM sigs2"
     }.mkString("\n         UNION ALL\n         ")
-    s"""WITH $corpusSql,
-       $signaturesSql,
+    s"""$signaturesSql,
        sigs2 AS (SELECT doc_id, $bhList AS bhs FROM sigs),
        banded AS (
          $bandRows),
@@ -229,9 +238,103 @@ object Dedup {
                  * 10000 + 0.5) / 10000 AS jaccard
          FROM cand c
          JOIN shd a ON a.doc_id = c.id1
-         JOIN shd b ON b.doc_id = c.id2)
-       SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2"""
+         JOIN shd b ON b.doc_id = c.id2)"""
   }
+
+  val dedupMinhashLshSql: String =
+    s"""WITH $corpusSql,
+       $lshPairsCtes
+       SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2"""
+
+  // ---- Connected-components dedup groups ---------------------------
+
+  /** Two-twin corpus for [[dedupGroups]]: every doc_id%5==0 doc gains
+    * twin A (+100,000) and every doc_id%10==0 doc ALSO gains twin B
+    * (+200,000, a different appended token), so the near-dup graph
+    * holds triangles {orig, A, B}, pairs {orig, A}, and singletons —
+    * transitivity actually gets exercised. */
+  private def corpus2(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val twinA = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zqxj")).as("text"))
+    val twinB = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" qk7w")).as("text"))
+    d.unionAll(twinA).unionAll(twinB)
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
+  private val corpus2Sql: String =
+    """corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000 AS doc_id, concat(text, ' zqxj') AS text
+         FROM documents WHERE doc_id % 5 = 0
+         UNION ALL
+         SELECT doc_id + 200000 AS doc_id, concat(text, ' qk7w') AS text
+         FROM documents WHERE doc_id % 10 = 0)"""
+
+  /** Canonical-keeper assignment — the actual end product of a dedup
+    * pipeline: LSH near-dup PAIRS become connected components, and
+    * every doc maps to its component's min doc_id. Implemented as
+    * distributed min-label propagation: each iteration is one join +
+    * one groupBy (both shuffles on high-cardinality doc ids), and the
+    * iteration count is bounded by the component diameter — O(log N)
+    * with path-doubling variants (large-star/small-star) if deep
+    * chains ever appear; near-dup graphs in practice are shallow.
+    * Each iteration ends in an EAGER localCheckpoint so the plan does
+    * not grow exponentially; at cluster scale use a reliable
+    * checkpoint dir or a staging write instead (see
+    * [[graft.util.Fence]] for the trade-off).
+    *
+    * The DuckDB twin computes the same fixpoint with a recursive CTE
+    * over the identical edge set, so the grouping itself is
+    * oracle-checked, not just the pair list. */
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = corpus2(spark, dir)
+    val pairs = lshPairsOf(signaturesOf(docs))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id1"), col("id2"))
+      .localCheckpoint()
+    val edges = pairs.unionAll(
+      pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = docs.select(col("doc_id").as("id"))
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val prop = edges.join(labels, edges("id1") === labels("id"))
+        .select(edges("id2").as("id"), col("label"))
+      val next = labels.unionAll(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      // min-label is monotone non-increasing: any strict decrease
+      // means another round is needed
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("keeper_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupGroupsSql: String =
+    s"""WITH RECURSIVE $corpus2Sql,
+       $lshPairsCtes,
+       nodes AS (SELECT doc_id AS id FROM corpus),
+       edges AS (
+         SELECT id1 AS a, id2 AS b FROM j WHERE jaccard >= 0.5
+         UNION ALL
+         SELECT id2 AS a, id1 AS b FROM j WHERE jaccard >= 0.5),
+       reach AS (
+         SELECT id, id AS label FROM nodes
+         UNION
+         SELECT e.b AS id, r.label AS label
+         FROM reach r JOIN edges e ON e.a = r.id)
+       SELECT id AS doc_id, min(label) AS keeper_id
+       FROM reach GROUP BY id ORDER BY doc_id"""
 
   // ---- SimHash ------------------------------------------------------
 

@@ -160,6 +160,93 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---- IVF (inverted-file) ANN -------------------------------------
+
+  private val CENT_MOD = 37   // deterministic centroid sample: vec_id % 37 == 1
+  private val NPROBE = 2
+
+  /** Rounded-cosine SQL between two quantized list columns. */
+  private def cosSql(a: String, b: String): String =
+    s"""floor(CAST(list_sum(list_transform(generate_series(1, $DIM), i -> $a[i] * $b[i])) AS DOUBLE) /
+          (sqrt(CAST(list_sum(list_transform($a, x -> x * x)) AS DOUBLE)) *
+           sqrt(CAST(list_sum(list_transform($b, x -> x * x)) AS DOUBLE))) * 1000000 + 0.5) / 1000000"""
+
+  /** ANN via an IVF (inverted-file) coarse quantizer — the documented
+    * next rung above hyperplane LSH for 10⁹-vector corpora: every
+    * vector is assigned to its nearest coarse centroid's CELL; a
+    * query scans only its NPROBE nearest cells. Candidate cost is
+    * O(|Q| · NPROBE · N/C) and the assignment pass is O(N·C) with the
+    * centroid table broadcast — both linear in N at fixed C.
+    *
+    * Centroids here are a deterministic sample of the corpus itself
+    * (vec_id % $CENT_MOD == 1) so the oracle can rebuild them exactly;
+    * a production deployment would train k-means centroids (C ≈ √N)
+    * offline and broadcast those — the operator shape (assign →
+    * invert → probe) is identical. Ranking and assignment both order
+    * by the 6-dp-rounded cosine with centroid/vector id tiebreak, so
+    * both engines pick identical cells. */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("qv", quant(col("embedding")))
+      .select(col("vec_id"), col("qv"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val cents = e.filter(col("vec_id") % CENT_MOD === 1)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val ranked = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", pr6(
+        dot(col("qv"), col("cv")).cast("double") /
+          (sqrt(norm2(col("qv")).cast("double")) * sqrt(norm2(col("cv")).cast("double")))))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") <= NPROBE)
+      .select(col("vec_id"), col("cid"), col("rk"))
+    val cells = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+      .join(e, Seq("vec_id"))
+    val qprobes = ranked.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("qv").as("qvec"))
+    val scored = cells.join(broadcast(qprobes), Seq("cell"))
+      .join(broadcast(q), Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", pr6(
+        dot(col("qvec"), col("qv")).cast("double") /
+          (sqrt(norm2(col("qvec")).cast("double")) * sqrt(norm2(col("qv")).cast("double")))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val knnIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+       c AS (SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id % $CENT_MOD = 1),
+       assigned AS (
+         SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosSql("e.qv", "c.cv")} DESC, c.cid) AS rk
+         FROM e CROSS JOIN c),
+       cells AS (SELECT vec_id, cid AS cell FROM assigned WHERE rk = 1),
+       qprobes AS (
+         SELECT vec_id AS qid, cid AS cell FROM assigned
+         WHERE rk <= $NPROBE AND vec_id < $NQUERIES),
+       scored AS (
+         SELECT qp.qid, ce.vec_id,
+           ${cosSql("eq.qv", "ec.qv")} AS cosine
+         FROM cells ce
+         JOIN qprobes qp ON ce.cell = qp.cell
+         JOIN e ec ON ec.vec_id = ce.vec_id
+         JOIN e eq ON eq.vec_id = qp.qid
+         WHERE ce.vec_id <> qp.qid),
+       ranked AS (
+         SELECT qid, vec_id, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM scored)
+       SELECT qid, rank, vec_id AS neighbor_id, cosine
+       FROM ranked WHERE rank <= $TOPK ORDER BY qid, rank"""
+
   /** Embedding-cosine near-duplicate detection — the vector-space
     * dedup mode (complementing exact/MinHash/SimHash/Jaccard in
     * [[Dedup]]). A twin corpus is synthesized in-query (vec_id%7==0

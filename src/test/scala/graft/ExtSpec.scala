@@ -86,6 +86,39 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.05, f"multi-probe recall@5 degraded: $recall%.2f")
   }
 
+  test("dedup_groups merges twin triangles transitively") {
+    val labels = SparkEntry.queries("dedup_groups")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 650)   // 500 base + 100 twin-A + 50 twin-B
+    (0L until 500L by 10).foreach { id =>
+      // triangle {orig, A, B}: both twins land in orig's component
+      // even though B reaches orig only through A when a band misses
+      assert(labels(id + 100000) == labels(id))
+      assert(labels(id + 200000) == labels(id))
+    }
+    (5L until 500L by 10).foreach { id =>
+      assert(labels(id + 100000) == labels(id))
+    }
+    // keeper is the component minimum, so never above the member id
+    assert(labels.forall { case (id, k) => k <= id })
+  }
+
+  test("knn_ivf returns ordered top-k bounded by the brute-force baseline") {
+    val rows = SparkEntry.queries("knn_ivf")(spark, sf).collect()
+    assert(rows.length == 40)   // 8 queries × 5 — probed cells are never starved
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cos = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // the k-th best of a candidate subset can never beat the k-th
+    // best of the full corpus
+    val bf = SparkEntry.queries("knn_bruteforce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= bf((r.getLong(0), r.getInt(1))) + 1e-9)
+    }
+  }
+
   test("decodeFrames kernel produces sampled frames per media row") {
     val ds = Multimodal.decodeFrames(spark, sf, parallelism = 4)
     val agg = ds.groupBy("media_id").count()
