@@ -77,6 +77,9 @@ object SparkEntry {
     "knn_lsh"               -> (Similarity.knnLsh _),
     "knn_ivf"               -> (Similarity.knnIvf _),
     "dedup_groups"          -> (Dedup.dedupGroups _),
+    "training_corpus"       -> (graft.ext.Corpus.trainingCorpus _),
+    "sample_stratified"     -> (graft.ext.Corpus.sampleStratified _),
+    "vocab_topk"            -> (graft.ext.Corpus.vocabTopk _),
     "media_features"        -> (Multimodal.mediaFeatures _),
   )
 
@@ -137,6 +140,9 @@ object SparkEntry {
     "knn_lsh"               -> Similarity.knnLshSql,
     "knn_ivf"               -> Similarity.knnIvfSql,
     "dedup_groups"          -> Dedup.dedupGroupsSql,
+    "training_corpus"       -> graft.ext.Corpus.trainingCorpusSql,
+    "sample_stratified"     -> graft.ext.Corpus.sampleStratifiedSql,
+    "vocab_topk"            -> graft.ext.Corpus.vocabTopkSql,
     "media_features"        -> Multimodal.mediaFeaturesSql,
   )
 }

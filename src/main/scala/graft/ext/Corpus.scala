@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.util.Hashing
+
+/** Corpus-assembly operators — the composition layer of a
+  * training-data pipeline over the `documents` table: the quality →
+  * language → dedup funnel, deterministic stratified sampling, and
+  * vocabulary statistics. These are the queries a data-curation team
+  * actually ships; the single-purpose operators ([[TextAnalysis]],
+  * [[Dedup]]) are their building blocks.
+  *
+  * Scale shape: everything is a narrow per-row map plus ONE groupBy
+  * on `source` (or token), except the dedup anti-join, which reuses
+  * the banded-LSH pair pipeline (bucket equi-joins, never a cross
+  * join). No UDFs, no collects.
+  */
+object Corpus {
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+  private def toksSql(x: String): String = s"string_split_regex(trim($x), '\\s+')"
+
+  /** Union of all [[TextAnalysis]] language-marker words: a document
+    * with none of them is what langId labels 'unknown'. */
+  private val markerWords = Seq(
+    "the", "and", "of", "is", "der", "und", "die", "ist",
+    "le", "la", "et", "est", "el", "los", "y", "es")
+
+  /** The classic curation funnel, applied in order per document:
+    *  1. quality gate — n_tokens >= 20 (short fragments dropped);
+    *  2. language gate — at least one marker word (langId != unknown);
+    *  3. near-dup drop — any doc that is the HIGHER id of a verified
+    *     ngram-Jaccard near-dup pair keeps only its lowest-id
+    *     representative ("keep first occurrence", the standard rule).
+    * Output: the per-source funnel counts and the surviving token
+    * budget — the number every pretraining-data report leads with. */
+  def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+      .withColumn("n_tokens", size(toks(col("text"))))
+      .withColumn("has_lang",
+        size(filter(toks(col("text")), t => t.isInCollection(markerWords))) > 0)
+    val dupIds = Dedup.ngramJaccardOf(Tables.documents(spark, dir))
+      .select(col("id2").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    val flags = d.join(dupIds, Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+      .withColumn("q_ok", col("n_tokens") >= 20)
+    flags.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("q_ok"), 1L).otherwise(0L)).as("n_quality_drop"),
+        sum(when(col("q_ok") && !col("has_lang"), 1L).otherwise(0L)).as("n_lang_drop"),
+        sum(when(col("q_ok") && col("has_lang") && col("is_dup"), 1L).otherwise(0L)).as("n_dup_drop"),
+        sum(when(col("q_ok") && col("has_lang") && !col("is_dup"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("q_ok") && col("has_lang") && !col("is_dup"),
+          col("n_tokens").cast("long")).otherwise(0L)).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  val trainingCorpusSql: String = {
+    val mw = markerWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH ${Dedup.ngramPairsCtes},
+       dup AS (SELECT DISTINCT id2 AS doc_id FROM ngj WHERE jaccard >= 0.8),
+       flags AS (
+         SELECT dd.source,
+           len(${toksSql("dd.text")}) AS n_tokens,
+           len(list_filter(${toksSql("dd.text")}, t -> t IN ($mw))) > 0 AS has_lang,
+           dup.doc_id IS NOT NULL AS is_dup,
+           len(${toksSql("dd.text")}) >= 20 AS q_ok
+         FROM documents dd LEFT JOIN dup ON dd.doc_id = dup.doc_id)
+       SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN NOT q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_drop,
+         CAST(sum(CASE WHEN q_ok AND NOT has_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_drop,
+         CAST(sum(CASE WHEN q_ok AND has_lang AND is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_drop,
+         CAST(sum(CASE WHEN q_ok AND has_lang AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN q_ok AND has_lang AND NOT is_dup THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+       FROM flags GROUP BY source ORDER BY source"""
+  }
+
+  /** Deterministic stratified sampling: each source gets a quota in
+    * [20, 80]% derived from a hash of its name, and a document is
+    * kept iff `phash(doc_id) % 100 < quota` — reproducible on any
+    * engine and any cluster size, no RNG, no sampleBy. The keep
+    * decision is a pure narrow map; at 100 TB this is the only
+    * sampling shape that re-runs identically. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+      .withColumn("n_tokens", size(toks(col("text"))).cast("long"))
+      .withColumn("quota", Hashing.phash(col("source"), "strat_") % 61 + 20)
+      .withColumn("keep",
+        Hashing.phash(col("doc_id").cast("string"), "samp_") % 100 < col("quota"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("quota")).as("quota_pct"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("tokens_sampled"))
+      .orderBy(col("source"))
+
+  val sampleStratifiedSql: String =
+    s"""WITH d AS (
+         SELECT source, len(${toksSql("text")}) AS n_tokens,
+           ${Hashing.phashSql("source", "strat_")} % 61 + 20 AS quota,
+           ${Hashing.phashSql("CAST(doc_id AS VARCHAR)", "samp_")} % 100 AS h
+         FROM documents)
+       SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(max(quota) AS BIGINT) AS quota_pct,
+         CAST(sum(CASE WHEN h < quota THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         CAST(sum(CASE WHEN h < quota THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_sampled
+       FROM d GROUP BY source ORDER BY source"""
+
+  /** Corpus vocabulary head: top 20 tokens by DOCUMENT frequency.
+    * Distinct-per-doc explode → one groupBy(token) with map-side
+    * partial counts → TakeOrderedAndProject (per-partition top-k +
+    * k-row merge — no global sort at any N). */
+  def vocabTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-split table, CPU-bound explode
+      .select(explode_outer(array_distinct(toks(col("text")))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(20)
+
+  val vocabTopkSql: String =
+    s"""SELECT token, CAST(count(*) AS BIGINT) AS df
+       FROM (SELECT unnest(list_distinct(${toksSql("text")})) AS token FROM documents)
+       GROUP BY token ORDER BY df DESC, token LIMIT 20"""
+}

@@ -529,7 +529,10 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardOf(Tables.documents(spark, dir))
 
-  val ngramJaccardSql: String = {
+  /** CTE chain `d .. ngj(source, id1, id2, jaccard)` — the SQL twin
+    * of [[ngramJaccardOf]] over `documents`, reusable by downstream
+    * pipeline twins ([[graft.ext.Corpus]]). */
+  private[ext] val ngramPairsCtes: String = {
     val mins = affine.map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $MODP))"
     }.mkString(",\n           ")
@@ -538,33 +541,36 @@ object Dedup {
       Hashing.phashSql(s"concat_ws('_', $parts)", s"ngband${b}_")
     }.mkString("[", ",\n           ", "]")
     val bandRows = (0 until BANDS).map { b =>
-      s"SELECT source, doc_id, bhs, $b AS band, bhs[${b + 1}] AS bh FROM sigs2"
+      s"SELECT source, doc_id, bhs, $b AS band, bhs[${b + 1}] AS bh FROM ngsigs2"
     }.mkString("\n         UNION ALL\n         ")
-    s"""WITH d AS (
+    s"""d AS (
          SELECT source, doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS ts
          FROM documents),
        hs AS (SELECT source, doc_id, ts,
                 list_transform(ts, t -> ${Hashing.phashSql("t", "ng_")} % 4294967296) AS hs
               FROM d),
-       sigs AS (SELECT source, doc_id, [$mins] AS sig FROM hs),
-       sigs2 AS (SELECT source, doc_id, $bhList AS bhs FROM sigs),
-       banded AS (
+       ngsigs AS (SELECT source, doc_id, [$mins] AS sig FROM hs),
+       ngsigs2 AS (SELECT source, doc_id, $bhList AS bhs FROM ngsigs),
+       ngbanded AS (
          $bandRows),
-       cand AS (
+       ngcand AS (
          SELECT l.source AS source, l.doc_id AS id1, r.doc_id AS id2
-         FROM banded l JOIN banded r
+         FROM ngbanded l JOIN ngbanded r
            ON l.band = r.band AND l.bh = r.bh AND l.source = r.source
           AND l.doc_id < r.doc_id
           AND ${firstMatchingBandSql("l", "r")}),
-       j AS (
+       ngj AS (
          SELECT c.source, c.id1, c.id2,
            floor(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
                  (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
                  * 10000 + 0.5) / 10000 AS jaccard
-         FROM cand c
+         FROM ngcand c
          JOIN d a ON a.doc_id = c.id1
-         JOIN d b ON b.doc_id = c.id2)
-       SELECT source, id1, id2, jaccard FROM j WHERE jaccard >= 0.8
-       ORDER BY source, id1, id2"""
+         JOIN d b ON b.doc_id = c.id2)"""
   }
+
+  val ngramJaccardSql: String =
+    s"""WITH $ngramPairsCtes
+       SELECT source, id1, id2, jaccard FROM ngj WHERE jaccard >= 0.8
+       ORDER BY source, id1, id2"""
 }

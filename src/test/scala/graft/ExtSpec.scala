@@ -119,6 +119,30 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("training_corpus funnel counts are consistent per source") {
+    val rows = SparkEntry.queries("training_corpus")(spark, sf).collect()
+    assert(rows.length == 20)   // one row per source
+    rows.foreach { r =>
+      val (n, q, l, d, k) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(q + l + d + k == n, s"funnel stages must partition n_docs: $r")
+      assert(k > 0, "a source lost every document — gates are mistuned")
+    }
+  }
+
+  test("sample_stratified keeps a deterministic per-source fraction") {
+    val rows = SparkEntry.queries("sample_stratified")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (n, quota, sampled) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(quota >= 20 && quota <= 80)
+      assert(sampled <= n)
+    }
+    // re-running produces the identical sample (no RNG anywhere)
+    val again = SparkEntry.queries("sample_stratified")(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("decodeFrames kernel produces sampled frames per media row") {
     val ds = Multimodal.decodeFrames(spark, sf, parallelism = 4)
     val agg = ds.groupBy("media_id").count()
