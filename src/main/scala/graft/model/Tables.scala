@@ -28,12 +28,18 @@ object Tables {
     * legacy conf and rebuild a proper micros TimestampType column
     * (integer `div` — a double division would lose precision above
     * 2^53 ns). DuckDB reads the same column as TIMESTAMP_NS; oracle
-    * SQL casts it to micros TIMESTAMP for parity. */
+    * SQL casts it to micros TIMESTAMP for parity. Generated test
+    * dirs (graft.tools.Sf1Gen) already store micros TimestampType —
+    * pass those through untouched. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn(
-      "ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

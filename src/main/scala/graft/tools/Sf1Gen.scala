@@ -62,10 +62,13 @@ object Sf1Gen {
       col("l_orderkey") + col("rep") * 150000L).drop("rep"), "lineitem")
 
     // ts arrives as raw nanos LONG (legacy conf) and is written back
-    // as that same LONG, which Tables.events handles either way
+    // as a micros TIMESTAMP — the same truncation Tables.events
+    // applies, and a type DuckDB's `CAST(ts AS TIMESTAMP)` accepts
     val events = spark.read.parquet(s"$inDir/events.parquet")
-    write(reps(events).withColumn("event_id",
-      col("event_id") + col("rep") * 106700L).drop("rep"), "events")
+    write(reps(events)
+      .withColumn("event_id", col("event_id") + col("rep") * 106700L)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .drop("rep"), "events")
 
     val documents = spark.read.parquet(s"$inDir/documents.parquet")
     write(reps(documents)
