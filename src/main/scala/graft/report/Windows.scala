@@ -101,7 +101,7 @@ object Windows {
 
   val sessionWindowAggSql: String =
     """WITH l AS (
-         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
            lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us,
            epoch_us(CAST(ts AS TIMESTAMP)) AS us
          FROM events),
@@ -109,7 +109,10 @@ object Windows {
          SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
          FROM l),
        c AS (
-         SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+         -- ORDER BY must carry the event_id tie-break: with duplicate
+         -- timestamps an is_new row's ts-peers would otherwise split
+         -- arbitrarily around it (caught by the sf1 10x-replica gate)
+         SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
          FROM s)
        SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
        FROM c GROUP BY user_id, sess ORDER BY user_id, session_start"""
