@@ -299,7 +299,11 @@ object Dedup {
       .localCheckpoint()
     val edges = pairs.unionAll(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-    var labels = docs.select(col("doc_id").as("id"))
+    // iterate ONLY over edge-touched nodes: near-dup subgraphs are a
+    // small fraction of any real corpus, so the per-iteration joins
+    // run on |V(edges)| rows, not |corpus| — singletons rejoin at the
+    // end as their own keeper
+    var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var converged = false
     var iter = 0
@@ -316,7 +320,9 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("keeper_id"))
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("keeper_id"))
       .orderBy(col("doc_id"))
   }
 
