@@ -19,14 +19,14 @@ import graft.util.Hashing
   */
 object Corpus {
 
-  private def toks(c: Column): Column = split(trim(c), "\\s+")
-  private def toksSql(x: String): String = s"string_split_regex(trim($x), '\\s+')"
+  private def toks(c: Column): Column = TextAnalysis.toks(c)
+  private def toksSql(x: String): String = TextAnalysis.toksSql(x)
 
-  /** Union of all [[TextAnalysis]] language-marker words: a document
-    * with none of them is what langId labels 'unknown'. */
-  private val markerWords = Seq(
-    "the", "and", "of", "is", "der", "und", "die", "ist",
-    "le", "la", "et", "est", "el", "los", "y", "es")
+  /** Union of all [[TextAnalysis]] language-marker words — derived,
+    * not copied, so the funnel's language gate can never drift from
+    * what langId labels 'unknown'. */
+  private val markerWords: Seq[String] =
+    TextAnalysis.markers.flatMap(_._2).distinct
 
   /** The classic curation funnel, applied in order per document:
     *  1. quality gate — n_tokens >= 20 (short fragments dropped);

@@ -293,8 +293,10 @@ object Dedup {
     * oracle-checked, not just the pair list. */
   def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
     val docs = corpus2(spark, dir)
+    // lshPairsOf already enforces the 0.5 threshold via its integer
+    // predicate — re-filtering on the computed jaccard would inline a
+    // second array_intersect per pair (the pushed-filter trap)
     val pairs = lshPairsOf(signaturesOf(docs))
-      .filter(col("jaccard") >= 0.5)
       .select(col("id1"), col("id2"))
       .localCheckpoint()
     val edges = pairs.unionAll(
@@ -320,6 +322,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // a >20-hop near-dup chain would exit unconverged with silently
+    // non-minimal keepers — fail loudly instead (the oracle computes
+    // the true fixpoint, so a silent cap would hash-mismatch anyway)
+    require(converged,
+      s"dedupGroups: label propagation did not converge in $iter iterations")
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("keeper_id"))

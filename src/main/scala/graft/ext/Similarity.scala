@@ -58,7 +58,6 @@ object Similarity {
   private[ext] val planes16: Array[Array[Int]] = planesFor("pl", DEDUP_PLANES)
   private[ext] val planes16b: Array[Array[Int]] = planesFor("p2", DEDUP_PLANES)
   private[ext] val planes: Array[Array[Int]] = planes16.take(PLANES)
-  private[ext] val planes2: Array[Array[Int]] = planes16b.take(PLANES)
 
   /** float vector → exact integer milli-quantized vector. */
   private def quant(v: Column): Column =

@@ -21,9 +21,9 @@ object TextAnalysis {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
   /** tokens = trim + split on runs of whitespace (identical semantics
-    * in both engines). */
-  private def toks(c: Column): Column = split(trim(c), "\\s+")
-  private def toksSql(x: String): String = s"string_split_regex(trim($x), '\\s+')"
+    * in both engines). Shared with [[Corpus]]. */
+  private[ext] def toks(c: Column): Column = split(trim(c), "\\s+")
+  private[ext] def toksSql(x: String): String = s"string_split_regex(trim($x), '\\s+')"
 
   /** Portable 4-dp rounding (same trick as Exact.pround2). */
   private def pr4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
@@ -81,7 +81,7 @@ object TextAnalysis {
   /** Language-ID by marker-word voting (n-gram heuristic class;
     * deterministic argmax with fixed tie-break order). The labeled
     * `lang` column rides along so accuracy is inspectable. */
-  private val markers: Seq[(String, Seq[String])] = Seq(
+  private[ext] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is"),
     "de" -> Seq("der", "und", "die", "ist"),
     "fr" -> Seq("le", "la", "et", "est"),

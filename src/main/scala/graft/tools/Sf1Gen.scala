@@ -61,13 +61,12 @@ object Sf1Gen {
     write(reps(lineitem).withColumn("l_orderkey",
       col("l_orderkey") + col("rep") * 150000L).drop("rep"), "lineitem")
 
-    // ts arrives as raw nanos LONG (legacy conf) and is written back
-    // as a micros TIMESTAMP — the same truncation Tables.events
-    // applies, and a type DuckDB's `CAST(ts AS TIMESTAMP)` accepts
-    val events = spark.read.parquet(s"$inDir/events.parquet")
+    // Tables.events handles both the nanos-LONG fixture layout and
+    // previously-generated micros dirs, so re-replication composes;
+    // the written column is a micros TIMESTAMP DuckDB can cast
+    val events = graft.model.Tables.events(spark, inDir)
     write(reps(events)
       .withColumn("event_id", col("event_id") + col("rep") * 106700L)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .drop("rep"), "events")
 
     val documents = spark.read.parquet(s"$inDir/documents.parquet")

@@ -180,7 +180,7 @@ class StreamSpec extends AnyFunSuite {
     val data = Style5.renderedLines(spark, sf).filter(col("event_id") < 2000)
     data.select("line").coalesce(1).write.mode("overwrite").text(s"$in/f1")
 
-    def runOnce(qname: String): Seq[(java.sql.Timestamp, Long, Long, Long)] = {
+    def runOnce(): Seq[(java.sql.Timestamp, Long, Long, Long)] = {
       // memory sink can't recover from a checkpoint; foreachBatch can
       val buf = new scala.collection.mutable.ArrayBuffer[(java.sql.Timestamp, Long, Long, Long)]()
       val q = StreamEtl.hourlyCounts(spark, s"$in/*")
@@ -199,7 +199,7 @@ class StreamSpec extends AnyFunSuite {
       buf.synchronized(buf.toSeq)
     }
     // run 1: single batch, nothing is watermark-closed yet
-    val e1 = runOnce("hourly_r1")
+    val e1 = runOnce()
 
     // far-future sentinel lines advance the watermark past every real
     // window on the next two restarts, forcing append-mode emission
@@ -208,10 +208,10 @@ class StreamSpec extends AnyFunSuite {
     def sentinel(d: String) = sample.replaceFirst("\\[[^ ]+ ", s"[$d ")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$in/f2"), sentinel("01/Jan/2030:00:00:00") + "\n")
-    val e2 = runOnce("hourly_r2")
+    val e2 = runOnce()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$in/f3"), sentinel("02/Jan/2030:00:00:00") + "\n")
-    val e3 = runOnce("hourly_r3")
+    val e3 = runOnce()
 
     // every real (pre-sentinel) window emitted exactly once across the
     // restarts, with counts equal to the batch twin
