@@ -80,6 +80,8 @@ object SparkEntry {
     "training_corpus"       -> (graft.ext.Corpus.trainingCorpus _),
     "sample_stratified"     -> (graft.ext.Corpus.sampleStratified _),
     "vocab_topk"            -> (graft.ext.Corpus.vocabTopk _),
+    "bigram_lm_score"       -> (graft.ext.Corpus.bigramLmScore _),
+    "dedup_incremental"     -> (Dedup.dedupIncremental _),
     "media_features"        -> (Multimodal.mediaFeatures _),
   )
 
@@ -143,6 +145,8 @@ object SparkEntry {
     "training_corpus"       -> graft.ext.Corpus.trainingCorpusSql,
     "sample_stratified"     -> graft.ext.Corpus.sampleStratifiedSql,
     "vocab_topk"            -> graft.ext.Corpus.vocabTopkSql,
+    "bigram_lm_score"       -> graft.ext.Corpus.bigramLmScoreSql,
+    "dedup_incremental"     -> Dedup.dedupIncrementalSql,
     "media_features"        -> Multimodal.mediaFeaturesSql,
   )
 }

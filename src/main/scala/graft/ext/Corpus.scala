@@ -115,6 +115,55 @@ object Corpus {
          CAST(sum(CASE WHEN h < quota THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_sampled
        FROM d GROUP BY source ORDER BY source"""
 
+  /** Corpus-trained bigram language-model scoring — the count-based
+    * skeleton of KenLM-style quality filtering: pass 1 counts every
+    * bigram's occurrences across the corpus (one shuffle with
+    * map-side partial aggregation); pass 2 scores each document by
+    * the average corpus frequency of its bigrams (one join on bigram
+    * + one groupBy(doc)). Integer counts with portable 4-dp rounding
+    * keep the score bit-identical across engines — the reason this
+    * uses frequency rather than log-probability (libm `log` is not
+    * bit-stable across engines). A doc full of corpus-common
+    * word transitions scores high; gibberish scores ~1. */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("t", toks(col("text")))
+      .withColumn("bgs", when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+        .otherwise(array()))
+      .select(col("doc_id"), col("bgs"))
+      .transform(graft.util.Fence.lineage)
+    val occ = d.select(explode_outer(col("bgs")).as("bg"))
+      .filter(col("bg").isNotNull)
+    val counts = occ.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    d.select(col("doc_id"), explode_outer(col("bgs")).as("bg"))
+      .filter(col("bg").isNotNull)
+      .join(counts, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(sum(col("cnt")).cast("double") / count(lit(1)) * 10000 + 0.5) / 10000)
+          .as("avg_bigram_df"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramLmScoreSql: String =
+    s"""WITH d AS (
+         SELECT doc_id,
+           CASE WHEN len(${toksSql("text")}) >= 2
+                THEN list_transform(generate_series(1, len(${toksSql("text")}) - 1),
+                       i -> concat_ws(' ', ${toksSql("text")}[i], ${toksSql("text")}[i + 1]))
+                ELSE [] END AS bgs
+         FROM documents),
+       occ AS (SELECT unnest(bgs) AS bg FROM d),
+       counts AS (SELECT bg, count(*) AS cnt FROM occ GROUP BY bg),
+       db AS (SELECT doc_id, unnest(bgs) AS bg FROM d)
+       SELECT db.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         floor(CAST(sum(c.cnt) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_bigram_df
+       FROM db JOIN counts c ON db.bg = c.bg
+       GROUP BY db.doc_id ORDER BY db.doc_id"""
+
   /** Corpus vocabulary head: top 20 tokens by DOCUMENT frequency.
     * Distinct-per-doc explode → one groupBy(token) with map-side
     * partial counts → TakeOrderedAndProject (per-partition top-k +

@@ -349,6 +349,42 @@ object Dedup {
        SELECT id AS doc_id, min(label) AS keeper_id
        FROM reach GROUP BY id ORDER BY doc_id"""
 
+  /** Incremental dedup — the production shape: a NEW batch of
+    * documents checked against the EXISTING corpus (not a self-join).
+    * Both sides run through one shared signature pipeline; the new
+    * batch's ids sit above 300,000, so the plain attribute predicates
+    * `id1 < 300000 && id2 >= 300000` push below the banded join and
+    * each join side scans only its half — candidates are new×old
+    * only, never old×old. A daily 1% increment against a 100 TB index
+    * therefore pays 1% of the self-join's candidate volume.
+    *
+    * The new batch is synthesized deterministically (every doc_id%6==0
+    * doc re-arrives with one appended token — a near-dup the pipeline
+    * must catch) so the oracle can rebuild it. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val newBatch = d.filter(col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" vv9")).as("text"))
+    val inc = d.unionAll(newBatch)
+      .repartition(spark.sparkContext.defaultParallelism)
+    lshPairsOf(signaturesOf(inc))
+      .filter(col("id1") < 300000 && col("id2") >= 300000)
+      .select(col("id2").as("new_id"), col("id1").as("old_id"), col("jaccard"))
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 300000 AS doc_id, concat(text, ' vv9') AS text
+         FROM documents WHERE doc_id % 6 = 0),
+       $lshPairsCtes
+       SELECT id2 AS new_id, id1 AS old_id, jaccard
+       FROM j WHERE jaccard >= 0.5 AND id1 < 300000 AND id2 >= 300000
+       ORDER BY new_id, old_id"""
+
   // ---- SimHash ------------------------------------------------------
 
   private val SIMBITS = 64

@@ -119,6 +119,25 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_incremental matches every re-arrived doc to its original") {
+    val pairs = SparkEntry.queries("dedup_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missing = (0L until 500L by 6)
+      .map(id => (id + 300000, id)).toSet -- pairs
+    assert(missing.isEmpty, s"re-arrivals not matched: ${missing.take(5)}")
+    // new×new and old×old pairs must never appear
+    assert(pairs.forall { case (n, o) => n >= 300000 && o < 300000 })
+  }
+
+  test("bigram_lm_score covers every doc with sane counts") {
+    val rows = SparkEntry.queries("bigram_lm_score")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 9)        // min 10 tokens → >= 9 bigrams
+      assert(r.getDouble(2) >= 1.0)    // every bigram occurs at least once
+    }
+  }
+
   test("training_corpus funnel counts are consistent per source") {
     val rows = SparkEntry.queries("training_corpus")(spark, sf).collect()
     assert(rows.length == 20)   // one row per source
