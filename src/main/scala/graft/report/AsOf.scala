@@ -45,10 +45,17 @@ object AsOf {
 
   /** Bucket width in seconds. Caps the per-cell rate array at
     * n_rates·W/span; 1 hour over the 30-day test timeline gives ~720
-    * buckets per type. */
+    * buckets per type. The RESULT is W-invariant (asserted by
+    * ReportSpec's bucket-width property test) — W only trades carry
+    * table size against per-cell array length. */
   private val W = 3600L
 
-  def asofJoinRates(spark: SparkSession, dir: String): DataFrame = {
+  def asofJoinRates(spark: SparkSession, dir: String): DataFrame =
+    asofJoinRatesW(spark, dir, W)
+
+  /** [[asofJoinRates]] with an explicit bucket width — the property-
+    * test entry point. */
+  private[graft] def asofJoinRatesW(spark: SparkSession, dir: String, W: Long): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("ts"), col("event_id"), col("value"))
     // rate rows KEEP their source event_id: two rate changes sharing

@@ -52,4 +52,17 @@ class ReportSpec extends AnyFunSuite {
   test("every query name has either an oracle or is documented rows-only") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("as-of join is bucket-width invariant") {
+    // W only trades carry-table size against per-cell array length;
+    // the rate-in-force answer must not depend on it. Exercises the
+    // carry clamp (coarse W → few buckets, most events hit the carry
+    // path) and the in-cell scan (fine W) against each other.
+    import graft.report.AsOf
+    val base = AsOf.asofJoinRatesW(spark, sf, 3600L).collect().map(_.toSeq).toSeq
+    for (w <- Seq(60L, 86400L, 7L * 86400L)) {
+      val alt = AsOf.asofJoinRatesW(spark, sf, w).collect().map(_.toSeq).toSeq
+      assert(alt == base, s"asof result changed at bucket width $w")
+    }
+  }
 }
