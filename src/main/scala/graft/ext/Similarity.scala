@@ -161,7 +161,10 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN -------------------------------------
 
-  private val CENT_MOD = 37   // deterministic centroid sample: vec_id % 37 == 1
+  private val CENT_MOD = 37       // deterministic centroid sample: vec_id % 37 == 1 ...
+  private val CENT_CAP = 74000L   // ... drawn only from the first 74k ids: C <= 2000
+                                  // at ANY corpus size, so the centroid broadcast
+                                  // stays bounded (IVF trains on a sample anyway)
   private val NPROBE = 2
 
   /** Rounded-cosine SQL between two quantized list columns. */
@@ -189,7 +192,7 @@ object Similarity {
       .withColumn("qv", quant(col("embedding")))
       .select(col("vec_id"), col("qv"))
       .repartition(spark.sparkContext.defaultParallelism)
-    val cents = e.filter(col("vec_id") % CENT_MOD === 1)
+    val cents = e.filter(col("vec_id") % CENT_MOD === 1 && col("vec_id") < CENT_CAP)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     val ranked = e.crossJoin(broadcast(cents))
@@ -221,7 +224,8 @@ object Similarity {
 
   val knnIvfSql: String =
     s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
-       c AS (SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id % $CENT_MOD = 1),
+       c AS (SELECT vec_id AS cid, qv AS cv FROM e
+             WHERE vec_id % $CENT_MOD = 1 AND vec_id < $CENT_CAP),
        assigned AS (
          SELECT e.vec_id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
