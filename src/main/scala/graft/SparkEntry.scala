@@ -82,6 +82,8 @@ object SparkEntry {
     "vocab_topk"            -> (graft.ext.Corpus.vocabTopk _),
     "bigram_lm_score"       -> (graft.ext.Corpus.bigramLmScore _),
     "dedup_incremental"     -> (Dedup.dedupIncremental _),
+    "chunk_documents"       -> (graft.ext.Corpus.chunkDocuments _),
+    "pack_sequences"        -> (graft.ext.Corpus.packSequences _),
     "media_features"        -> (Multimodal.mediaFeatures _),
   )
 
@@ -147,6 +149,8 @@ object SparkEntry {
     "vocab_topk"            -> graft.ext.Corpus.vocabTopkSql,
     "bigram_lm_score"       -> graft.ext.Corpus.bigramLmScoreSql,
     "dedup_incremental"     -> Dedup.dedupIncrementalSql,
+    "chunk_documents"       -> graft.ext.Corpus.chunkDocumentsSql,
+    "pack_sequences"        -> graft.ext.Corpus.packSequencesSql,
     "media_features"        -> Multimodal.mediaFeaturesSql,
   )
 }

@@ -164,6 +164,100 @@ object Corpus {
        FROM db JOIN counts c ON db.bg = c.bg
        GROUP BY db.doc_id ORDER BY db.doc_id"""
 
+  private val CHUNK = 32    // tokens per chunk
+  private val STRIDE = 24   // chunk start spacing (8-token overlap)
+
+  /** Context-window chunking: every document splits into overlapping
+    * fixed-size token windows (32 tokens, stride 24) — the prep step
+    * before tokenizer packing. A pure narrow explode (rows grow
+    * ~n_tokens/stride per doc, no shuffle until the presentation
+    * sort); the chunk text is carried as its 60-bit phash so the
+    * output — and therefore the chunk CONTENT — is oracle-checked
+    * without shipping strings. */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("t", toks(col("text")))
+      .withColumn("n", size(col("t")))
+      // ceil((n-CHUNK)/STRIDE)+1 chunks; n-9 = n-CHUNK+STRIDE-1
+      .withColumn("n_chunks",
+        when(col("n") <= CHUNK, lit(1))
+          .otherwise(lit(1) + expr(s"(n - ${CHUNK - STRIDE + 1}) div $STRIDE")))
+    d.select(col("doc_id"), col("n"), col("t"),
+        explode_outer(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .filter(col("chunk_id").isNotNull)
+      .withColumn("chunk_toks",
+        slice(col("t"), col("chunk_id") * STRIDE + 1, lit(CHUNK)))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk_toks")).cast("long").as("chunk_len"),
+        Hashing.phash(concat_ws(" ", col("chunk_toks")), "chunk_").as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val chunkDocumentsSql: String =
+    s"""WITH d AS (
+         SELECT doc_id, ${toksSql("text")} AS t, len(${toksSql("text")}) AS n
+         FROM documents),
+       nc AS (
+         SELECT doc_id, t,
+           CASE WHEN n <= $CHUNK THEN 1
+                ELSE 1 + (n - ${CHUNK - STRIDE + 1}) // $STRIDE END AS n_chunks
+         FROM d),
+       e AS (
+         SELECT doc_id, t, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+         FROM nc),
+       c AS (
+         SELECT doc_id, chunk_id,
+           t[chunk_id * $STRIDE + 1 : chunk_id * $STRIDE + $CHUNK] AS chunk_toks
+         FROM e)
+       SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         CAST(len(chunk_toks) AS BIGINT) AS chunk_len,
+         ${Hashing.phashSql("array_to_string(chunk_toks, ' ')", "chunk_")} AS chunk_hash
+       FROM c ORDER BY doc_id, chunk_id"""
+
+  private val PACK_BUDGET = 256   // tokens per packed sequence
+  private val PACK_SHARDS = 4     // scale knob: shards per source (→ cluster width)
+
+  /** Sequence packing: fill fixed token budgets with documents in
+    * deterministic order — the step that turns a curated corpus into
+    * training sequences. Documents pack contiguously per
+    * (source, shard): a running token sum assigns each doc to the bin
+    * its first token falls in. The SHARD in the partition key is the
+    * scale lever: a bare `Window.partitionBy(source)` would funnel
+    * each source's entire corpus through one task (the round-1
+    * low-cardinality-window killer); hash-sharding keeps every
+    * partition bounded and the packing inside each shard
+    * deterministic. Output: per-bin fill statistics. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard", Hashing.phash(col("doc_id").cast("string"), "shard_") % PACK_SHARDS)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) div $PACK_BUDGET"))
+      .groupBy(col("source"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .orderBy(col("source"), col("shard"), col("bin"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH d AS (
+         SELECT source, doc_id, CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+           ${Hashing.phashSql("CAST(doc_id AS VARCHAR)", "shard_")} % $PACK_SHARDS AS shard
+         FROM documents),
+       c AS (
+         SELECT *, sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+         FROM d)
+       SELECT source, shard, (cum - n_tokens) // $PACK_BUDGET AS bin,
+         CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+       FROM c GROUP BY source, shard, (cum - n_tokens) // $PACK_BUDGET
+       ORDER BY source, shard, bin"""
+
   /** Corpus vocabulary head: top 20 tokens by DOCUMENT frequency.
     * Distinct-per-doc explode → one groupBy(token) with map-side
     * partial counts → TakeOrderedAndProject (per-partition top-k +

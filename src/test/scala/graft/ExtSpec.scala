@@ -138,6 +138,37 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk_documents covers every token with the declared overlap") {
+    val chunks = SparkEntry.queries("chunk_documents")(spark, sf).collect()
+    val perDoc = chunks.groupBy(_.getLong(0))
+    assert(perDoc.size == 500)
+    perDoc.foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_.getLong(1))
+      // consecutive chunk_ids from 0; all full-size except possibly the last
+      assert(sorted.map(_.getLong(1)).toSeq == sorted.indices.map(_.toLong))
+      sorted.dropRight(1).foreach(c => assert(c.getLong(2) == 32))
+      assert(sorted.last.getLong(2) >= 1 && sorted.last.getLong(2) <= 32)
+    }
+  }
+
+  test("pack_sequences bins respect the token budget fill pattern") {
+    val rows = SparkEntry.queries("pack_sequences")(spark, sf).collect()
+    // every (source, shard) group's bins are consecutive from 0, and
+    // total tokens across bins equals the corpus token count
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (_, rs) =>
+      val bins = rs.map(_.getLong(2)).sorted
+      assert(bins.head == 0 && bins.toSeq == (0L until bins.length).toSeq)
+    }
+    val total = rows.map(_.getLong(4)).sum
+    val corpus = graft.model.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.trim(col("text")), "\\s+"))))
+      .head().getLong(0)
+    assert(total == corpus, s"packed tokens $total != corpus tokens $corpus")
+  }
+
   test("training_corpus funnel counts are consistent per source") {
     val rows = SparkEntry.queries("training_corpus")(spark, sf).collect()
     assert(rows.length == 20)   // one row per source
