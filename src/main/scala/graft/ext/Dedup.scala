@@ -310,16 +310,21 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
+      // the old label rides the aggregate as `prev` (each id has
+      // exactly one non-null prev0), so convergence reads off the
+      // checkpointed result — no extra join against the old frame
       val prop = edges.join(labels, edges("id1") === labels("id"))
-        .select(edges("id2").as("id"), col("label"))
-      val next = labels.unionAll(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .select(edges("id2").as("id"), col("label"),
+          lit(null).cast("long").as("prev0"))
+      val next = labels.withColumn("prev0", col("label"))
+        .unionAll(prop)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), min(col("prev0")).as("prev"))
         .localCheckpoint()
       // min-label is monotone non-increasing: any strict decrease
       // means another round is needed
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("label") < col("prev")).isEmpty
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     // a >20-hop near-dup chain would exit unconverged with silently
