@@ -183,7 +183,7 @@ object Corpus {
       .withColumn("n_chunks",
         when(col("n") <= CHUNK, lit(1))
           .otherwise(lit(1) + expr(s"(n - ${CHUNK - STRIDE + 1}) div $STRIDE")))
-    d.select(col("doc_id"), col("n"), col("t"),
+    d.select(col("doc_id"), col("t"),
         explode_outer(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
       .filter(col("chunk_id").isNotNull)
       .withColumn("chunk_toks",
@@ -234,6 +234,7 @@ object Corpus {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-split table, split+md5-bound map
       .select(col("source"), col("doc_id"),
         size(toks(col("text"))).cast("long").as("n_tokens"))
       .withColumn("shard", Hashing.phash(col("doc_id").cast("string"), "shard_") % PACK_SHARDS)

@@ -366,15 +366,25 @@ object Dedup {
     * The new batch is synthesized deterministically (every doc_id%6==0
     * doc re-arrives with one appended token — a near-dup the pipeline
     * must catch) so the oracle can rebuild it. */
+  /** Id floor separating the synthetic new batch from the corpus.
+    * Far above any test-scale id (sf1's max replica doc_id is ~50k),
+    * and the builder REQUIRES the corpus to stay below it — a silent
+    * violation would misclassify high-id originals as new arrivals
+    * identically in both engines, so the oracle could never catch it. */
+  private val NEW_BATCH_FLOOR = 10000000L
+
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < NEW_BATCH_FLOOR,
+      s"dedupIncremental: corpus doc_ids must stay below $NEW_BATCH_FLOOR (max=$maxId)")
     val newBatch = d.filter(col("doc_id") % 6 === 0)
-      .select((col("doc_id") + 300000).as("doc_id"),
+      .select((col("doc_id") + NEW_BATCH_FLOOR).as("doc_id"),
         concat(col("text"), lit(" vv9")).as("text"))
     val inc = d.unionAll(newBatch)
       .repartition(spark.sparkContext.defaultParallelism)
     lshPairsOf(signaturesOf(inc))
-      .filter(col("id1") < 300000 && col("id2") >= 300000)
+      .filter(col("id1") < NEW_BATCH_FLOOR && col("id2") >= NEW_BATCH_FLOOR)
       .select(col("id2").as("new_id"), col("id1").as("old_id"), col("jaccard"))
       .orderBy(col("new_id"), col("old_id"))
   }
@@ -383,11 +393,11 @@ object Dedup {
     s"""WITH corpus AS (
          SELECT doc_id, text FROM documents
          UNION ALL
-         SELECT doc_id + 300000 AS doc_id, concat(text, ' vv9') AS text
+         SELECT doc_id + $NEW_BATCH_FLOOR AS doc_id, concat(text, ' vv9') AS text
          FROM documents WHERE doc_id % 6 = 0),
        $lshPairsCtes
        SELECT id2 AS new_id, id1 AS old_id, jaccard
-       FROM j WHERE jaccard >= 0.5 AND id1 < 300000 AND id2 >= 300000
+       FROM j WHERE jaccard >= 0.5 AND id1 < $NEW_BATCH_FLOOR AND id2 >= $NEW_BATCH_FLOOR
        ORDER BY new_id, old_id"""
 
   // ---- SimHash ------------------------------------------------------

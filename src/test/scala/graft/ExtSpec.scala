@@ -123,10 +123,10 @@ class ExtSpec extends AnyFunSuite {
     val pairs = SparkEntry.queries("dedup_incremental")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val missing = (0L until 500L by 6)
-      .map(id => (id + 300000, id)).toSet -- pairs
+      .map(id => (id + 10000000L, id)).toSet -- pairs
     assert(missing.isEmpty, s"re-arrivals not matched: ${missing.take(5)}")
     // new×new and old×old pairs must never appear
-    assert(pairs.forall { case (n, o) => n >= 300000 && o < 300000 })
+    assert(pairs.forall { case (n, o) => n >= 10000000L && o < 10000000L })
   }
 
   test("bigram_lm_score covers every doc with sane counts") {
