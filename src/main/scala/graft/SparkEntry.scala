@@ -84,6 +84,7 @@ object SparkEntry {
     "dedup_incremental"     -> (Dedup.dedupIncremental _),
     "chunk_documents"       -> (graft.ext.Corpus.chunkDocuments _),
     "pack_sequences"        -> (graft.ext.Corpus.packSequences _),
+    "decontaminate"         -> (graft.ext.Corpus.decontaminate _),
     "media_features"        -> (Multimodal.mediaFeatures _),
   )
 
@@ -151,6 +152,7 @@ object SparkEntry {
     "dedup_incremental"     -> Dedup.dedupIncrementalSql,
     "chunk_documents"       -> graft.ext.Corpus.chunkDocumentsSql,
     "pack_sequences"        -> graft.ext.Corpus.packSequencesSql,
+    "decontaminate"         -> graft.ext.Corpus.decontaminateSql,
     "media_features"        -> Multimodal.mediaFeaturesSql,
   )
 }

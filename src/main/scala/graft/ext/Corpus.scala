@@ -259,6 +259,64 @@ object Corpus {
        FROM c GROUP BY source, shard, (cum - n_tokens) // $PACK_BUDGET
        ORDER BY source, shard, bin"""
 
+  private val DECON_GRAM = 8   // consecutive tokens that count as overlap
+
+  /** Benchmark decontamination — the train/eval-overlap scan every
+    * pretraining pipeline runs: a corpus document is CONTAMINATED if
+    * it shares any 8-consecutive-token span with the eval set. The
+    * eval set here is the doc_id%13==0 slice of the corpus itself
+    * (so contamination is guaranteed and the oracle can rebuild it);
+    * in production it is the benchmark suite — small by definition,
+    * which is what justifies broadcasting its distinct shingle-hash
+    * set while the corpus side stays a narrow explode + semi-join
+    * (no shuffle of corpus text, ever). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("t", toks(col("text")))
+      .withColumn("sh8", array_distinct(
+        transform(sequence(lit(1), greatest(size(col("t")) - (DECON_GRAM - 1), lit(1))),
+          i => Hashing.phash(concat_ws(" ",
+            (0 until DECON_GRAM).map(k => element_at(col("t"), least(i + k, size(col("t"))))): _*),
+            "dec_"))))
+      .select(col("source"), col("doc_id"), col("sh8"))
+      .transform(graft.util.Fence.lineage)
+    val evalSh = d.filter(col("doc_id") % 13 === 0)
+      .select(explode_outer(col("sh8")).as("h")).filter(col("h").isNotNull).distinct()
+    val contaminated = d
+      .select(col("doc_id"), explode_outer(col("sh8")).as("h"))
+      .filter(col("h").isNotNull)
+      .join(broadcast(evalSh), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+    d.join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_contaminated"))
+      .orderBy(col("source"))
+  }
+
+  val decontaminateSql: String = {
+    val gram = (0 until DECON_GRAM)
+      .map(k => s"t[least(i + $k, len(t))]").mkString(", ")
+    s"""WITH d AS (
+         SELECT source, doc_id,
+           list_distinct(list_transform(
+             generate_series(1, greatest(len(${toksSql("text")}) - ${DECON_GRAM - 1}, 1)),
+             i -> ${Hashing.phashSql(s"concat_ws(' ', $gram)", "dec_")})) AS sh8
+         FROM (SELECT source, doc_id, text, ${toksSql("text")} AS t FROM documents)),
+       ev AS (
+         SELECT DISTINCT unnest(sh8) AS h FROM d WHERE doc_id % 13 = 0),
+       hits AS (
+         SELECT DISTINCT doc_id
+         FROM (SELECT doc_id, unnest(sh8) AS h FROM d) x
+         WHERE x.h IN (SELECT h FROM ev))
+       SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+       FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
+       GROUP BY d.source ORDER BY d.source"""
+  }
+
   /** Corpus vocabulary head: top 20 tokens by DOCUMENT frequency.
     * Distinct-per-doc explode → one groupBy(token) with map-side
     * partial counts → TakeOrderedAndProject (per-partition top-k +

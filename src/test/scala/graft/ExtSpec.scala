@@ -169,6 +169,22 @@ class ExtSpec extends AnyFunSuite {
     assert(total == corpus, s"packed tokens $total != corpus tokens $corpus")
   }
 
+  test("decontaminate flags at least every eval-set document") {
+    val rows = SparkEntry.queries("decontaminate")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // eval docs are corpus members, so they are contaminated by
+    // definition — per-source counts must cover them
+    val evalPerSource = graft.model.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 13 === 0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    evalPerSource.foreach { case (src, n) =>
+      assert(rows(src)._2 >= n, s"$src: ${rows(src)._2} contaminated < $n eval docs")
+    }
+    // and random word salads must not ALL collide on an 8-gram
+    assert(rows.values.map(_._2).sum < rows.values.map(_._1).sum)
+  }
+
   test("training_corpus funnel counts are consistent per source") {
     val rows = SparkEntry.queries("training_corpus")(spark, sf).collect()
     assert(rows.length == 20)   // one row per source
