@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape regression guards: the scale properties this
+  * engine's operators are built around are PLAN properties, not
+  * result properties — a future Catalyst version or refactor could
+  * keep every oracle green while silently reintroducing a cartesian
+  * product or a global sort. These assertions pin the shapes.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("LSH candidate generation never degrades to a cross join") {
+    for (q <- Seq("dedup_minhash_lsh", "ngram_jaccard", "simhash_pairs",
+                  "dedup_embedding", "dedup_incremental")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plan has a nested-loop join")
+    }
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort+limit") {
+    assert(planOf("topk_assets").contains("TakeOrderedAndProject"))
+  }
+
+  test("knn_ivf rank filters push down as WindowGroupLimit") {
+    assert(planOf("knn_ivf").contains("WindowGroupLimit"))
+  }
+
+  test("knn_bruteforce's only cross join is against the broadcast query set") {
+    val p = planOf("knn_bruteforce")
+    // the O(|Q|·N) scan is the operator's definition — but the small
+    // side must be the broadcast build side, never a shuffled product
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("filters and pruning reach the parquet scan in the flagship report") {
+    val p = SparkEntry.queries("report_metrics")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: ["), "no pushed filters on the scan")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
+}
