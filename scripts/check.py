@@ -73,6 +73,19 @@ def main():
             duck_df = con.sql(oracle[name]).fetchdf()
         except Exception as e:
             print(f"[FAIL] {name}: oracle SQL error: {e}"); n_bad += 1; continue
+        # int-vs-float dtype skew renders identically through %.9g here
+        # but NOT through a plain str() hasher (0 vs 0.0) — the exact
+        # class that made the driver flag pack_sequences in round 3
+        # while this script stayed green. Fail it loudly.
+        skew = [c for c in spark_df.columns if c in duck_df.columns
+                and (str(spark_df[c].dtype).startswith(("int", "uint"))
+                     != str(duck_df[c].dtype).startswith(("int", "uint")))]
+        if skew:
+            print(f"[FAIL] {name}: int/float dtype skew on {skew} "
+                  f"(spark={[str(spark_df[c].dtype) for c in skew]}, "
+                  f"duck={[str(duck_df[c].dtype) for c in skew]}) — "
+                  f"CAST the oracle column so both engines agree")
+            n_bad += 1; continue
         sc, sr = frame_rows(spark_df)
         dc, dr = frame_rows(duck_df)
         if sc != dc:

@@ -254,7 +254,7 @@ object Corpus {
          SELECT *, sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
            ROWS UNBOUNDED PRECEDING) AS cum
          FROM d)
-       SELECT source, shard, (cum - n_tokens) // $PACK_BUDGET AS bin,
+       SELECT source, shard, CAST((cum - n_tokens) // $PACK_BUDGET AS BIGINT) AS bin,
          CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
        FROM c GROUP BY source, shard, (cum - n_tokens) // $PACK_BUDGET
        ORDER BY source, shard, bin"""
