@@ -71,7 +71,7 @@ object Dedup {
   private def tokens(c: Column): Column = split(trim(c), "\\s+")
 
   /** Word 3-gram shingles. */
-  private def shingles(c: Column): Column = {
+  private[graft] def shingles(c: Column): Column = {
     val t = tokens(c)
     when(size(t) >= 3,
       transform(sequence(lit(1), size(t) - 2),
@@ -101,19 +101,24 @@ object Dedup {
     (h(s"a_$i") % 2147483646L + 1L, h(s"b_$i") % MODP)
   }
 
-  /** doc → (doc_id, sh, sig ARRAY<LONG> of K minhashes).
+  /** doc → (doc_id, hs DISTINCT 32-bit shingle hashes, sig ARRAY<LONG>
+    * of K minhashes). The verify step downstream intersects `hs`, not
+    * the shingle strings: both engines hash identically so the oracle
+    * stays in lockstep, the Jaccard is exact modulo 2^-32 collisions,
+    * and the verify joins shuffle longs instead of ~30-char strings.
     * Ends in a repartition barrier: downstream consumers (the band
-    * explode and the self-join) reference `sig`/`sh` many times, and
+    * explode and the self-join) reference `sig`/`hs` many times, and
     * without a materialization boundary the optimizer inlines the
     * whole md5+minhash pipeline once per reference. */
-  private def signaturesOf(docs: DataFrame): DataFrame =
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("sh", shingles(col("text")))
-      .withColumn("hs", transform(col("sh"), s => Hashing.phash(s) % 4294967296L))
+      .withColumn("hs", array_distinct(
+        transform(col("sh"), s => Hashing.phash(s) % 4294967296L)))
       .withColumn("sig", array(affine.map { case (a, b) =>
         array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % MODP))
       }: _*))
-      .select(col("doc_id"), col("sh"), col("sig"))
+      .select(col("doc_id"), col("hs"), col("sig"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       // the repartition alone does NOT stop PushDownPredicates: the
       // band explode's inferred generate-filter would travel through
@@ -129,8 +134,8 @@ object Dedup {
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $MODP))"
     }.mkString(",\n           ")
     s"""sh AS (SELECT doc_id, $shinglesSql AS sh FROM corpus),
-       hs AS (SELECT doc_id, sh, list_transform(sh, s -> ${Hashing.phashSql("s")} % 4294967296) AS hs FROM sh),
-       sigs AS (SELECT doc_id, sh, [$mins] AS sig FROM hs)"""
+       hs AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${Hashing.phashSql("s")} % 4294967296)) AS hs FROM sh),
+       sigs AS (SELECT doc_id, hs, [$mins] AS sig FROM hs)"""
   }
 
   /** Array of the BANDS per-band LSH bucket hashes of `sig`. */
@@ -144,11 +149,15 @@ object Dedup {
   /** True iff no band BEFORE `band` also matches — the emit-once
     * guard that replaces a pair-dedup shuffle: a near-dup pair
     * colliding in k bands would otherwise reach the candidate set k
-    * times (measured ~4× at sf0.1). `band` is 0-based, so the slice
-    * is empty for band 0 and forall(empty) = true. */
+    * times (measured ~4× at sf0.1). `band` is 0-based. Written as a
+    * flat AND-chain of guarded element compares, NOT slice+zip_with+
+    * forall: the guard runs once per RAW joined row (2.07M at sf0.1
+    * for ngram_jaccard), and the array-allocating form was the single
+    * largest cost in the whole pipeline (~1s of its 3.5s). */
   private def firstMatchingBand(bhs1: Column, bhs2: Column, band: Column): Column =
-    forall(zip_with(slice(bhs1, lit(1), band), slice(bhs2, lit(1), band), _ =!= _),
-      x => x)
+    (0 until BANDS - 1).map { i =>
+      band <= i || element_at(bhs1, i + 1) =!= element_at(bhs2, i + 1)
+    }.reduce(_ && _)
 
   /** SQL twin of [[firstMatchingBand]] (1-based prefix positions). */
   private def firstMatchingBandSql(l: String, r: String): String =
@@ -178,7 +187,7 @@ object Dedup {
     * bhs prefix filter emits each pair only from its first matching
     * band (no pair-dedup shuffle). The references to `sig` share one
     * physical shuffle via ReuseExchange. */
-  private def lshPairsOf(sig: DataFrame): DataFrame = {
+  private[graft] def lshPairsOf(sig: DataFrame): DataFrame = {
     val banded = sig.withColumn("bhs", bandHashes("band"))
       .select(col("doc_id"), col("bhs"),
         posexplode_outer(col("bhs")).as(Seq("band", "bh")))
@@ -188,10 +197,10 @@ object Dedup {
         col("l.doc_id") < col("r.doc_id") &&
         firstMatchingBand(col("l.bhs"), col("r.bhs"), col("l.band")))
       .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
-    // shingle lists can repeat, so set semantics need an explicit
-    // distinct; |A∪B| then comes from sizes (|A|+|B|-|A∩B|) — half
-    // the per-pair array work of materializing the union
-    val sh = sig.select(col("doc_id"), array_distinct(col("sh")).as("shd"))
+    // hs is already the DISTINCT shingle-hash set, so |A∪B| comes
+    // from sizes (|A|+|B|-|A∩B|) — half the per-pair array work of
+    // materializing the union, over longs instead of shingle strings
+    val sh = sig.select(col("doc_id"), col("hs").as("shd"))
     cand
       .join(sh.select(col("doc_id").as("id1"), col("shd").as("sh1")), Seq("id1"))
       .join(sh.select(col("doc_id").as("id2"), col("shd").as("sh2")), Seq("id2"))
@@ -230,7 +239,7 @@ object Dedup {
          FROM banded l JOIN banded r
            ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
           AND ${firstMatchingBandSql("l", "r")}),
-       shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+       shd AS (SELECT doc_id, hs AS shd FROM hs),
        j AS (
          SELECT c.id1, c.id2,
            floor(CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
@@ -253,7 +262,7 @@ object Dedup {
     * (+200,000, a different appended token), so the near-dup graph
     * holds triangles {orig, A, B}, pairs {orig, A}, and singletons —
     * transitivity actually gets exercised. */
-  private def corpus2(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus2(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val twinA = d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
@@ -298,15 +307,21 @@ object Dedup {
     // second array_intersect per pair (the pushed-filter trap)
     val pairs = lshPairsOf(signaturesOf(docs))
       .select(col("id1"), col("id2"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val edges = pairs.unionAll(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
     // iterate ONLY over edge-touched nodes: near-dup subgraphs are a
     // small fraction of any real corpus, so the per-iteration joins
     // run on |V(edges)| rows, not |corpus| — singletons rejoin at the
-    // end as their own keeper
-    var labels = edges.select(col("id1").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // end as their own keeper. Init fuses round 1: every edge-touched
+    // node starts at min(id, min(neighbors)) off ONE groupBy of the
+    // symmetric edge list — replacing distinct + identity labels + a
+    // full join-propagate round (two shuffles and two jobs) with a
+    // single shuffle.
+    var labels = edges.groupBy(col("id1").as("id"))
+      .agg(min(col("id2")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("label"))
+      .localCheckpoint(eager = false)
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -320,10 +335,13 @@ object Dedup {
         .unionAll(prop)
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"), min(col("prev0")).as("prev"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // min-label is monotone non-increasing: any strict decrease
-      // means another round is needed
-      converged = next.filter(col("label") < col("prev")).isEmpty
+      // means another round is needed. count() (not isEmpty) both
+      // answers that and fully materializes the non-eager checkpoint
+      // in the SAME job — one action per iteration instead of an
+      // eager-checkpoint job followed by a convergence job
+      converged = next.filter(col("label") < col("prev")).count() == 0L
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
@@ -537,13 +555,19 @@ object Dedup {
   private[graft] def ngramJaccardOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val d = docs
-      .select(col("source"), col("doc_id"),
-        array_distinct(tokens(col("text"))).as("ts"))
-      .withColumn("hs", transform(col("ts"), t => Hashing.phash(t, "ng_") % 4294967296L))
+      // verify runs on the 32-bit token hashes, not the token strings:
+      // |A∩B| over distinct hash sets equals the string intersection
+      // modulo 2^-32 collisions, BOTH engines hash identically (so the
+      // oracle stays in lockstep), and the two verify joins shuffle
+      // 8-byte longs instead of token strings. ONE distinct pass, on
+      // the hashes — distinct tokens and distinct token-hashes are the
+      // same set under that same collision caveat
+      .select(col("source"), col("doc_id"), array_distinct(
+        transform(tokens(col("text")), t => Hashing.phash(t, "ng_") % 4294967296L))
+        .as("hs"))
       .withColumn("sig", array(affine.map { case (a, b) =>
         array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % MODP))
       }: _*))
-      .drop("hs")
       // barrier: the band explode references `sig` 8× and the verify
       // references `ts` — fence the minhash pipeline so the optimizer
       // can't inline it once per reference (single-split test parquet)
@@ -568,14 +592,14 @@ object Dedup {
         firstMatchingBand(col("l.bhs"), col("r.bhs"), col("l.band")))
       .select(col("l.source").as("source"), col("l.doc_id").as("id1"),
         col("r.doc_id").as("id2"))
-    // ts is already distinct, so |A∪B| = |A|+|B|-|A∩B| — half the
-    // per-pair array work of materializing the union (the verify step
-    // dominates here: the sf0.1 corpus holds ~148k true near-dup
-    // pairs, so candidates are O(100k), each paying the array ops)
-    val toks = d.select(col("doc_id"), col("ts"))
+    // hs is distinct, so |A∪B| = |A|+|B|-|A∩B| — half the per-pair
+    // array work of materializing the union (the verify step dominates
+    // here: the sf0.1 corpus holds ~148k true near-dup pairs, so
+    // candidates are O(100k), each paying the array ops)
+    val toks = d.select(col("doc_id"), col("hs"))
     cand
-      .join(toks.select(col("doc_id").as("id1"), col("ts").as("ts1")), Seq("id1"))
-      .join(toks.select(col("doc_id").as("id2"), col("ts").as("ts2")), Seq("id2"))
+      .join(toks.select(col("doc_id").as("id1"), col("hs").as("ts1")), Seq("id1"))
+      .join(toks.select(col("doc_id").as("id2"), col("hs").as("ts2")), Seq("id2"))
       .withColumn("inter", size(array_intersect(col("ts1"), col("ts2"))))
       // exact integer unfold of floor(j*10000+0.5)/10000 >= 0.8
       // (j >= 15999/20000; a borderline tie needs |A∪B| >= 20000 —
@@ -611,7 +635,7 @@ object Dedup {
          SELECT source, doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS ts
          FROM documents),
        hs AS (SELECT source, doc_id, ts,
-                list_transform(ts, t -> ${Hashing.phashSql("t", "ng_")} % 4294967296) AS hs
+                list_distinct(list_transform(ts, t -> ${Hashing.phashSql("t", "ng_")} % 4294967296)) AS hs
               FROM d),
        ngsigs AS (SELECT source, doc_id, [$mins] AS sig FROM hs),
        ngsigs2 AS (SELECT source, doc_id, $bhList AS bhs FROM ngsigs),
@@ -625,12 +649,12 @@ object Dedup {
           AND ${firstMatchingBandSql("l", "r")}),
        ngj AS (
          SELECT c.source, c.id1, c.id2,
-           floor(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
-                 (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+           floor(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+                 (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
                  * 10000 + 0.5) / 10000 AS jaccard
          FROM ngcand c
-         JOIN d a ON a.doc_id = c.id1
-         JOIN d b ON b.doc_id = c.id2)"""
+         JOIN hs a ON a.doc_id = c.id1
+         JOIN hs b ON b.doc_id = c.id2)"""
   }
 
   val ngramJaccardSql: String =
