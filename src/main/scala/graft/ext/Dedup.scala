@@ -430,10 +430,15 @@ object Dedup {
     * and no overflow; bit 63's term is Long.MinValue, which is the
     * correct two's-complement bit pattern in both engines. */
   private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+    // ONE md5 per token, split into two 60-bit words (hex chars 1-15
+    // and 17-31) — the 64 bit-votes only need 32 bits of each, and an
+    // explicit shared digest column halves the hashing cost vs two
+    // independently-salted phash calls
     val tok = docs
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
-      .withColumn("h1", Hashing.phash(col("t"), "sim_"))
-      .withColumn("h2", Hashing.phash(col("t"), "simB_"))
+      .withColumn("hx", md5(concat(lit("sim_"), col("t"))))
+      .withColumn("h1", conv(substring(col("hx"), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("hx"), 17, 15), 16, 10).cast("long"))
     val bitSums = (0 until SIMBITS).map { j =>
       val h = if (j < 32) col("h1") else col("h2")
       sum(when(shiftright(h, j % 32) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
@@ -458,7 +463,7 @@ object Dedup {
       s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
     s"""tok AS (
          SELECT doc_id, ${Hashing.phashSql("t", "sim_")} AS h1,
-                ${Hashing.phashSql("t", "simB_")} AS h2
+                ${Hashing.phashHiSql("t", "sim_")} AS h2
          FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
                FROM corpus)),
        sums AS (

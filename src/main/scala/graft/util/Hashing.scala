@@ -20,4 +20,13 @@ object Hashing {
 
   def phashSql(x: String, salt: String = ""): String =
     s"CAST(('0x' || substr(md5('$salt' || $x), 1, 15)) AS BIGINT)"
+
+  /** Second independent 60-bit value from the SAME md5 (hex chars
+    * 17..31) — when an operator needs two hash words per input
+    * (SimHash's 64 bit-votes), this halves the md5 count. */
+  def phashHi(c: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), c)), 17, 15), 16, 10).cast("long")
+
+  def phashHiSql(x: String, salt: String = ""): String =
+    s"CAST(('0x' || substr(md5('$salt' || $x), 17, 15)) AS BIGINT)"
 }
