@@ -86,6 +86,9 @@ object SparkEntry {
     "pack_sequences"        -> (graft.ext.Corpus.packSequences _),
     "decontaminate"         -> (graft.ext.Corpus.decontaminate _),
     "media_features"        -> (Multimodal.mediaFeatures _),
+    "repetition_stats"      -> (graft.ext.Quality.repetitionStats _),
+    "source_overlap"        -> (graft.ext.Quality.sourceOverlap _),
+    "bm25_topk"             -> (graft.ext.Retrieval.bm25Topk _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -154,5 +157,8 @@ object SparkEntry {
     "pack_sequences"        -> graft.ext.Corpus.packSequencesSql,
     "decontaminate"         -> graft.ext.Corpus.decontaminateSql,
     "media_features"        -> Multimodal.mediaFeaturesSql,
+    "repetition_stats"      -> graft.ext.Quality.repetitionStatsSql,
+    "source_overlap"        -> graft.ext.Quality.sourceOverlapSql,
+    "bm25_topk"             -> graft.ext.Retrieval.bm25TopkSql,
   )
 }

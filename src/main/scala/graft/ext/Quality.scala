@@ -1,0 +1,169 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.util.Hashing
+import TextAnalysis.{toks, toksSql}
+
+/** Corpus-quality operators beyond per-document surface stats
+  * ([[TextAnalysis]]): within-document REPETITION signals (the
+  * Gopher-style "fraction of duplicated n-grams" filters every
+  * pretraining pipeline applies) and the cross-source n-gram OVERLAP
+  * matrix (which sources are near-copies of which — scraped mirrors,
+  * shared boilerplate — the corpus-curation view of contamination).
+  *
+  * Scale shape: both operators are explode → hash-keyed groupBy.
+  * repetition_stats shuffles (doc_id, bigram_hash) pairs — key
+  * cardinality ~tokens-per-corpus, no skew beyond document length.
+  * source_overlap shuffles DISTINCT (shingle_hash, source) pairs and
+  * self-joins per shingle; the per-key fanout is bounded by the
+  * source count (20 here), so the join output is O(distinct shingles
+  * × overlapping-source pairs), never quadratic in documents.
+  */
+object Quality {
+
+  /** Portable 4-dp rounding (same trick as Exact.pround2). */
+  private def pr4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+  private def pr4Sql(x: String): String = s"floor(($x) * 10000 + 0.5) / 10000"
+
+  // thresholds applied to the ROUNDED fractions, so both engines
+  // compare identical multiples of 1e-4 — no boundary-ulp flips
+  private val DUP_FRAC_MAX = 0.5
+  private val TOP_FRAC_MAX = 0.2
+
+  /** Within-document repetition: for each doc, the fraction of bigram
+    * occurrences that are repeats of an already-seen bigram
+    * (dup_bigram_frac) and the share of the single most frequent
+    * bigram (top_bigram_frac), plus the Gopher-style keep/drop flag.
+    * Documents with fewer than 2 tokens have no bigrams → NULL
+    * fractions and repetitive = false. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("t", toks(col("text")))
+      .withColumn("n", size(col("t")))
+      // guard: Spark sequence(1, 0) DESCENDS ([1,0]) where DuckDB
+      // generate_series(1, 0) is empty — gate on n >= 2 in both
+      .withColumn("bgs", when(col("n") >= 2,
+        transform(sequence(lit(1), col("n") - 1),
+          i => Hashing.phash(
+            concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)),
+            "rep_") % 4294967296L))
+        .otherwise(array().cast("array<long>")))
+      .select(col("doc_id"), col("bgs"))
+    val cnt = d.select(col("doc_id"), explode_outer(col("bgs")).as("bh"))
+      .groupBy(col("doc_id"), col("bh"))
+      .agg(count(lit(1)).as("c"))
+    val tot = nullif(col("tot").cast("double"), lit(0.0))
+    cnt.groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("bh").isNotNull, col("c")).otherwise(0L)).as("tot"),
+        sum(when(col("bh").isNotNull && col("c") > 1, col("c")).otherwise(0L)).as("dup"),
+        max(when(col("bh").isNotNull, col("c"))).as("mx"))
+      .select(
+        col("doc_id"),
+        col("tot").as("n_bigrams"),
+        pr4(col("dup").cast("double") / tot).as("dup_bigram_frac"),
+        pr4(col("mx").cast("double") / tot).as("top_bigram_frac"),
+        coalesce(
+          pr4(col("dup").cast("double") / tot) > DUP_FRAC_MAX ||
+          pr4(col("mx").cast("double") / tot) > TOP_FRAC_MAX,
+          lit(false)).as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionStatsSql: String = {
+    val bg = s"${Hashing.phashSql("concat_ws(' ', t[i], t[i + 1])", "rep_")} % 4294967296"
+    s"""WITH d AS (
+         SELECT doc_id, ${toksSql("text")} AS t, len(${toksSql("text")}) AS n
+         FROM documents),
+       bgs AS (
+         SELECT doc_id,
+           CASE WHEN n >= 2
+                THEN list_transform(generate_series(1, n - 1), i -> $bg)
+                ELSE [] END AS bgs
+         FROM d),
+       occ AS (SELECT doc_id, unnest(bgs) AS bh FROM bgs),
+       cnt AS (SELECT doc_id, bh, count(*) AS c FROM occ GROUP BY doc_id, bh),
+       agg AS (
+         SELECT b.doc_id,
+           CAST(coalesce(sum(c.c), 0) AS BIGINT) AS tot,
+           CAST(coalesce(sum(CASE WHEN c.c > 1 THEN c.c ELSE 0 END), 0) AS BIGINT) AS dup,
+           max(c.c) AS mx
+         FROM bgs b LEFT JOIN cnt c ON b.doc_id = c.doc_id
+         GROUP BY b.doc_id)
+       SELECT doc_id, tot AS n_bigrams,
+         ${pr4Sql("dup / nullif(CAST(tot AS DOUBLE), 0.0)")} AS dup_bigram_frac,
+         ${pr4Sql("mx / nullif(CAST(tot AS DOUBLE), 0.0)")} AS top_bigram_frac,
+         coalesce(${pr4Sql("dup / nullif(CAST(tot AS DOUBLE), 0.0)")} > $DUP_FRAC_MAX
+               OR ${pr4Sql("mx / nullif(CAST(tot AS DOUBLE), 0.0)")} > $TOP_FRAC_MAX,
+               false) AS repetitive
+       FROM agg ORDER BY doc_id"""
+  }
+
+  private val OVERLAP_GRAM = 8   // same span as Corpus.decontaminate
+
+  /** Cross-source overlap matrix: for every source pair, how many
+    * DISTINCT 8-token shingle hashes they share, their distinct
+    * totals, and containment = shared / min(total) — 1.0 means the
+    * smaller source is entirely boilerplate of the larger. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val g = OVERLAP_GRAM
+    val sh = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("t", toks(col("text")))
+      .select(col("source"), explode_outer(
+        when(size(col("t")) >= g,
+          transform(sequence(lit(1), size(col("t")) - (g - 1)),
+            i => Hashing.phash(concat_ws(" ",
+              (0 until g).map(k => element_at(col("t"), i + k)): _*), "ov_")))
+          .otherwise(array().cast("array<long>"))).as("h"))
+      .filter(col("h").isNotNull)
+      .distinct()
+      // referenced 3× (totals + both join sides) — fence so the
+      // explode+distinct pipeline materializes once
+      .transform(graft.util.Fence.lineage)
+    val totals = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val l = sh.as("l"); val r = sh.as("r")
+    l.join(r, col("l.h") === col("r.h") && col("l.source") < col("r.source"))
+      .groupBy(col("l.source").as("source_a"), col("r.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals).withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "n_a"), Seq("source_a"))
+      .join(broadcast(totals).withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "n_b"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        pr4(col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapSql: String = {
+    val g = OVERLAP_GRAM
+    val gram = (0 until g).map(k => s"t[i + $k]").mkString(", ")
+    s"""WITH d AS (
+         SELECT source, ${toksSql("text")} AS t, len(${toksSql("text")}) AS n
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT source, unnest(
+           CASE WHEN n >= $g
+                THEN list_transform(generate_series(1, n - ${g - 1}),
+                       i -> ${Hashing.phashSql(s"concat_ws(' ', $gram)", "ov_")})
+                ELSE [] END) AS h
+         FROM d),
+       totals AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+       pairs AS (
+         SELECT l.source AS source_a, r.source AS source_b, count(*) AS n_shared
+         FROM sh l JOIN sh r ON l.h = r.h AND l.source < r.source
+         GROUP BY l.source, r.source)
+       SELECT p.source_a, p.source_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+         CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+         ${pr4Sql("p.n_shared / CAST(least(ta.n, tb.n) AS DOUBLE)")} AS containment
+       FROM pairs p
+       JOIN totals ta ON ta.source = p.source_a
+       JOIN totals tb ON tb.source = p.source_b
+       ORDER BY p.source_a, p.source_b"""
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import TextAnalysis.{toks, toksSql}
+
+/** Ranked retrieval over the `documents` table: BM25 scoring of a
+  * fixed query, top-k by score.
+  *
+  * Portability design: classic BM25 takes ln() of the idf ratio, but
+  * libm transcendentals are NOT bit-identical across engines (the
+  * same reason bigram_lm_score uses raw frequencies — see
+  * Corpus.scala). The monotone rational core
+  * `(N - df + 0.5)/(df + 0.5)` preserves the ranking semantics with
+  * only IEEE +,-,*,/ on identical operands — bit-identical in both
+  * engines. Each per-term score is then rounded to integer
+  * MICRO-units (floor(x*1e6 + 0.5) AS BIGINT) so the cross-term sum
+  * is exact integer arithmetic — no summation-order drift — and the
+  * final ordering key is a BIGINT.
+  *
+  * Scale shape: the per-term tf columns are a narrow codegen map
+  * (size(filter(toks, = term)) — no explode, no shuffle); N/df/avgdl
+  * are one tiny global aggregate broadcast back via a 1-row cross
+  * join; the top-k is TakeOrderedAndProject (per-partition heads +
+  * k-row merge), never a global sort. A variable query would explode
+  * (doc_id, term) pairs instead — same two-shuffle shape as
+  * vocab_topk.
+  */
+object Retrieval {
+
+  /** Fixed query — mid-frequency corpus terms, embedded identically
+    * in the SQL twin. */
+  private val QUERY = Seq("hash", "join", "stream")
+  private val K1 = 1.2
+  private val B  = 0.75
+  private val TOPK = 20
+
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-split table, CPU-bound tf map
+      .withColumn("t", toks(col("text")))
+      .select(col("doc_id") +: col("source") +: size(col("t")).cast("long").as("dl") +:
+        QUERY.zipWithIndex.map { case (q, i) =>
+          size(filter(col("t"), x => x === q)).cast("long").as(s"tf$i")
+        }: _*)
+      // referenced twice (corpus stats + scoring) — fence so the tf
+      // map over the token arrays runs once
+      .transform(graft.util.Fence.lineage)
+    val stats = d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+      QUERY.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    // identical operand order in both engines: idf * (tf*(k1+1)) /
+    // (tf + k1*(1 - b + b*dl/avgdl)), each term floored to micro-units
+    def termMicro(i: Int): Column = {
+      val tf  = col(s"tf$i").cast("double")
+      val idf = (col("n_docs").cast("double") - col(s"df$i").cast("double") + 0.5) /
+                (col(s"df$i").cast("double") + 0.5)
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      val s = idf * (tf * (K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / avgdl)))
+      floor(s * 1000000L + 0.5).cast("long")
+    }
+    d.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("source"),
+        QUERY.indices.map(termMicro).reduce(_ + _).as("score_micro"))
+      .filter(col("score_micro") > 0)
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(TOPK)
+  }
+
+  val bm25TopkSql: String = {
+    val tfCols = QUERY.zipWithIndex.map { case (q, i) =>
+      s"len(list_filter(t, x -> x = '$q')) AS tf$i"
+    }.mkString(", ")
+    val dfCols = QUERY.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val terms = QUERY.indices.map { i =>
+      val idf = s"((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))"
+      val s = s"$idf * (CAST(tf$i AS DOUBLE) * ${K1 + 1.0}) / " +
+        s"(CAST(tf$i AS DOUBLE) + $K1 * (${1.0 - B} + $B * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+      s"CAST(floor(($s) * 1000000 + 0.5) AS BIGINT)"
+    }.mkString(" + ")
+    s"""WITH d AS (
+         SELECT doc_id, source, CAST(len(t) AS BIGINT) AS dl, $tfCols
+         FROM (SELECT doc_id, source, ${toksSql("text")} AS t FROM documents)),
+       stats AS (
+         SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfCols FROM d)
+       SELECT doc_id, source, ($terms) AS score_micro
+       FROM d CROSS JOIN stats
+       WHERE ($terms) > 0
+       ORDER BY score_micro DESC, doc_id
+       LIMIT $TOPK"""
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior tests for the quality / retrieval operators. */
+class QualitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("repetition_stats fractions are consistent and bounded") {
+    val rows = SparkEntry.queries("repetition_stats")(spark, sf).collect()
+    val n = graft.model.Tables.documents(spark, sf).count()
+    assert(rows.length == n)   // one row per document, short docs included
+    rows.foreach { r =>
+      val tot = r.getLong(1)
+      if (tot == 0) {
+        assert(r.isNullAt(2) && r.isNullAt(3) && !r.getBoolean(4))
+      } else {
+        val dup = r.getDouble(2); val top = r.getDouble(3)
+        assert(dup >= 0.0 && dup <= 1.0, s"dup_frac out of range: $r")
+        // the most frequent bigram is itself duplicated whenever dup>0
+        assert(top > 0.0 && top <= 1.0, s"top_frac out of range: $r")
+        // both fractions are rounded to 4 dp, so allow that granularity
+        assert(dup == 0.0 || top >= 2.0 / tot - 1e-4, s"top vs dup inconsistent: $r")
+        assert(r.getBoolean(4) == (dup > 0.5 || top > 0.2), s"flag mismatch: $r")
+      }
+    }
+  }
+
+  test("repetition_stats flags a degenerate all-same-token document") {
+    // "x x x ... x" (50 tokens): every bigram identical -> dup_frac 1.0
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    Seq((1L, Seq.fill(50)("x").mkString(" "), "en", "srcT", 99L),
+        (2L, "a b c d e f g h", "en", "srcT", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("repetition_stats")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(2) == 1.0 && out(1L).getBoolean(4))
+    assert(out(2L).getDouble(2) == 0.0 && !out(2L).getBoolean(4))
+  }
+
+  test("source_overlap is symmetric-complete and containment-bounded") {
+    val rows = SparkEntry.queries("source_overlap")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))   // each unordered pair once
+      val shared = r.getLong(2); val na = r.getLong(3); val nb = r.getLong(4)
+      assert(shared >= 1 && shared <= math.min(na, nb), s"bad counts: $r")
+      val cont = r.getDouble(5)
+      assert(cont > 0.0 && cont <= 1.0, s"containment out of range: $r")
+    }
+  }
+
+  test("source_overlap finds a planted boilerplate copy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ov").toString
+    val boiler = (1 to 20).map(i => s"tok$i").mkString(" ")
+    Seq((1L, boiler, "en", "srcA", 99L),
+        (2L, boiler + " trailing extra words here", "en", "srcB", 99L),
+        (3L, (100 to 130).map(i => s"zz$i").mkString(" "), "en", "srcC", 99L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("source_overlap")(spark, dir).collect()
+    // srcA (13 shingles) fully contained in srcB; srcC overlaps nothing
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "srcA" && r.getString(1) == "srcB")
+    assert(r.getDouble(5) == 1.0, s"containment should be 1.0: $r")
+  }
+
+  test("bm25_topk ranks higher-tf docs first at equal length") {
+    val rows = SparkEntry.queries("bm25_topk")(spark, sf).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getLong(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores not descending")
+    assert(scores.forall(_ > 0))
+    // ties broken by doc_id ascending
+    rows.sliding(2).foreach { case Array(a, b) =>
+      if (a.getLong(2) == b.getLong(2)) assert(a.getLong(0) < b.getLong(0))
+    }
+  }
+
+  test("bm25_topk on a synthetic corpus prefers the term-dense doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm").toString
+    val filler = (1 to 20).map(i => s"w$i").mkString(" ")
+    Seq((1L, s"hash join stream hash join stream $filler", "en", "s", 9L),
+        (2L, s"hash $filler", "en", "s", 9L),
+        (3L, s"$filler $filler", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("bm25_topk")(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      s"expected docs 1,2 (doc 3 has no query terms): ${out.mkString(",")}")
+  }
+}
