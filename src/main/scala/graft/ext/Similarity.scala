@@ -60,10 +60,10 @@ object Similarity {
   private[ext] val planes: Array[Array[Int]] = planes16.take(PLANES)
 
   /** float vector → exact integer milli-quantized vector. */
-  private def quant(v: Column): Column =
+  private[ext] def quant(v: Column): Column =
     transform(v, x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
 
-  private val quantSql: String =
+  private[ext] val quantSql: String =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
 
   private def dot(a: Column, b: Column): Column =

@@ -1,0 +1,138 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.util.Hashing
+import TextAnalysis.{toks, toksSql}
+
+/** Sketch operators: approximate distinct counting and embedding
+  * compression — the "big data in small state" side of an analytics
+  * engine, built so both engines compute bit-identical results
+  * (deterministic md5-derived hashes, integer mins/sums, and a fixed
+  * IEEE op order for the final estimates).
+  *
+  * Scale shape: distinct_sketch is distinct → two map-side-combining
+  * groupBys (the (source, bucket) key space is sources × 256 — every
+  * partition pre-mins before the shuffle, so the shuffle carries at
+  * most |partitions| × |keys| rows regardless of N). embed_quantize
+  * is a pure narrow map. No windows, no low-cardinality funnels.
+  */
+object Sketches {
+
+  private val P = 256                           // sketch buckets per group
+  private val M = 1152921504606846976L          // 2^60 — phash value space
+
+  private def pr4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+  private def pr4Sql(x: String): String = s"floor(($x) * 10000 + 0.5) / 10000"
+
+  /** Approximate distinct 3-gram shingles per source via a bucket-min
+    * sketch (PCSA/KMV family): hash every distinct shingle into
+    * [0, 2^60), keep the MIN hash of each of 256 buckets, and
+    * estimate n ≈ P² · M / Σ mins (E[min of m uniforms] = M/(m+1),
+    * harmonic combination across buckets). The exact count rides
+    * along so the result exposes the sketch's relative error.
+    *
+    * Regime: the estimator assumes n >> P (every bucket hit several
+    * times). Shingles per source are thousands even at test scale —
+    * the cardinality a sketch is FOR; a group whose true n ~ P would
+    * need linear counting, which takes ln() and therefore cannot be
+    * oracle-checked bit-exactly (libm — see Retrieval). The sum of
+    * mins is summed exactly (DECIMAL/HUGEINT — 256 · 2^60 can
+    * overflow a BIGINT) and both engines cast the exact integer to
+    * DOUBLE with the same IEEE nearest rounding before the one
+    * division. */
+  def distinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("t", toks(col("text")))
+      .select(col("source"), explode_outer(
+        when(size(col("t")) >= 3,
+          transform(sequence(lit(1), size(col("t")) - 2),
+            i => Hashing.phash(concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1), element_at(col("t"), i + 2)), "kmv_")))
+          .otherwise(array().cast("array<long>"))).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("source"), col("h"))
+      .distinct()
+      .transform(graft.util.Fence.lineage)
+    val sketch = pairs
+      .groupBy(col("source"), (col("h") % P).as("b"))
+      .agg(min(col("h")).as("mn"))
+      .groupBy(col("source"))
+      .agg(sum(col("mn").cast("decimal(28,0)")).cast("double").as("sum_mins"),
+        count(lit(1)).as("n_buckets"))
+    val exact = pairs.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    exact.join(sketch, Seq("source"))
+      .select(col("source"), col("n_exact"), col("n_buckets"),
+        floor(lit(P.toDouble) * lit(P.toDouble) * (lit(M.toDouble) / col("sum_mins")))
+          .cast("long").as("n_est"))
+      .withColumn("rel_err", pr4(
+        abs(col("n_est").cast("double") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double")))
+      .orderBy(col("source"))
+  }
+
+  val distinctSketchSql: String =
+    s"""WITH pairs AS (
+         SELECT DISTINCT source, unnest(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t) - 2),
+                       i -> ${Hashing.phashSql("concat_ws(' ', t[i], t[i + 1], t[i + 2])", "kmv_")})
+                ELSE [] END) AS h
+         FROM (SELECT source, ${toksSql("text")} AS t FROM documents)),
+       sk AS (
+         SELECT source, h % $P AS b, min(h) AS mn FROM pairs GROUP BY source, h % $P),
+       sketch AS (
+         SELECT source, CAST(sum(mn) AS DOUBLE) AS sum_mins,
+                count(*) AS n_buckets
+         FROM sk GROUP BY source),
+       exact AS (SELECT source, count(*) AS n_exact FROM pairs GROUP BY source)
+       SELECT e.source, CAST(e.n_exact AS BIGINT) AS n_exact,
+         CAST(s.n_buckets AS BIGINT) AS n_buckets,
+         CAST(floor(CAST($P AS DOUBLE) * CAST($P AS DOUBLE) * (CAST($M AS DOUBLE) / s.sum_mins)) AS BIGINT) AS n_est,
+         ${pr4Sql(s"abs(CAST(floor(CAST($P AS DOUBLE) * CAST($P AS DOUBLE) * (CAST($M AS DOUBLE) / s.sum_mins)) AS BIGINT) - CAST(e.n_exact AS DOUBLE)) / CAST(e.n_exact AS DOUBLE)")} AS rel_err
+       FROM exact e JOIN sketch s ON e.source = s.source
+       ORDER BY e.source"""
+
+  /** Symmetric int8 max-abs quantization of the embedding column over
+    * the EXACT milli-quantized integer base ([[Similarity.quant]] —
+    * the same portability device the ANN family uses): per vector,
+    * scale = max|q|, int8 code = floor(q·127/scale + 0.5), and the
+    * reconstruction MSE of the dequantized codes in milli-units².
+    * The per-element error sum is a LEFT FOLD (Spark `aggregate`,
+    * DuckDB `list_reduce`) — a fixed summation order, so the double
+    * accumulation is bit-identical in both engines. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("q", Similarity.quant(col("embedding")))
+      .withColumn("amax", array_max(transform(col("q"), abs(_))))
+    val deq = (c: org.apache.spark.sql.Column) =>
+      floor(c.cast("double") * 127.0 / col("amax").cast("double") + 0.5) *
+        (col("amax").cast("double") / 127.0)
+    e.select(col("vec_id"), col("amax"),
+        when(col("amax") > 0, pr4(
+          aggregate(col("q"), lit(0.0),
+            (acc, x) => acc + (deq(x) - x.cast("double")) * (deq(x) - x.cast("double"))) /
+            size(col("q")).cast("double")))
+          .as("mse_milli"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedQuantizeSql: String = {
+    val q = Similarity.quantSql
+    val deq = (x: String) =>
+      s"floor(CAST($x AS DOUBLE) * 127.0 / CAST(amax AS DOUBLE) + 0.5) * (CAST(amax AS DOUBLE) / 127.0)"
+    val err = s"(${deq("x")} - CAST(x AS DOUBLE)) * (${deq("x")} - CAST(x AS DOUBLE))"
+    s"""WITH e AS (
+         SELECT vec_id, $q AS q FROM embeddings),
+       a AS (
+         SELECT vec_id, q, list_max(list_transform(q, x -> abs(x))) AS amax FROM e)
+       SELECT vec_id, CAST(amax AS BIGINT) AS amax,
+         CASE WHEN amax > 0 THEN
+           ${pr4Sql(s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(q, x -> $err)), (acc, v) -> acc + v) / CAST(len(q) AS DOUBLE)")}
+         END AS mse_milli
+       FROM a ORDER BY vec_id"""
+  }
+}

@@ -82,6 +82,33 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("distinct_sketch estimate lands within the bucket-min error bound") {
+    // sf0.01: every source holds >1000 distinct shingles, the n >> P
+    // regime the estimator is specified for (P=256 -> sigma ~ 6%)
+    val rows = SparkEntry.queries("distinct_sketch")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      // E[empty] = 256·(1-1/256)^n ≈ 1.3 at n=1355 — allow a few
+      assert(r.getLong(2) >= 248, s"too many unhit buckets: $r")
+      assert(r.getDouble(4) <= 0.25,
+        s"sketch error beyond 4 sigma: $r")
+    }
+  }
+
+  test("embed_quantize reconstruction error stays within int8 step size") {
+    val rows = SparkEntry.queries("embed_quantize")(spark, sf).collect()
+    assert(rows.length == graft.model.Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val amax = r.getLong(1)
+      assert(amax > 0)
+      val mse = r.getDouble(2)
+      // per-element |err| <= step/2 = amax/254 (+ rounding slack)
+      val bound = math.pow(amax.toDouble / 254.0 + 1.0, 2)
+      assert(mse >= 0.0 && mse <= bound, s"mse $mse beyond bound $bound: $r")
+    }
+  }
+
   test("bm25_topk on a synthetic corpus prefers the term-dense doc") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bm").toString
