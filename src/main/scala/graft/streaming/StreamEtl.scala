@@ -142,6 +142,43 @@ object StreamEtl {
       }
   }
 
+  /** Streaming first-seen content dedup — the streaming mirror of
+    * the batch dedup_exact operator: every line keys by its content
+    * hash, only the FIRST occurrence ever is emitted, and later
+    * copies (within a run or across restarts/rotations) are
+    * suppressed by the checkpointed seen-state. Append-mode
+    * `flatMapGroupsWithState` because the built-in dropDuplicates
+    * variants cannot bound state by "first ever across restarts"
+    * without a watermark column that a content feed does not have.
+    *
+    * Scale: state is one boolean per distinct content hash,
+    * partitioned by the hash like any shuffle. For a bounded-horizon
+    * variant (dedup only within the watermark window, state that
+    * expires) use `dropDuplicatesWithinWatermark` as
+    * [[ingestStream]] does — this operator is the unbounded
+    * first-ever guarantee a corpus-ingest feed needs. */
+  case class FirstSeen(content_hash: Long, line: String)
+
+  def firstSeenLines(spark: SparkSession, inputGlob: String)
+      : org.apache.spark.sql.Dataset[FirstSeen] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    spark.readStream.text(inputGlob)
+      .select(graft.util.Hashing.phash(col("value"), "fs_").as("h"), col("value"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, FirstSeen](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (h, rows, state) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // rows within one batch arrive in scan order; emit one
+            Iterator.single(FirstSeen(h, rows.next()._2))
+          }
+      }
+  }
+
   /** Streaming per-hour per-status counts with late-data drop — the
     * §2.7 windowed-aggregation extension. Append mode: a window only
     * emits once the watermark passes it (deterministic final counts). */

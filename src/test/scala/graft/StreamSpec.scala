@@ -173,6 +173,48 @@ class StreamSpec extends AnyFunSuite {
     assert(rows.keySet == Set("ok", "not_found"))   // every status mapped
   }
 
+  test("firstSeenLines dedups by content exactly once across restarts") {
+    val base = Files.createTempDirectory("graft_firstseen").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+
+    def runOnce(): Seq[StreamEtl.FirstSeen] = {
+      val buf = new scala.collection.mutable.ArrayBuffer[StreamEtl.FirstSeen]()
+      val q = StreamEtl.firstSeenLines(spark, s"$in/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamEtl.FirstSeen], _: Long) =>
+          buf.synchronized { buf ++= batch.collect() }; ()
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      buf.synchronized(buf.toSeq)
+    }
+
+    // f1: 3 distinct lines, one duplicated in-batch
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/f1"),
+      "alpha doc\nbeta doc\nalpha doc\ngamma doc\n")
+    val e1 = runOnce()
+    assert(e1.map(_.line).sorted == Seq("alpha doc", "beta doc", "gamma doc"),
+      s"in-batch dedup failed: $e1")
+
+    // f2 (after restart): two repeats plus two new lines
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/f2"),
+      "beta doc\ndelta doc\ngamma doc\nepsilon doc\n")
+    val e2 = runOnce()
+    assert(e2.map(_.line).sorted == Seq("delta doc", "epsilon doc"),
+      s"cross-restart dedup failed: $e2")
+
+    // the union equals the batch distinct over everything ever seen
+    val batchDistinct = spark.read.text(s"$in/*")
+      .select(col("value")).distinct().collect().map(_.getString(0)).toSet
+    assert((e1 ++ e2).map(_.line).toSet == batchDistinct)
+    // and hashes are the portable phash both engines share
+    val h = e1.find(_.line == "alpha doc").get.content_hash
+    assert(h >= 0, s"content_hash not in phash range: $h")
+  }
+
   test("hourlyCounts watermark-closed windows match the batch aggregation " +
        "across restarts") {
     val base = Files.createTempDirectory("graft_stream2").toString
