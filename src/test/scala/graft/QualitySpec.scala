@@ -109,6 +109,26 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("value_quantiles are monotone and consistent with exact ranks") {
+    val rows = SparkEntry.queries("value_quantiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val events = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    rows.foreach { r =>
+      val (t, n) = (r.getString(0), r.getLong(1))
+      val (p50, p95, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 <= p95 && p95 <= p99, s"quantiles not monotone: $r")
+      val vs = events(t)
+      assert(n == vs.length)
+      // grid quantile must sit within one grid step of the exact
+      // rank-selected value
+      def exact(p: Double) = vs(math.ceil(p * n).toInt - 1)
+      assert(math.abs(p50 - exact(0.50)) <= 0.001 + 1e-9, s"p50 off: $r vs ${exact(0.50)}")
+      assert(math.abs(p99 - exact(0.99)) <= 0.001 + 1e-9, s"p99 off: $r vs ${exact(0.99)}")
+    }
+  }
+
   test("bm25_topk on a synthetic corpus prefers the term-dense doc") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bm").toString
