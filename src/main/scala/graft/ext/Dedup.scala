@@ -139,7 +139,7 @@ object Dedup {
   }
 
   /** Array of the BANDS per-band LSH bucket hashes of `sig`. */
-  private def bandHashes(saltPrefix: String): Column =
+  private[graft] def bandHashes(saltPrefix: String): Column =
     array((0 until BANDS).map { b =>
       Hashing.phash(concat_ws("_",
         (0 until ROWS).map(r => element_at(col("sig"), b * ROWS + r + 1).cast("string")): _*),
@@ -154,7 +154,7 @@ object Dedup {
     * forall: the guard runs once per RAW joined row (2.07M at sf0.1
     * for ngram_jaccard), and the array-allocating form was the single
     * largest cost in the whole pipeline (~1s of its 3.5s). */
-  private def firstMatchingBand(bhs1: Column, bhs2: Column, band: Column): Column =
+  private[graft] def firstMatchingBand(bhs1: Column, bhs2: Column, band: Column): Column =
     (0 until BANDS - 1).map { i =>
       band <= i || element_at(bhs1, i + 1) =!= element_at(bhs2, i + 1)
     }.reduce(_ && _)
@@ -423,12 +423,13 @@ object Dedup {
   private val SIMBITS = 64
 
   /** 64-bit SimHash per document: explode distinct tokens, one
-    * groupBy(doc) with a conditional sum per bit, bit-pack. Two
-    * 60-bit phashes under different salts supply independent bit
-    * sources for the low and high 32 bits (one phash only carries 60
-    * usable bits). Packing adds distinct powers of two, so no carry
-    * and no overflow; bit 63's term is Long.MinValue, which is the
-    * correct two's-complement bit pattern in both engines. */
+    * groupBy(doc) with a conditional sum per bit, bit-pack. The two
+    * independent bit sources for the low and high 32 bits are the two
+    * 60-bit halves of ONE md5 per token (hex chars 1-15 and 17-31 —
+    * the phash/phashHiSql pair in the oracle twin). Packing adds
+    * distinct powers of two, so no carry and no overflow; bit 63's
+    * term is Long.MinValue, which is the correct two's-complement bit
+    * pattern in both engines. */
   private[graft] def simhashOf(docs: DataFrame): DataFrame = {
     // ONE md5 per token, split into two 60-bit words (hex chars 1-15
     // and 17-31) — the 64 bit-votes only need 32 bits of each, and an
@@ -574,7 +575,7 @@ object Dedup {
         array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % MODP))
       }: _*))
       // barrier: the band explode references `sig` 8× and the verify
-      // references `ts` — fence the minhash pipeline so the optimizer
+      // references `hs` — fence the minhash pipeline so the optimizer
       // can't inline it once per reference (single-split test parquet)
       .repartition(spark.sparkContext.defaultParallelism)
       .transform(graft.util.Fence.lineage)

@@ -23,9 +23,8 @@ import TextAnalysis.{toks, toksSql}
   */
 object Quality {
 
-  /** Portable 4-dp rounding (same trick as Exact.pround2). */
-  private def pr4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
-  private def pr4Sql(x: String): String = s"floor(($x) * 10000 + 0.5) / 10000"
+  private val pr4 = graft.util.Exact.pround4 _
+  private val pr4Sql = graft.util.Exact.pround4Sql _
 
   // thresholds applied to the ROUNDED fractions, so both engines
   // compare identical multiples of 1e-4 — no boundary-ulp flips

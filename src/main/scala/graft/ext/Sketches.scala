@@ -23,8 +23,8 @@ object Sketches {
   private val P = 256                           // sketch buckets per group
   private val M = 1152921504606846976L          // 2^60 — phash value space
 
-  private def pr4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
-  private def pr4Sql(x: String): String = s"floor(($x) * 10000 + 0.5) / 10000"
+  private val pr4 = graft.util.Exact.pround4 _
+  private val pr4Sql = graft.util.Exact.pround4Sql _
 
   /** Approximate distinct 3-gram shingles per source via a bucket-min
     * sketch (PCSA/KMV family): hash every distinct shingle into

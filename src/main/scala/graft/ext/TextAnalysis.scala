@@ -25,9 +25,9 @@ object TextAnalysis {
   private[ext] def toks(c: Column): Column = split(trim(c), "\\s+")
   private[ext] def toksSql(x: String): String = s"string_split_regex(trim($x), '\\s+')"
 
-  /** Portable 4-dp rounding (same trick as Exact.pround2). */
-  private def pr4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
-  private def pr4Sql(x: String): String = s"floor(($x) * 10000 + 0.5) / 10000"
+  /** Portable 4-dp rounding — one shared definition. */
+  private val pr4 = graft.util.Exact.pround4 _
+  private val pr4Sql = graft.util.Exact.pround4Sql _
 
   /** Per-document quality metrics: token count, average token length,
     * punctuation ratio, stopword ratio, and a composite quality score

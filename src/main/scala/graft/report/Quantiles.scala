@@ -30,6 +30,11 @@ object Quantiles {
 
   def valueQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val hist = Tables.events(spark, dir)
+      // NULL values must not reach the histogram: Spark's window
+      // ORDER BY sorts a NULL bucket FIRST where DuckDB sorts it
+      // LAST, shifting every cumulative count — and a row with no
+      // value has no business in a rank threshold either
+      .filter(col("value").isNotNull)
       .select(col("event_type"), floor(col("value") * STEP).cast("long").as("b"))
       .groupBy(col("event_type"), col("b"))
       .agg(count(lit(1)).as("c"))
@@ -53,7 +58,8 @@ object Quantiles {
     }.mkString(",\n         ")
     s"""WITH hist AS (
          SELECT event_type, CAST(floor(value * $STEP) AS BIGINT) AS b, count(*) AS c
-         FROM events GROUP BY event_type, CAST(floor(value * $STEP) AS BIGINT)),
+         FROM events WHERE value IS NOT NULL
+         GROUP BY event_type, CAST(floor(value * $STEP) AS BIGINT)),
        cum AS (
          SELECT event_type, b, c,
            sum(c) OVER (PARTITION BY event_type ORDER BY b

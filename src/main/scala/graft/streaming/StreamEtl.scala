@@ -157,15 +157,20 @@ object StreamEtl {
     * expires) use `dropDuplicatesWithinWatermark` as
     * [[ingestStream]] does — this operator is the unbounded
     * first-ever guarantee a corpus-ingest feed needs. */
-  case class FirstSeen(content_hash: Long, line: String)
+  case class FirstSeen(content_hash: String, line: String)
 
   def firstSeenLines(spark: SparkSession, inputGlob: String)
       : org.apache.spark.sql.Dataset[FirstSeen] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // keyed by the FULL 128-bit md5, not the 60-bit phash: first-ever
+    // state is forever, so at corpus-ingest cardinality (10^9+ lines)
+    // a 60-bit key space gives a real birthday probability of two
+    // DISTINCT lines colliding — and a collision here silently drops
+    // content. 2^-64 per pair is the dedup_exact standard instead.
     spark.readStream.text(inputGlob)
-      .select(graft.util.Hashing.phash(col("value"), "fs_").as("h"), col("value"))
-      .as[(Long, String)]
+      .select(md5(col("value")).as("h"), col("value"))
+      .as[(String, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, FirstSeen](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {

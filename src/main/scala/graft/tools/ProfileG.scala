@@ -22,17 +22,11 @@ object ProfileG {
     val docs = graft.ext.Dedup.corpus2(spark, dir)
     t("docs_count")(println(s"  docs=${docs.count()}"))
     t("docs_count_2nd")(println(s"  docs=${docs.count()}"))
-    import graft.ext.Dedup
-    val sh = docs.withColumn("sh", Dedup.shingles(col("text")))
-    t("shingles_noop")(sh.write.format("noop").mode("overwrite").save())
-    val hs = sh.withColumn("hs",
-      transform(col("sh"), s => graft.util.Hashing.phash(s) % 4294967296L))
-    t("hs_noop")(hs.write.format("noop").mode("overwrite").save())
-    val sig = hs.withColumn("sig", array(Dedup.affine.map { case (a, b) =>
-      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % Dedup.MODP))
-    }: _*)).select(col("doc_id"), col("sh"), col("sig"))
-    t("sig_noop")(sig.write.format("noop").mode("overwrite").save())
+    // the PRODUCTION signature pipeline — no hand-inlined stage copies
+    // that could drift from signaturesOf
     t("signatures_noop")(graft.ext.Dedup.signaturesOf(docs)
+      .write.format("noop").mode("overwrite").save())
+    t("signatures_noop_2nd")(graft.ext.Dedup.signaturesOf(docs)
       .write.format("noop").mode("overwrite").save())
     t("pairs_checkpoint") {
       val pairs = graft.ext.Dedup.lshPairsOf(graft.ext.Dedup.signaturesOf(docs))

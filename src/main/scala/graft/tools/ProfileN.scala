@@ -21,6 +21,8 @@ object ProfileN {
     import graft.util.Hashing
     val docs = graft.model.Tables.documents(spark, dir)
     t("docs")(println(s"  docs=${docs.count()}"))
+    // the signature stage EXACTLY as ngramJaccardOf builds it — any
+    // drift here and the timings stop measuring production code
     def dOf() = docs
       .select(col("source"), col("doc_id"), array_distinct(
         transform(split(trim(col("text")), "\\s+"), t => Hashing.phash(t, "ng_") % 4294967296L))
@@ -32,22 +34,19 @@ object ProfileN {
       .transform(graft.util.Fence.lineage)
     t("sig_noop")(dOf().write.format("noop").mode("overwrite").save())
     t("sig_noop_2nd")(dOf().write.format("noop").mode("overwrite").save())
-    // candidate generation only: same banded join, no verify
+    // candidate generation only: the PRODUCTION banded join
+    // (Dedup.bandHashes + Dedup.firstMatchingBand), no verify
     def candOf() = {
       val d = dOf()
-      val sigB = d.withColumn("bhs", array((0 until 8).map { b =>
-        Hashing.phash(concat_ws("_",
-          (0 until 2).map(r => element_at(col("sig"), b * 2 + r + 1).cast("string")): _*),
-          s"ngband${b}_")
-      }: _*)).select(col("source"), col("doc_id"), col("bhs"))
+      val sigB = d.withColumn("bhs", Dedup.bandHashes("ngband"))
+        .select(col("source"), col("doc_id"), col("bhs"))
       val banded = sigB.select(col("source"), col("doc_id"), col("bhs"),
         posexplode_outer(col("bhs")).as(Seq("band", "bh")))
       val l = banded.as("l"); val r = banded.as("r")
       l.join(r,
           col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.source") === col("r.source") && col("l.doc_id") < col("r.doc_id") &&
-          forall(zip_with(slice(col("l.bhs"), lit(1), col("l.band")),
-            slice(col("r.bhs"), lit(1), col("r.band")), _ =!= _), x => x))
+          Dedup.firstMatchingBand(col("l.bhs"), col("r.bhs"), col("l.band")))
         .select(col("l.source").as("source"), col("l.doc_id").as("id1"),
           col("r.doc_id").as("id2"))
     }

@@ -39,6 +39,13 @@ object Exact {
 
   def pround2Sql(x: String): String = s"floor(($x) * 100 + 0.5) / 100"
 
+  /** 4-dp variant — the fraction/ratio precision the ext operators
+    * share. ONE definition so a future edge fix (negative values,
+    * ulp boundaries) cannot drift between operators. */
+  def pround4(x: Column): Column = floor(x * 10000 + 0.5) / 10000
+
+  def pround4Sql(x: String): String = s"floor(($x) * 10000 + 0.5) / 10000"
+
   /** Order-independent money average: exact decimal sum → identical
     * double division → portable rounding.
     * SQL twin: [[moneyAvgSql]]. */

@@ -210,9 +210,9 @@ class StreamSpec extends AnyFunSuite {
     val batchDistinct = spark.read.text(s"$in/*")
       .select(col("value")).distinct().collect().map(_.getString(0)).toSet
     assert((e1 ++ e2).map(_.line).toSet == batchDistinct)
-    // and hashes are the portable phash both engines share
+    // and the key is the full 128-bit md5 of the content
     val h = e1.find(_.line == "alpha doc").get.content_hash
-    assert(h >= 0, s"content_hash not in phash range: $h")
+    assert(h.length == 32 && h.matches("[0-9a-f]+"), s"not an md5 hex key: $h")
   }
 
   test("hourlyCounts watermark-closed windows match the batch aggregation " +
