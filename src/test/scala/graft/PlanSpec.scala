@@ -39,6 +39,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bm25_topk top-k is TakeOrderedAndProject over a broadcast stats row") {
+    val p = planOf("bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), "bm25 fell back to global sort+limit")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "corpus stats row is not broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("value_quantiles windows run over the histogram, not the raw events") {
+    // the Window's child subtree must contain the histogram aggregate:
+    // if a refactor ever feeds raw rows to the window, the per-type
+    // funnel comes back. The executed plan prints parents above
+    // children (AQE hides WindowExec from collect()), so assert an
+    // aggregate PRINTS BELOW the window node
+    val p = planOf("value_quantiles")
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0, "no window in the plan")
+    assert(p.indexOf("HashAggregate", wIdx) > wIdx,
+      "no aggregate below the window — raw rows reach the window")
+  }
+
+  test("source_overlap fans out from one materialized shingle set") {
+    val p = planOf("source_overlap")
+    assert(!p.contains("CartesianProduct"), "source pair join degraded")
+    // the fenced distinct materializes once and is scanned per consumer
+    assert(p.contains("Scan ExistingRDD"), "lineage fence missing — " +
+      "the explode+distinct pipeline would run once per consumer")
+  }
+
   test("filters and pruning reach the parquet scan in the flagship report") {
     val p = SparkEntry.queries("report_metrics")(spark, sf)
       .queryExecution.executedPlan.toString
