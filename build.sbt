@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout/stderr through raw instead of routing
+// them through sbt's logger: the logger prefixes every line with
+// [info]/[error], which is why the driver's bench scraper recorded
+// parsed:null for BENCH_r0{2,3} — Bench's one-line JSON metric must
+// land on stdout undecorated.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
