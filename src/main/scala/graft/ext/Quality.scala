@@ -103,6 +103,88 @@ object Quality {
 
   private val OVERLAP_GRAM = 8   // same span as Corpus.decontaminate
 
+  // duplicate_spans: a doc whose 8-gram positions are >20% cross-doc
+  // duplicated is flagged (threshold on the ROUNDED fraction)
+  private val DUP_SPAN_MAX = 0.2
+
+  /** Exact-substring duplication signal (the Lee et al. 2107.06499
+    * "deduplicating training data" shape, at 8-token granularity):
+    * for every document, how many of its 8-gram positions carry a
+    * gram that also appears in at least one OTHER document, and the
+    * flagged verdict on that fraction. Complements [[sourceOverlap]]
+    * (source-pair containment) and [[Corpus.decontaminate]]
+    * (train/eval) with the per-document curation view.
+    *
+    * Scale shape: explode → two hash-keyed groupBys → one equi-join
+    * on the gram hash. Everything shuffles on the 60-bit gram hash
+    * (high cardinality, no skew beyond genuinely viral spans), and
+    * the join fans out only to the occurrence count of each gram —
+    * linear in corpus size, never pairwise. */
+  def duplicateSpans(spark: SparkSession, dir: String): DataFrame = {
+    val g = OVERLAP_GRAM
+    val occ = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("t", toks(col("text")))
+      .select(col("doc_id"), explode_outer(
+        when(size(col("t")) >= g,
+          transform(sequence(lit(1), size(col("t")) - (g - 1)),
+            i => Hashing.phash(concat_ws(" ",
+              (0 until g).map(k => element_at(col("t"), i + k)): _*), "ds_")))
+          .otherwise(array().cast("array<long>"))).as("h"))
+    // per-(doc, gram) occurrence counts; h IS NULL keeps short docs
+    val cnt = occ.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      // referenced twice (per-doc rollup + the distinct-doc side) —
+      // materialize once so the explode pipeline does not run twice
+      .transform(graft.util.Fence.lineage)
+    // grams seen in >= 2 distinct documents
+    val dups = cnt.filter(col("h").isNotNull)
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(true).as("dup"))
+    val tot = nullif(col("tot").cast("double"), lit(0.0))
+    cnt.join(dups, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("h").isNotNull, col("c")).otherwise(0L)).as("tot"),
+        sum(when(col("dup"), col("c")).otherwise(0L)).as("dup"))
+      .select(
+        col("doc_id"),
+        col("tot").as("n_grams"),
+        col("dup").as("dup_grams"),
+        pr4(col("dup").cast("double") / tot).as("dup_frac"),
+        coalesce(pr4(col("dup").cast("double") / tot) > DUP_SPAN_MAX,
+          lit(false)).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val duplicateSpansSql: String = {
+    val g = OVERLAP_GRAM
+    val gram = (0 until g).map(k => s"t[i + $k]").mkString(", ")
+    s"""WITH d AS (
+         SELECT doc_id, ${toksSql("text")} AS t, len(${toksSql("text")}) AS n
+         FROM documents),
+       occ AS (
+         SELECT doc_id, unnest(
+           CASE WHEN n >= $g
+                THEN list_transform(generate_series(1, n - ${g - 1}),
+                       i -> ${Hashing.phashSql(s"concat_ws(' ', $gram)", "ds_")})
+                ELSE [NULL] END) AS h
+         FROM d),
+       cnt AS (SELECT doc_id, h, count(*) AS c FROM occ GROUP BY doc_id, h),
+       dups AS (
+         SELECT h, true AS dup FROM cnt WHERE h IS NOT NULL
+         GROUP BY h HAVING count(*) >= 2)
+       SELECT c.doc_id,
+         CAST(coalesce(sum(CASE WHEN c.h IS NOT NULL THEN c.c ELSE 0 END), 0) AS BIGINT) AS n_grams,
+         CAST(coalesce(sum(CASE WHEN d.dup THEN c.c ELSE 0 END), 0) AS BIGINT) AS dup_grams,
+         ${pr4Sql("sum(CASE WHEN d.dup THEN c.c ELSE 0 END) / nullif(CAST(sum(CASE WHEN c.h IS NOT NULL THEN c.c ELSE 0 END) AS DOUBLE), 0.0)")} AS dup_frac,
+         coalesce(${pr4Sql("sum(CASE WHEN d.dup THEN c.c ELSE 0 END) / nullif(CAST(sum(CASE WHEN c.h IS NOT NULL THEN c.c ELSE 0 END) AS DOUBLE), 0.0)")} > $DUP_SPAN_MAX,
+           false) AS flagged
+       FROM cnt c LEFT JOIN dups d ON c.h = d.h
+       GROUP BY c.doc_id ORDER BY c.doc_id"""
+  }
+
   /** Cross-source overlap matrix: for every source pair, how many
     * DISTINCT 8-token shingle hashes they share, their distinct
     * totals, and containment = shared / min(total) — 1.0 means the

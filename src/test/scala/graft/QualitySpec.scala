@@ -69,6 +69,40 @@ class QualitySpec extends AnyFunSuite {
     assert(r.getDouble(5) == 1.0, s"containment should be 1.0: $r")
   }
 
+  test("duplicate_spans fractions are consistent and bounded") {
+    val rows = SparkEntry.queries("duplicate_spans")(spark, sf).collect()
+    val n = graft.model.Tables.documents(spark, sf).count()
+    assert(rows.length == n)   // one row per document, short docs included
+    rows.foreach { r =>
+      val tot = r.getLong(1); val dup = r.getLong(2)
+      assert(dup >= 0 && dup <= tot, s"dup_grams out of range: $r")
+      if (tot == 0) assert(r.isNullAt(3) && !r.getBoolean(4))
+      else {
+        val frac = r.getDouble(3)
+        assert(frac >= 0.0 && frac <= 1.0, s"dup_frac out of range: $r")
+        assert(r.getBoolean(4) == (frac > 0.2), s"flag mismatch: $r")
+      }
+    }
+  }
+
+  test("duplicate_spans catches a planted cross-document copy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsp").toString
+    val copied = (1 to 12).map(i => s"span$i").mkString(" ")
+    Seq((1L, copied, "en", "s", 9L),                              // fully copied
+        (2L, copied + " unique tail here now", "en", "s", 9L),    // mostly copied
+        (3L, (50 to 75).map(i => s"uq$i").mkString(" "), "en", "s", 9L), // unique
+        (4L, "too short", "en", "s", 9L))                         // < 8 tokens
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("duplicate_spans")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(3) == 1.0 && out(1L).getBoolean(4))
+    assert(out(2L).getLong(2) == 5 && out(2L).getBoolean(4))  // the 5 grams inside `copied`
+    assert(out(3L).getLong(2) == 0 && !out(3L).getBoolean(4))
+    assert(out(4L).getLong(1) == 0 && out(4L).isNullAt(3) && !out(4L).getBoolean(4))
+  }
+
   test("bm25_topk ranks higher-tf docs first at equal length") {
     val rows = SparkEntry.queries("bm25_topk")(spark, sf).collect()
     assert(rows.length == 20)
