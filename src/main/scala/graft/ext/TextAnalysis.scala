@@ -229,4 +229,63 @@ object TextAnalysis {
          s -> ${Hashing.phashSql("s")})) AS fingerprint,
        CAST(greatest(len(text) - 7, 1) AS BIGINT) AS n_shingles
        FROM documents ORDER BY doc_id"""
+
+  // ---- Markup stripping (web-corpus main-text extraction) ----------
+
+  /** HTML-strip pipeline over a deterministically synthesized page
+    * per document (the corpus text wrapped in head/nav/main/footer
+    * chrome — the test tables hold plain text, so the page is built
+    * in-query; at production scale the input IS the crawled HTML and
+    * only the strip half runs). Stages mirror a real main-text
+    * extractor: drop <head> wholesale (scripts, styles, title), drop
+    * nav/footer boilerplate blocks, strip remaining tags, collapse
+    * whitespace. Because the page wraps the original text exactly,
+    * clean text == source text is an invariant the spec asserts, and
+    * the oracle checks content via [[Hashing.phash]].
+    *
+    * Scale shape: pure per-row regexp map — narrow, codegen'd, no
+    * shuffle but the presentation sort. All regexes use syntax with
+    * identical semantics in Java regex and RE2 (non-greedy spans,
+    * negated char classes; `.` matches-no-newline in both). */
+  def stripMarkup(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><title>"), col("source"),
+      lit("</title><script type=\"text/javascript\">track("), col("doc_id").cast("string"),
+      lit(");</script></head><body><nav class=\"top\">Home | About | Contact</nav><main><p>"),
+      col("text"),
+      lit("</p></main><footer>Copyright 2026 Example Corp</footer></body></html>"))
+    val clean = trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      page,
+      "<head>.*?</head>", " "),
+      "<nav[^>]*>.*?</nav>|<footer[^>]*>.*?</footer>", " "),
+      "<[^>]*>", " "),
+      "\\s+", " "))
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-split table, regex-heavy map
+      .select(col("doc_id"), length(page).as("raw_len"),
+        length(clean).as("clean_len"),
+        pr4(length(clean).cast("double") /
+          nullif(length(page).cast("double"), lit(0.0))).as("retained_frac"),
+        Hashing.phash(clean, "sm_").as("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val stripMarkupSql: String = {
+    val page = "'<html><head><title>' || source || " +
+      "'</title><script type=\"text/javascript\">track(' || doc_id || " +
+      "');</script></head><body><nav class=\"top\">Home | About | Contact</nav><main><p>' || " +
+      "text || '</p></main><footer>Copyright 2026 Example Corp</footer></body></html>'"
+    val clean = "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "page, '<head>.*?</head>', ' ', 'g'), " +
+      "'<nav[^>]*>.*?</nav>|<footer[^>]*>.*?</footer>', ' ', 'g'), " +
+      "'<[^>]*>', ' ', 'g'), " +
+      "'\\s+', ' ', 'g'))"
+    s"""WITH p AS (SELECT doc_id, $page AS page FROM documents),
+       c AS (SELECT doc_id, page, $clean AS clean FROM p)
+       SELECT doc_id, CAST(len(page) AS BIGINT) AS raw_len,
+         CAST(len(clean) AS BIGINT) AS clean_len,
+         ${pr4Sql("CAST(len(clean) AS DOUBLE) / nullif(CAST(len(page) AS DOUBLE), 0)")} AS retained_frac,
+         ${Hashing.phashSql("clean", "sm_")} AS clean_hash
+       FROM c ORDER BY doc_id"""
+  }
 }

@@ -222,4 +222,20 @@ class ExtSpec extends AnyFunSuite {
     assert(df.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).count() == 0)
     assert(df.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
   }
+
+  test("strip_markup recovers exactly the pre-wrap text") {
+    // the synthesized page wraps documents.text verbatim, so the
+    // extracted main text must hash-equal the whitespace-collapsed
+    // original for every document — chrome (head/nav/footer) gone
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.util.Hashing.phash(
+        trim(regexp_replace(col("text"), "\\s+", " ")), "sm_").as("want"))
+    val got = SparkEntry.queries("strip_markup")(spark, sf)
+      .select(col("doc_id"), col("clean_hash"), col("raw_len"), col("clean_len"))
+    val joined = got.join(docs, Seq("doc_id"))
+    assert(joined.count() == docs.count())
+    assert(joined.filter(col("clean_hash") =!= col("want")).count() == 0,
+      "markup stripping altered the main text")
+    assert(joined.filter(col("clean_len") >= col("raw_len")).count() == 0)
+  }
 }
