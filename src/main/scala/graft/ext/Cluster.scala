@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Embedding-space clustering — the semantic organization step of a
+  * training-data pipeline (SemDeDup-style cluster-then-dedup, domain
+  * balancing, curriculum bucketing all start from exactly this
+  * k-means pass over document embeddings).
+  *
+  * Determinism strategy (what makes a k-means oracle-checkable at
+  * all): no RNG and no accumulated floating point anywhere.
+  *  - init: the first K vectors by vec_id are the seed centroids —
+  *    a fixed, engine-independent choice (k-means++ would need an
+  *    RNG; at production scale you'd seed from a prior run instead);
+  *  - vectors are integer milli-quantized ([[Similarity]]'s scheme),
+  *    centroids live in micro-units, so every squared distance is
+  *    EXACT 64-bit integer arithmetic — argmin ties broken by lower
+  *    cluster id are therefore identical in any engine;
+  *  - the centroid update rounds the per-dimension mean to integer
+  *    micro-units via `floor(S*1000/n)` — S and n are exact integers
+  *    below 2^53, so the one double division is correctly rounded
+  *    IEEE in both engines and the floor is bit-stable.
+  *
+  * Scale shape: centroids are K×DIM ≈ nothing — always broadcast;
+  * each assignment pass is a narrow broadcast-join map (K distance
+  * evaluations per row, no shuffle beyond the argmin bookkeeping);
+  * the update is ONE shuffle of (cluster, dim) partial sums —
+  * map-side combine reduces each partition to ≤ K·DIM rows, so the
+  * exchange never scales with N. Iterations compose linearly; this
+  * operator runs the canonical two assignment passes around one
+  * update so the full machinery (assign → update → reassign) is
+  * exercised and oracle-checked end to end.
+  */
+object Cluster {
+
+  private val K = 8
+  private val DIM = 64
+  private val SCALE = 1000L   // centroid micro-units per vector milli-unit
+
+  /** float vector → exact integer milli-quantized vector (same
+    * construction as [[Similarity]]). */
+  private def quant(v: org.apache.spark.sql.Column) =
+    transform(v, x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
+
+  private val quantSql: String =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+
+  def kmeansEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), quant(col("embedding")).as("qv"))
+      // referenced by the seed pick and BOTH assignment passes —
+      // materialize the quantization once
+      .transform(graft.util.Fence.lineage)
+    val seeds = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cluster"),
+        transform(col("qv"), x => x * SCALE).as("cent"))
+
+    // nearest centroid per vector: K exact integer distances, argmin
+    // ties to the lower cluster id
+    def assign(cents: DataFrame): DataFrame = {
+      val scored = e.crossJoin(broadcast(cents))
+        .withColumn("dist2", aggregate(
+          zip_with(col("qv"), col("cent"), (x, c) => (x * SCALE - c) * (x * SCALE - c)),
+          lit(0L), _ + _))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist2"), col("cluster"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("qv"), col("cluster"), col("dist2"))
+    }
+
+    val a1 = assign(seeds)
+    // centroid update: per-(cluster, dim) exact sums — map-side
+    // combine caps the exchange at K·DIM rows per partition
+    val sums = a1.select(col("cluster"),
+        posexplode_outer(col("qv")).as(Seq("pos", "v")))
+      .filter(col("pos").isNotNull)
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    val updated = sums
+      .withColumn("c", floor(col("s") * 1000.0 / col("n")).cast("long"))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cluster"), transform(col("pc"), p => p.getField("c")).as("cent"))
+    // a seed duplicated elsewhere can leave its cluster empty after
+    // reassignment — an empty cluster keeps its seed centroid
+    val cents = seeds.withColumnRenamed("cent", "seed_cent")
+      .join(updated, Seq("cluster"), "left")
+      .select(col("cluster"), coalesce(col("cent"), col("seed_cent")).as("cent"))
+
+    assign(cents)
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
+  val kmeansEmbeddingsSql: String = {
+    def distSql(cent: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, $DIM), " +
+        s"i -> (qv[i] * $SCALE - $cent[i]) * (qv[i] * $SCALE - $cent[i]))) AS BIGINT)"
+    def assignSql(cents: String, out: String) =
+      s"""${out}s AS (
+           SELECT e.vec_id, e.qv, c.cluster, ${distSql("c.cent")} AS dist2
+           FROM e CROSS JOIN $cents c),
+         $out AS (
+           SELECT vec_id, qv, cluster, dist2 FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+             FROM ${out}s) WHERE rn = 1)"""
+    s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+       seeds AS (
+         SELECT vec_id AS cluster, list_transform(qv, x -> x * $SCALE) AS cent
+         FROM e WHERE vec_id < $K),
+       ${assignSql("seeds", "a1")},
+       sums AS (
+         SELECT cluster, unnest(generate_series(1, $DIM)) AS pos,
+                unnest(qv) AS v
+         FROM a1),
+       dimsum AS (
+         SELECT cluster, pos, sum(v) AS s, count(*) AS n
+         FROM sums GROUP BY cluster, pos),
+       updated AS (
+         SELECT cluster, list(CAST(floor(s * 1000.0 / n) AS BIGINT) ORDER BY pos) AS cent
+         FROM dimsum GROUP BY cluster),
+       cents AS (
+         SELECT s.cluster, coalesce(u.cent, s.cent) AS cent
+         FROM seeds s LEFT JOIN updated u ON s.cluster = u.cluster),
+       ${assignSql("cents", "a2")}
+       SELECT vec_id, cluster, dist2 FROM a2 ORDER BY vec_id"""
+  }
+}

@@ -217,6 +217,39 @@ class ExtSpec extends AnyFunSuite {
     assert(ds.filter(col("frame_idx") % 5 =!= 0).count() == 0)
   }
 
+  test("kmeans_embeddings assigns every vector to an in-range cluster") {
+    val rows = SparkEntry.queries("kmeans_embeddings")(spark, sf).collect()
+    assert(rows.length == graft.model.Tables.embeddings(spark, sf).count())
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 8, s"cluster out of range: $r")
+      assert(r.getLong(2) >= 0, s"negative dist2: $r")
+    }
+  }
+
+  test("kmeans_embeddings separates two planted blobs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_km").toString
+    // blob A around +e_0, blob B around +e_1; seeds 0-3 in A, 4-7 in B
+    def vec(axis: Int, jitter: Int): Array[Float] =
+      Array.tabulate(64)(d =>
+        (if (d == axis) 1.0f else 0.0f) +
+          (if (d == (jitter % 64)) 0.01f * (jitter % 7 + 1) else 0.0f))
+    val rows = (0 until 40).map { i =>
+      val inA = (i < 4) || (i >= 8 && i < 24)   // seeds 0-3 + 16 members
+      (i.toLong, vec(if (inA) 0 else 1, i + 2).toSeq, if (inA) "A" else "B")
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("kmeans_embeddings")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 40).foreach { i =>
+      val inA = (i < 4) || (i >= 8 && i < 24)
+      if (inA) assert(out(i.toLong) < 4, s"blob-A vector $i landed in ${out(i.toLong)}")
+      else assert(out(i.toLong) >= 4, s"blob-B vector $i landed in ${out(i.toLong)}")
+    }
+  }
+
   test("text_stats ratios are in [0,1]") {
     val df = SparkEntry.queries("text_stats")(spark, sf)
     assert(df.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).count() == 0)
