@@ -367,4 +367,43 @@ object Similarity {
          FROM scored)
        SELECT qid, bucket, rank, vec_id AS neighbor_id, cosine
        FROM ranked WHERE rank <= $TOPK ORDER BY qid, rank"""
+
+  // ---- ANN quality evaluation --------------------------------------
+
+  /** Recall@k of the LSH index against the exact baseline — the
+    * evaluation loop every production ANN deployment runs on a query
+    * sample before trusting the index. Ground truth = [[knnBruteforce]]
+    * (exact by construction); a hit = a true top-k neighbor the LSH
+    * path also returned. Both inputs are existing oracle-checked
+    * queries, so this composes two verified plans and is itself
+    * verified end to end.
+    *
+    * Scale shape: both sides are k·|Q| rows (tiny by definition) —
+    * the join and groupBy are driver-negligible at any corpus size;
+    * the real cost is the two underlying kNN plans, whose linearity
+    * is documented on their own definitions. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = knnBruteforce(spark, dir)
+      .select(col("qid"), col("neighbor_id"))
+    val got = knnLsh(spark, dir)
+      .select(col("qid"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(got, Seq("qid", "neighbor_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        pr6(col("n_hits").cast("double") / col("k").cast("double")).as("recall_at_k"))
+      .orderBy(col("qid"))
+  }
+
+  val annRecallSql: String =
+    s"""WITH truth AS (
+         SELECT qid, neighbor_id FROM ($knnBruteforceSql)),
+       got AS (
+         SELECT qid, neighbor_id, 1 AS hit FROM ($knnLshSql))
+       SELECT t.qid, CAST(coalesce(sum(g.hit), 0) AS BIGINT) AS n_hits,
+         floor(coalesce(sum(g.hit), 0) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS recall_at_k
+       FROM truth t
+       LEFT JOIN got g ON t.qid = g.qid AND t.neighbor_id = g.neighbor_id
+       GROUP BY t.qid ORDER BY t.qid"""
 }

@@ -86,6 +86,21 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.05, f"multi-probe recall@5 degraded: $recall%.2f")
   }
 
+  test("ann_recall agrees with a hand-computed intersection") {
+    val bf = SparkEntry.queries("knn_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val lsh = SparkEntry.queries("knn_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val want = bf.groupBy(_._1).view
+      .mapValues(ns => ns.count(lsh.contains).toLong).toMap
+    val rows = SparkEntry.queries("ann_recall")(spark, sf).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getLong(1) == want(r.getLong(0)), s"n_hits mismatch: $r")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("dedup_groups merges twin triangles transitively") {
     val labels = SparkEntry.queries("dedup_groups")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
