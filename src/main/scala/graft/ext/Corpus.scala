@@ -335,4 +335,89 @@ object Corpus {
     s"""SELECT token, CAST(count(*) AS BIGINT) AS df
        FROM (SELECT unnest(list_distinct(${toksSql("text")})) AS token FROM documents)
        GROUP BY token ORDER BY df DESC, token LIMIT 20"""
+
+  /** Training-mixture report: per (source, lang) stratum, its doc and
+    * token counts, its share of the corpus token budget, and the
+    * up/down-sampling weight that would flatten the mixture to a
+    * uniform per-stratum budget (the DoReMi-class reweighting input —
+    * capped at 1,000,000 ppm so no stratum is upsampled above 1×).
+    * All ratios are exact-integer-numerator IEEE divisions floored to
+    * ppm, so both engines agree bit-for-bit.
+    *
+    * Scale shape: one narrow token-count map, one groupBy on the
+    * (source, lang) strata (tiny key space), then a broadcast of the
+    * 1-row corpus totals — the final arithmetic runs on ~|strata|
+    * rows, never on documents. */
+  def corpusMixture(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-split table, CPU-bound tokenize
+      .select(col("source"), col("lang"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = g.agg(sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_strata"))
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        floor(col("n_tokens") * 1000000.0 /
+          nullif(col("tot_tokens"), lit(0L))).cast("long").as("share_ppm"),
+        least(lit(1000000L),
+          floor(col("tot_tokens") * 1000000.0 /
+            (col("n_strata") * nullif(col("n_tokens"), lit(0L)))).cast("long"))
+          .as("weight_ppm"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val corpusMixtureSql: String =
+    s"""WITH g AS (
+         SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(len(${toksSql("text")})) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY source, lang),
+       tot AS (
+         SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+           count(*) AS n_strata FROM g)
+       SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+         CAST(floor(n_tokens * 1000000.0 / nullif(tot_tokens, 0)) AS BIGINT) AS share_ppm,
+         least(1000000, CAST(floor(tot_tokens * 1000000.0 /
+           (n_strata * nullif(n_tokens, 0))) AS BIGINT)) AS weight_ppm
+       FROM g CROSS JOIN tot ORDER BY source, lang"""
+
+  /** Curriculum bucketing: every document ntile'd into 4 difficulty
+    * tiers by its [[TextAnalysis.textStats]] quality score (ties
+    * split by doc_id — the total order the oracle rules require even
+    * inside window frames), reported as per-(tier, lang) counts with
+    * the tier's score range. The assignment window is a classic
+    * low-cardinality global sort at corpus scale; production runs it
+    * per-shard exactly like pack_sequences' hash-sharding — here it
+    * doubles as deliberate §2.6 ntile coverage. */
+  def curriculumBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.textStats(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+      .filter(col("quality_score").isNotNull)
+    val lang = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality_score"), col("doc_id"))
+    scored.withColumn("tier", ntile(4).over(w))
+      .join(lang, Seq("doc_id"))
+      .groupBy(col("tier").cast("long").as("tier"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality_score")).as("min_score"),
+        max(col("quality_score")).as("max_score"))
+      .orderBy(col("tier"), col("lang"))
+  }
+
+  val curriculumBucketsSql: String =
+    s"""WITH scored AS (
+         SELECT doc_id, quality_score FROM (${TextAnalysis.textStatsSql})
+         WHERE quality_score IS NOT NULL),
+       tiered AS (
+         SELECT doc_id, quality_score,
+           ntile(4) OVER (ORDER BY quality_score, doc_id) AS tier
+         FROM scored)
+       SELECT CAST(t.tier AS BIGINT) AS tier, d.lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         min(t.quality_score) AS min_score,
+         max(t.quality_score) AS max_score
+       FROM tiered t JOIN documents d ON t.doc_id = d.doc_id
+       GROUP BY t.tier, d.lang ORDER BY tier, lang"""
 }

@@ -103,6 +103,41 @@ class QualitySpec extends AnyFunSuite {
     assert(out(4L).getLong(1) == 0 && out(4L).isNullAt(3) && !out(4L).getBoolean(4))
   }
 
+  test("corpus_mixture shares and weights are consistent") {
+    val rows = SparkEntry.queries("corpus_mixture")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getLong(4))
+    // floors lose < 1 ppm per stratum
+    assert(shares.sum <= 1000000 && shares.sum > 1000000 - rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(5) >= 1 && r.getLong(5) <= 1000000, s"weight out of range: $r")
+    }
+    // flattening: strata above the uniform share are capped at 1x,
+    // strata below get upsampled proportionally
+    val nStrata = rows.length
+    rows.foreach { r =>
+      val above = r.getLong(4) > 1000000L / nStrata
+      if (above) assert(r.getLong(5) < 1000000, s"over-share stratum not downweighted: $r")
+    }
+  }
+
+  test("curriculum_buckets tiers are contiguous and complete") {
+    val rows = SparkEntry.queries("curriculum_buckets")(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val scored = SparkEntry.queries("text_stats")(spark, sf)
+      .filter(col("quality_score").isNotNull).count()
+    assert(total == scored, s"bucketed $total of $scored scored docs")
+    assert(rows.map(_.getLong(0)).forall(t => t >= 1 && t <= 4))
+    // score ranges must not interleave across tiers
+    val byTier = rows.groupBy(_.getLong(0)).view
+      .mapValues(rs => (rs.map(_.getDouble(3)).min, rs.map(_.getDouble(4)).max))
+    (1L to 3L).foreach { t =>
+      if (byTier.contains(t) && byTier.contains(t + 1))
+        assert(byTier(t)._2 <= byTier(t + 1)._1 + 1e-12,
+          s"tier $t max ${byTier(t)._2} above tier ${t + 1} min ${byTier(t + 1)._1}")
+    }
+  }
+
   test("bm25_topk ranks higher-tf docs first at equal length") {
     val rows = SparkEntry.queries("bm25_topk")(spark, sf).collect()
     assert(rows.length == 20)
