@@ -68,6 +68,39 @@ class PlanSpec extends AnyFunSuite {
       "the explode+distinct pipeline would run once per consumer")
   }
 
+  test("kmeans assignment passes are broadcast joins over a fenced quantization") {
+    val p = planOf("kmeans_embeddings")
+    // centroids (K x DIM) must be the broadcast side of both
+    // assignment passes — a shuffled product here would scale with N
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroids are not broadcast")
+    assert(!p.contains("CartesianProduct"), "assignment degraded to a cartesian")
+    // the milli-quantization is referenced by seeds + both passes —
+    // the fence must keep it from recomputing per consumer
+    assert(p.contains("Scan ExistingRDD"), "quantization fence missing")
+  }
+
+  test("strip_markup is a narrow regexp map with no mid-plan exchange") {
+    val p = planOf("strip_markup")
+    // one repartition barrier after the scan, then map work only —
+    // any aggregate or join in this plan is a regression
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "strip_markup grew a join or aggregate")
+  }
+
+  test("duplicate_spans joins stay hash-keyed equi-joins") {
+    val p = planOf("duplicate_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "gram-hash join degraded to a product")
+  }
+
+  test("ann_recall composes the two kNN plans without a product join") {
+    val p = planOf("ann_recall")
+    // the only nested-loop join allowed is knn_bruteforce's own
+    // broadcast query scan; the recall join itself is an equi-join
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("filters and pruning reach the parquet scan in the flagship report") {
     val p = SparkEntry.queries("report_metrics")(spark, sf)
       .queryExecution.executedPlan.toString
