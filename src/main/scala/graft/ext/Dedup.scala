@@ -372,6 +372,28 @@ object Dedup {
        SELECT id AS doc_id, min(label) AS keeper_id
        FROM reach GROUP BY id ORDER BY doc_id"""
 
+  /** Component-size histogram over [[dedupGroups]] — the summary
+    * every dedup run reports (how much of the corpus sits in how-big
+    * near-dup clusters, and the doc count a keep-one policy frees).
+    * Two more groupBys over the (doc_id, keeper_id) assignment: keyed
+    * on keeper_id (cardinality ~ corpus) then on the tiny size
+    * domain — both trivially partial-aggregated. */
+  def dedupGroupSizes(spark: SparkSession, dir: String): DataFrame =
+    dedupGroups(spark, dir)
+      .groupBy(col("keeper_id")).agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("group_size") - 1).as("n_removable"))
+      .orderBy(col("group_size"))
+
+  val dedupGroupSizesSql: String =
+    s"""SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(group_size - 1) AS BIGINT) AS n_removable
+       FROM (
+         SELECT keeper_id, CAST(count(*) AS BIGINT) AS group_size
+         FROM ($dedupGroupsSql) GROUP BY keeper_id)
+       GROUP BY group_size ORDER BY group_size"""
+
   /** Incremental dedup — the production shape: a NEW batch of
     * documents checked against the EXISTING corpus (not a self-join).
     * Both sides run through one shared signature pipeline; the new

@@ -236,4 +236,52 @@ object Windows {
        FROM lineitem
        GROUP BY ROLLUP(l_returnflag, l_linestatus)
        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  /** Ordered conversion funnel over the event stream: users who
+    * viewed, then clicked STRICTLY AFTER their first view, then
+    * purchased strictly after that first qualifying click — the
+    * sequential-dependence query that plain conditional aggregation
+    * cannot express (each step's timestamp gates the next step's
+    * candidate set).
+    *
+    * Scale shape: three filtered groupBys and two equi-joins, all
+    * keyed on user_id — each stage shuffles once on the same high-
+    * cardinality key (co-partitioned under AQE), and each step's
+    * frame only shrinks. No windows, no self-cross. */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("step"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("step"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("step"), col("n_users")))
+      .orderBy(col("step"))
+  }
+
+  val eventFunnelSql: String =
+    """WITH e AS (
+         SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       v AS (SELECT user_id, min(ts) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY user_id),
+       c AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+             JOIN v ON e.user_id = v.user_id
+             WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+       p AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+             JOIN c ON e.user_id = c.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+       SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+       UNION ALL
+       SELECT '2_click' AS step, CAST(count(*) AS BIGINT) AS n_users FROM c
+       UNION ALL
+       SELECT '3_purchase' AS step, CAST(count(*) AS BIGINT) AS n_users FROM p
+       ORDER BY step"""
 }

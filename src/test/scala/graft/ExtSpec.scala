@@ -118,6 +118,39 @@ class ExtSpec extends AnyFunSuite {
     assert(labels.forall { case (id, k) => k <= id })
   }
 
+  test("dedup_group_sizes accounts for every corpus2 document") {
+    val rows = SparkEntry.queries("dedup_group_sizes")(spark, sf).collect()
+    val docsCovered = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(docsCovered == 650, s"histogram covers $docsCovered of 650 docs")
+    // removable = size-1 per group; triangles {orig, A, B} mean some
+    // groups of size >= 3 exist, singletons dominate
+    rows.foreach { r =>
+      assert(r.getLong(2) == (r.getLong(0) - 1) * r.getLong(1), s"n_removable wrong: $r")
+    }
+    assert(rows.map(_.getLong(0)).max >= 3, "no transitive group of size >= 3")
+  }
+
+  test("event_funnel steps are monotone and match a planted sequence") {
+    val rows = SparkEntry.queries("event_funnel")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1_view", "2_click", "3_purchase"))
+    val ns = rows.map(_.getLong(1))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), s"funnel not monotone: ${ns.toSeq}")
+    // planted micro-log: u1 completes the funnel, u2 clicks BEFORE
+    // viewing (must not count), u3 only views
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fn").toString
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    Seq((0L, t(1), 1L, "view", 1.0, "{}"), (1L, t(2), 1L, "click", 1.0, "{}"),
+        (2L, t(3), 1L, "purchase", 1.0, "{}"),
+        (3L, t(1), 2L, "click", 1.0, "{}"), (4L, t(2), 2L, "view", 1.0, "{}"),
+        (5L, t(1), 3L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("event_funnel")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("1_view" -> 3L, "2_click" -> 1L, "3_purchase" -> 1L), out.toString)
+  }
+
   test("knn_ivf returns ordered top-k bounded by the brute-force baseline") {
     val rows = SparkEntry.queries("knn_ivf")(spark, sf).collect()
     assert(rows.length == 40)   // 8 queries × 5 — probed cells are never starved
