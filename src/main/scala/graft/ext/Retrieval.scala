@@ -94,4 +94,59 @@ object Retrieval {
        ORDER BY score_micro DESC, doc_id
        LIMIT $TOPK"""
   }
+
+  /** Per-document keyword extraction: top 3 tokens by rational
+    * tf-idf — tf × floor(N·10⁶/df) in exact integer ppm (the idf is
+    * monotone in N/df, so the ranking matches log-idf's; no libm).
+    * The per-doc head is a window over doc_id — a high-cardinality
+    * partition key, so the rank filter compiles to WindowGroupLimit
+    * (per-partition heads, no global sort of the (doc, token) space).
+    *
+    * Scale shape: one explode feeding TWO aggregates off one
+    * materialized occurrence frame (tf keyed on (doc, token), df on
+    * token), one equi-join back on token, corpus N broadcast as a
+    * 1-row cross join. Everything shuffles on token or (doc, token)
+    * — high-cardinality, skew-bounded by stopword frequency. */
+  def keywordTopk(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode_outer(toks(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      // referenced by BOTH aggregates — materialize the explode once
+      .transform(graft.util.Fence.lineage)
+    val tf = occ.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = occ.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val scored = tf.join(df_, Seq("token")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        (col("tf") * floor(col("n") * 1000000.0 / col("df")).cast("long"))
+          .cast("long").as("score_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("token"), col("score_ppm"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val keywordTopkSql: String =
+    s"""WITH t AS (
+         SELECT doc_id, unnest(${toksSql("text")}) AS token FROM documents),
+       tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+       df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token),
+       n AS (SELECT count(*) AS n FROM documents),
+       scored AS (
+         SELECT tf.doc_id, tf.token,
+           CAST(tf.tf * CAST(floor(n.n * 1000000.0 / df.df) AS BIGINT) AS BIGINT) AS score_ppm
+         FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+       ranked AS (
+         SELECT doc_id, token, score_ppm,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, token) AS rank
+         FROM scored)
+       SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, score_ppm
+       FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
 }

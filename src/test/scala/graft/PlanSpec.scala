@@ -101,6 +101,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("keyword_topk per-doc heads push down as WindowGroupLimit") {
+    val p = planOf("keyword_topk")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=3 did not push into the window — full (doc, token) space sorts")
+    assert(p.contains("Scan ExistingRDD"), "occurrence fence missing — " +
+      "the explode would run once per aggregate")
+  }
+
   test("filters and pruning reach the parquet scan in the flagship report") {
     val p = SparkEntry.queries("report_metrics")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -151,6 +151,31 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("keyword_topk prefers rare dense terms over stopwords") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kw").toString
+    // "zebra" appears 3x in doc 1 only; "the" is everywhere — tf-idf
+    // must rank zebra first despite equal tf
+    Seq((1L, "the zebra the zebra the zebra", "en", "s", 9L),
+        (2L, "the quick brown fox the lazy dog", "en", "s", 9L),
+        (3L, "the and of in the and of in", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("keyword_topk")(spark, dir).collect()
+    val doc1 = out.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    assert(doc1.head.getString(2) == "zebra",
+      s"doc 1 top keyword should be zebra: ${doc1.map(_.getString(2)).toSeq}")
+    // every doc gets at most 3 keywords, ranks contiguous from 1
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // scores within a doc are non-increasing by rank
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val s = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("distinct_sketch estimate lands within the bucket-min error bound") {
     // sf0.01: every source holds >1000 distinct shingles, the n >> P
     // regime the estimator is specified for (P=256 -> sigma ~ 6%)
