@@ -184,6 +184,23 @@ object StreamEtl {
       }
   }
 
+  /** Stream-static enrichment join — the reference's per-row
+    * dimension lookups (`pull_report.pl`'s customer→project→file
+    * chain, SURVEY §2.3 J2/J3) re-expressed in the streaming path:
+    * each parsed line is joined against a STATIC asset-catalog
+    * DataFrame on `name`. Structured Streaming re-plans the static
+    * side every micro-batch (a catalog refresh between batches is
+    * picked up without restarting), and a small dim side broadcasts,
+    * so the stream side never shuffles. Left join + explicit default:
+    * an uncatalogued asset must flow through tagged, not vanish —
+    * the N/A-format rule (F3) applied to enrichment. */
+  def enrichedStream(spark: SparkSession, inputGlob: String,
+                     assetDim: DataFrame): DataFrame =
+    parseLines(spark.readStream.text(inputGlob))
+      .join(broadcast(assetDim), Seq("name"), "left")
+      .withColumn("category",
+        coalesce(col("category"), lit("uncategorized")))
+
   /** Streaming per-hour per-status counts with late-data drop — the
     * §2.7 windowed-aggregation extension. Append mode: a window only
     * emits once the watermark passes it (deterministic final counts). */

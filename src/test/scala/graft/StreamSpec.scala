@@ -269,4 +269,39 @@ class StreamSpec extends AnyFunSuite {
     assert(emitted.toSet == batch.toSet,
       "emitted windows diverged from the batch aggregation")
   }
+
+  test("enrichedStream joins the static asset catalog per micro-batch") {
+    val base = Files.createTempDirectory("graft_enrich").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    new java.io.File(in).mkdirs()
+    val lines = Style5.renderedLines(spark, sf).filter(col("event_id") < 500)
+    lines.select("line").coalesce(1).write.mode("overwrite").text(s"$in/f1")
+    // static catalog: half the distinct asset names, hash-categorized
+    // — the other half must surface as 'uncategorized', not vanish
+    val dim = StreamEtl.parseLines(spark.read.text(s"$in/f1"))
+      .select(col("name")).distinct()
+      .filter(graft.util.Hashing.phash(col("name")) % 2 === 0)
+      .withColumn("category",
+        concat(lit("cat"), (graft.util.Hashing.phash(col("name")) % 3).cast("string")))
+    val q = StreamEtl.enrichedStream(spark, s"$in/*", dim)
+      .select(col("name"), col("category"), col("bytes_sent"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+    assert(streamed.count() == 500, "enrichment dropped or duplicated rows")
+    // per-category totals must match the batch-side join exactly
+    val batchTwin = StreamEtl.parseLines(spark.read.text(s"$in/f1"))
+      .join(dim, Seq("name"), "left")
+      .withColumn("category", coalesce(col("category"), lit("uncategorized")))
+      .groupBy("category").agg(count(lit(1)).as("n"), sum("bytes_sent").as("b"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = streamed
+      .groupBy("category").agg(count(lit(1)).as("n"), sum("bytes_sent").as("b"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == batchTwin, s"stream/batch enrichment diverged: $got vs $batchTwin")
+    assert(got.contains("uncategorized"), "left-join default lane is empty")
+  }
 }
