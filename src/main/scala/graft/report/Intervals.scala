@@ -1,0 +1,127 @@
+package graft.report
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.util.Exact
+
+/** Interval (overlap) joins and time-range rolling aggregates — the
+  * two time-range operators Spark has no native physical strategy
+  * for (alongside [[AsOf]]'s point-in-time join; SURVEY.md §2.4 notes
+  * the reference has none of the three — these are §7 capability
+  * extensions for time-series enrichment).
+  *
+  * A naive interval join (`a.start <= b.ts AND b.ts <= a.end`) is a
+  * theta-join: Catalyst can only plan it as BroadcastNestedLoopJoin
+  * — O(|A|·|B|) and an O(N) broadcast when neither side is tiny. The
+  * scale shape used here is the standard COARSE-BUCKET decomposition
+  * (same W-bucket scheme as [[AsOf]]):
+  *
+  *  1. each interval explodes into the W-width time buckets it
+  *     covers — for bounded-length intervals (here: fixed 2 h) that
+  *     is ≤ len/W + 1 rows each, a constant fan-out;
+  *  2. each point row lands in exactly ONE bucket, so the bucket
+  *     equi-join emits every true (point, interval) pair exactly
+  *     once — no post-join dedup — plus only the false candidates
+  *     that share a bucket but miss the range predicate;
+  *  3. both sides SHUFFLE on the high-cardinality (type, bucket)
+  *     key. The interval side here is ~0.5% of events — O(N), so it
+  *     must never broadcast (the round-2 as-of lesson); per-cell
+  *     work is bounded by interval density × W, with W the knob.
+  */
+object Intervals {
+
+  /** Bucket width (seconds). Intervals are LEN-long, so each explodes
+    * into at most LEN/W + 1 = 3 buckets. */
+  private val W = 3600L
+  private val LEN = 7200L
+
+  /** Maintenance-window enrichment: every `event_id % 199 == 0` event
+    * opens a 2 h window for its event_type (deterministic, so the
+    * oracle rebuilds it exactly); each window reports how many
+    * same-type events fall inside it [w_start, w_start+2h] and their
+    * value total. The window's own opening event is inside by
+    * construction, so the join is inner. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("value"),
+        floor(unix_timestamp(col("ts")) / W).cast("long").as("bucket"))
+    // unix_timestamp truncates sub-second parts; floor(floor(x)/W) ==
+    // floor(x/W) for integer W, so buckets match DuckDB's
+    // floor(epoch(ts)/W) exactly (same argument as AsOf)
+    val wins = Tables.events(spark, dir)
+      .filter(col("event_id") % 199 === 0)
+      .select(col("event_id").as("window_id"),
+        col("event_type").as("w_type"), col("ts").as("w_start"),
+        (col("ts") + expr(s"INTERVAL $LEN SECONDS")).as("w_end"),
+        floor(unix_timestamp(col("ts")) / W).cast("long").as("bs"),
+        floor((unix_timestamp(col("ts")) + LEN) / W).cast("long").as("be"))
+    val winsExp = wins
+      .select(col("window_id"), col("w_type"), col("w_start"), col("w_end"),
+        explode(sequence(col("bs"), col("be"))).as("bucket"))
+    // no broadcast hint: the interval side is O(N) by construction —
+    // this must stay a shuffle equi-join at scale
+    ev.join(winsExp,
+        ev("event_type") === winsExp("w_type") &&
+        ev("bucket") === winsExp("bucket") &&
+        ev("ts") >= winsExp("w_start") && ev("ts") <= winsExp("w_end"))
+      .groupBy(col("window_id"), col("w_type"))
+      .agg(count(lit(1)).as("n_events"),
+           Exact.moneySum(col("value")).as("sum_value"))
+      .orderBy(col("window_id"))
+  }
+
+  val intervalJoinSql: String =
+    s"""WITH src AS (
+         SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+         FROM events),
+       wins AS (
+         SELECT event_id AS window_id, event_type AS w_type,
+           ts AS w_start, ts + INTERVAL $LEN SECOND AS w_end
+         FROM src WHERE event_id % 199 = 0)
+       SELECT w.window_id, w.w_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         ${Exact.moneySumSql("e.value")} AS sum_value
+       FROM src e JOIN wins w
+         ON e.event_type = w.w_type
+        AND e.ts >= w.w_start AND e.ts <= w.w_end
+       GROUP BY w.window_id, w.w_type
+       ORDER BY w.window_id"""
+
+  /** Trailing 7-day per-user activity (RANGE frame): for every event,
+    * the count and value total of that user's events in the preceding
+    * week (inclusive). The window partitions on user_id — high
+    * cardinality, so state per partition-key is one user's horizon,
+    * never the table — and the frame is a RANGE over epoch seconds,
+    * so peer rows (same second) aggregate identically in any engine.
+    * Value sums ride as exact integer cents (portable-rounded per
+    * row) — no accumulated-double drift. */
+  def rollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("es"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+      .rangeBetween(-(7L * 86400 - 1), Window.currentRow)
+    ev.withColumn("trailing_cnt", count(lit(1)).over(w))
+      .withColumn("trailing_cents", sum(col("cents")).over(w))
+      .select(col("event_id"), col("user_id"), col("es"),
+        col("trailing_cnt"), col("trailing_cents"))
+      .orderBy(col("event_id"))
+  }
+
+  val rollingWindowSql: String =
+    s"""WITH src AS (
+         SELECT event_id, user_id,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         FROM events)
+       SELECT event_id, user_id, es,
+         CAST(count(*) OVER w AS BIGINT) AS trailing_cnt,
+         CAST(sum(cents) OVER w AS BIGINT) AS trailing_cents
+       FROM src
+       WINDOW w AS (PARTITION BY user_id ORDER BY es
+                    RANGE BETWEEN ${7L * 86400 - 1} PRECEDING AND CURRENT ROW)
+       ORDER BY event_id"""
+}

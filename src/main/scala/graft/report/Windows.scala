@@ -284,4 +284,35 @@ object Windows {
        UNION ALL
        SELECT '3_purchase' AS step, CAST(count(*) AS BIGINT) AS n_users FROM p
        ORDER BY step"""
+
+  /** Per-user-per-day event trajectory assembly — the "user session
+    * string" input to behavioral-sequence training data (and the
+    * classic secondary-sort shape: order rows WITHIN each group
+    * without a global sort). One shuffle on the high-cardinality
+    * (user_id, day) key; the per-group array is bounded by one
+    * user's single-day activity — the day component is what makes
+    * the state bound structural rather than assumed. Ordering inside
+    * the group is total ((ts, event_id) — event_id breaks same-second
+    * ties identically in both engines). */
+  def sequenceEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("event_type"))
+    ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x("event_type")),
+          ">").as("path"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val sequenceEventsSql: String =
+    """SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         string_agg(event_type, '>' ORDER BY CAST(ts AS TIMESTAMP), event_id) AS path
+       FROM events
+       GROUP BY 1, 2
+       ORDER BY user_id, day"""
 }

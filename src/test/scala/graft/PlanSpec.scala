@@ -109,6 +109,27 @@ class PlanSpec extends AnyFunSuite {
       "the explode would run once per aggregate")
   }
 
+  test("interval_join stays a bucket equi-join, never a theta nested loop") {
+    val p = planOf("interval_join")
+    // the naive start<=ts<=end form plans as BroadcastNestedLoopJoin
+    // — the O(N) interval side must never be a broadcast build side
+    assert(!p.contains("CartesianProduct"), "interval join has a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "interval join degraded to a theta nested-loop join")
+  }
+
+  test("rolling_window partitions on user_id — no single-partition window") {
+    val plan = SparkEntry.queries("rolling_window")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // a Window with an empty partition spec moves all rows to one
+    // partition (Spark even warns); assert the window operator line
+    // carries the user_id partition key (tree lines are '+- Window
+    // [...windowspecdefinition(user_id...], [user_id], [es ASC...')
+    val wLine = plan.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(wLine.contains("windowspecdefinition(user_id"),
+      s"window not keyed by user_id: $wLine")
+  }
+
   test("filters and pruning reach the parquet scan in the flagship report") {
     val p = SparkEntry.queries("report_metrics")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -65,4 +65,55 @@ class ReportSpec extends AnyFunSuite {
       assert(alt == base, s"asof result changed at bucket width $w")
     }
   }
+
+  test("interval_join matches the naive theta-join on window count and membership") {
+    import org.apache.spark.sql.functions._
+    val bucketed = SparkEntry.queries("interval_join")(spark, sf)
+    // independent naive computation (theta join — fine at sf0.001):
+    // every window must report exactly the events a direct range
+    // predicate finds, proving the bucket decomposition loses/dups none
+    val ev = graft.model.Tables.events(spark, sf)
+    val wins = ev.filter(col("event_id") % 199 === 0)
+      .select(col("event_id").as("window_id"), col("event_type").as("w_type"),
+        col("ts").as("w_start"))
+    val naive = ev.join(wins, ev("event_type") === wins("w_type") &&
+        ev("ts") >= wins("w_start") &&
+        ev("ts") <= wins("w_start") + expr("INTERVAL 7200 SECONDS"))
+      .groupBy(col("window_id")).agg(count(lit(1)).as("n_naive"))
+    val joined = bucketed.join(naive, Seq("window_id"), "full")
+    assert(joined.filter(col("n_events").isNull || col("n_naive").isNull ||
+      col("n_events") =!= col("n_naive")).count() == 0,
+      "bucketed interval join disagrees with the naive range predicate")
+    // each window contains at least its own opening event
+    assert(bucketed.filter(col("n_events") < 1).count() == 0)
+  }
+
+  test("rolling_window trailing counts include the current row and only look back") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("rolling_window")(spark, sf)
+    assert(df.filter(col("trailing_cnt") < 1).count() == 0)
+    // a user's max trailing_cnt can never exceed their total events
+    val totals = graft.model.Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("total"))
+    val bad = df.groupBy(col("user_id")).agg(max(col("trailing_cnt")).as("mx"))
+      .join(totals, Seq("user_id"))
+      .filter(col("mx") > col("total"))
+    assert(bad.count() == 0)
+  }
+
+  test("sequence_events path arity equals the group count and respects ts order") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("sequence_events")(spark, sf)
+    // path has exactly n_events segments
+    val bad = df.filter(size(split(col("path"), ">")) =!= col("n_events"))
+    assert(bad.count() == 0, "path segment count disagrees with n_events")
+    // spot-check one multi-event group against an independent sort
+    val g = df.filter(col("n_events") >= 3).orderBy(col("user_id"), col("day")).head()
+    val (uid, day) = (g.getLong(0), g.getDate(1))
+    val expected = graft.model.Tables.events(spark, sf)
+      .filter(col("user_id") === uid && to_date(col("ts")) === lit(day))
+      .orderBy(col("ts"), col("event_id"))
+      .select(col("event_type")).collect().map(_.getString(0)).mkString(">")
+    assert(g.getString(3) == expected)
+  }
 }
