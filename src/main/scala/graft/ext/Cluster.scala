@@ -130,4 +130,70 @@ object Cluster {
        ${assignSql("cents", "a2")}
        SELECT vec_id, cluster, dist2 FROM a2 ORDER BY vec_id"""
   }
+
+  /** Per-label embedding outliers — the mislabeled/noisy-sample sweep
+    * of an embedding-curated corpus: the 5 vectors farthest from
+    * their label's centroid. Scored EXACTLY in integers by comparing
+    * n-scaled vectors against the per-label component SUM (never a
+    * mean): dist2n = Σ_d (n·x_d − S_d)² orders identically to true
+    * centroid distance within a label (it is n² × that distance).
+    *
+    * Scale shape: S is one (label, dim) partial-sum shuffle capped by
+    * map-side combine at L·DIM rows per partition (same exchange as
+    * the k-means update); the L×DIM centroid frame broadcasts; scoring
+    * is a narrow broadcast-join map; the per-label head compiles to
+    * WindowGroupLimit (top-5 retained per partition before the
+    * shuffle). Overflow bound: |n·x − S| ≤ 2n·10³, so dist2n ≤
+    * 4·10⁶·n²·DIM — safe in 64-bit to n ≈ 10⁵ rows/label at DIM=64;
+    * past that, switch the score to floor-of-mean micro-units (the
+    * k-means centroid construction) at the cost of n²-exactness. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"))
+      .transform(graft.util.Fence.lineage)
+    val sums = e.select(col("label"), posexplode_outer(col("qv")).as(Seq("pos", "v")))
+      .filter(col("pos").isNotNull)
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s"))
+    val cent = sums.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .select(col("label"), transform(col("ps"), p => p.getField("s")).as("sv"))
+    val n = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val scored = e.join(broadcast(cent), Seq("label"))
+      .join(broadcast(n), Seq("label"))
+      .withColumn("dist2n", aggregate(
+        zip_with(col("qv"), col("sv"), (x, s) => (x * col("n") - s) * (x * col("n") - s)),
+        lit(0L), _ + _))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("dist2n").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("label"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("dist2n"))
+      .orderBy(col("label"), col("rank"))
+  }
+
+  val embeddingOutliersSql: String =
+    s"""WITH e AS (SELECT vec_id, label, $quantSql AS qv FROM embeddings),
+       dims AS (
+         SELECT label, unnest(generate_series(1, $DIM)) AS pos, unnest(qv) AS v
+         FROM e),
+       cent AS (
+         SELECT label, list(s ORDER BY pos) AS sv FROM (
+           SELECT label, pos, CAST(sum(v) AS BIGINT) AS s
+           FROM dims GROUP BY label, pos) GROUP BY label),
+       n AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY label),
+       scored AS (
+         SELECT e.vec_id, e.label,
+           CAST(list_sum(list_transform(generate_series(1, $DIM),
+             i -> (e.qv[i] * n.n - c.sv[i]) * (e.qv[i] * n.n - c.sv[i]))) AS BIGINT)
+             AS dist2n
+         FROM e JOIN cent c USING (label) JOIN n USING (label)),
+       ranked AS (
+         SELECT label, vec_id, dist2n,
+           row_number() OVER (PARTITION BY label ORDER BY dist2n DESC, vec_id) AS rank
+         FROM scored)
+       SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, dist2n
+       FROM ranked WHERE rank <= 5 ORDER BY label, rank"""
 }

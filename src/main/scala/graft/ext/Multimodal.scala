@@ -72,6 +72,56 @@ object Multimodal {
          ${Hashing.phashSql("text", "px_")} % 256 AS fake_brightness
        FROM m ORDER BY media_id"""
 
+  /** Exact binary dedup over the media table — content-hash groupBy
+    * on the blob bytes, the image/audio counterpart of the text
+    * `dedup_exact` pass, plus the storage accounting a curation run
+    * reports (copies beyond the keeper are reclaimable bytes). One
+    * shuffle on the content hash; the blob itself never shuffles —
+    * only (hash, id, n_bytes) rides the exchange, so row width stays
+    * bytes-free no matter how large the media get. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = mediaTable(spark, dir)
+    // the raw corpus has no byte-exact copies (its twins differ by a
+    // suffix token) — inject exact replicas deterministically so the
+    // dedup path has real positives and the oracle rebuilds them
+    val copies = base.filter(col("media_id") % 7 === 0)
+      .select((col("media_id") + 500000).as("media_id"), col("blob"), col("meta"))
+    val m = base.unionAll(copies).select(
+      col("media_id"),
+      Hashing.phash(col("blob").cast("string"), "blob_").as("content_key"),
+      octet_length(col("blob")).cast("long").as("n_bytes"))
+    m.groupBy(col("content_key"))
+      .agg(count(lit(1)).as("n_copies"),
+           min(col("media_id")).as("keeper_id"),
+           // copies of one content share a byte size — any aggregate
+           // of n_bytes is THE size; min is deterministic
+           min(col("n_bytes")).as("n_bytes"))
+      .filter(col("n_copies") >= 2)
+      .withColumn("reclaimable_bytes", (col("n_copies") - 1) * col("n_bytes"))
+      .select(col("keeper_id"), col("content_key"), col("n_copies"),
+        col("n_bytes"), col("reclaimable_bytes"))
+      .orderBy(col("keeper_id"))
+  }
+
+  val mediaDedupSql: String =
+    s"""WITH b AS (
+         SELECT doc_id AS media_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 500000 AS media_id, text FROM documents
+         WHERE doc_id % 7 = 0),
+       m AS (
+         SELECT media_id,
+           ${Hashing.phashSql("text", "blob_")} AS content_key,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM b),
+       g AS (
+         SELECT content_key, CAST(count(*) AS BIGINT) AS n_copies,
+           min(media_id) AS keeper_id, min(n_bytes) AS n_bytes
+         FROM m GROUP BY content_key)
+       SELECT keeper_id, content_key, n_copies, n_bytes,
+         CAST((n_copies - 1) * n_bytes AS BIGINT) AS reclaimable_bytes
+       FROM g WHERE n_copies >= 2 ORDER BY keeper_id"""
+
   /** Decoded-frame record produced by the batch kernel. */
   case class FrameFeature(media_id: Long, frame_idx: Int, brightness: Double)
 

@@ -319,4 +319,40 @@ class ExtSpec extends AnyFunSuite {
       "markup stripping altered the main text")
     assert(joined.filter(col("clean_len") >= col("raw_len")).count() == 0)
   }
+
+  test("media_dedup finds every injected exact copy and only those") {
+    val df = SparkEntry.queries("media_dedup")(spark, sf)
+    val docs = graft.model.Tables.documents(spark, sf)
+    // injected replicas: one per doc_id % 7 == 0 (assuming the raw
+    // corpus has no byte-exact dups, which dedup_exact's n_copies==1
+    // invariant already pins)
+    val expected = docs.filter(col("doc_id") % 7 === 0).count()
+    assert(df.count() == expected, s"expected $expected duplicate groups")
+    assert(df.filter(col("n_copies") < 2).count() == 0)
+    assert(df.filter(
+      col("reclaimable_bytes") =!= (col("n_copies") - 1) * col("n_bytes")).count() == 0)
+  }
+
+  test("embedding_outliers returns 5 ranked outliers per label, farthest first") {
+    val rows = SparkEntry.queries("embedding_outliers")(spark, sf).collect()
+    val byLabel = rows.groupBy(_.getInt(0))
+    assert(byLabel.values.forall(_.length == 5))
+    for ((_, rs) <- byLabel) {
+      val d = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(d.zip(d.tail).forall { case (a, b) => a >= b },
+        "dist2n not non-increasing with rank")
+    }
+  }
+
+  test("column_profile reports consistent counts over a null-free table") {
+    val df = SparkEntry.queries("column_profile")(spark, sf)
+    assert(df.count() == 11)
+    val n = graft.model.Tables.lineitem(spark, sf).count()
+    assert(df.filter(col("n_rows") =!= n).count() == 0)
+    // driver test data has no nulls; distinct <= rows; flags are tiny
+    assert(df.filter(col("n_nulls") =!= 0).count() == 0)
+    assert(df.filter(col("n_distinct") > col("n_rows")).count() == 0)
+    val flag = df.filter(col("col_name") === "l_returnflag").head()
+    assert(flag.getLong(3) <= 3, "l_returnflag has more than 3 distinct values")
+  }
 }

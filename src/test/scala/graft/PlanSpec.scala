@@ -130,6 +130,23 @@ class PlanSpec extends AnyFunSuite {
       s"window not keyed by user_id: $wLine")
   }
 
+  test("embedding_outliers: broadcast centroid join, per-label head pushed down") {
+    val p = planOf("embedding_outliers")
+    assert(p.contains("WindowGroupLimit"), "rank<=5 did not push down")
+    assert(p.contains("BroadcastExchange"), "centroid frame is not broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("column_profile is one scan: multi-distinct via a single Expand") {
+    val p = planOf("column_profile")
+    assert(p.contains("Expand"), "multi-distinct did not plan through Expand")
+    // one parquet scan of lineitem — a second scan would mean the
+    // unpivot re-reads the table
+    val scans = p.linesIterator.count(l => l.contains("FileScan parquet") ||
+      l.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly 1 scan, saw $scans")
+  }
+
   test("filters and pruning reach the parquet scan in the flagship report") {
     val p = SparkEntry.queries("report_metrics")(spark, sf)
       .queryExecution.executedPlan.toString
