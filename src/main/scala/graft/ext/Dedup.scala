@@ -115,9 +115,10 @@ object Dedup {
       .withColumn("sh", shingles(col("text")))
       .withColumn("hs", array_distinct(
         transform(col("sh"), s => Hashing.phash(s) % 4294967296L)))
-      .withColumn("sig", array(affine.map { case (a, b) =>
-        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % MODP))
-      }: _*))
+      // fused native expression — one pass over hs with K running
+      // minima, vs K transform+array_min array materializations
+      // (identical semantics; see graft.functions.MinHashSig)
+      .withColumn("sig", graft.functions.MinHashSig(col("hs"), affine, MODP))
       .select(col("doc_id"), col("hs"), col("sig"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       // the repartition alone does NOT stop PushDownPredicates: the
@@ -593,9 +594,7 @@ object Dedup {
       .select(col("source"), col("doc_id"), array_distinct(
         transform(tokens(col("text")), t => Hashing.phash(t, "ng_") % 4294967296L))
         .as("hs"))
-      .withColumn("sig", array(affine.map { case (a, b) =>
-        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % MODP))
-      }: _*))
+      .withColumn("sig", graft.functions.MinHashSig(col("hs"), affine, MODP))
       // barrier: the band explode references `sig` 8× and the verify
       // references `hs` — fence the minhash pipeline so the optimizer
       // can't inline it once per reference (single-split test parquet)
