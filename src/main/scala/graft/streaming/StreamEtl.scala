@@ -201,6 +201,34 @@ object StreamEtl {
       .withColumn("category",
         coalesce(col("category"), lit("uncategorized")))
 
+  /** Stream-STREAM interval join — correlates the two live server
+    * feeds the reference could only process in separate cron passes
+    * (real_parse.pl and web_parse.pl each own a format; SURVEY §3.3):
+    * a RealServer access joined to same-client Caudium web hits
+    * within ±30 minutes ("which streaming clients also pulled the
+    * web assets, live"). Both sides carry watermarks and the join
+    * condition carries the time range, so Spark bounds the buffered
+    * state on each side to watermark + range — the state-cleanup
+    * contract stream-stream joins require. Inner join: rows emit as
+    * soon as both sides arrive (append mode safe). */
+  def crossServerJoin(spark: SparkSession, rsGlob: String,
+                      webGlob: String): DataFrame = {
+    val r = parseLines(spark.readStream.text(rsGlob))
+      .select(col("client_ip_address").as("ip"), col("datetime").as("r_time"),
+        col("name").as("r_name"), col("bytes_sent").as("r_bytes"))
+      .withWatermark("r_time", "1 hour")
+    val w = parseWebLines(spark.readStream.text(webGlob))
+      .select(col("client_ip_address").as("w_ip"),
+        col("datetime").as("w_time"), col("name").as("w_name"),
+        col("bytes_sent").as("w_bytes"))
+      .withWatermark("w_time", "1 hour")
+    r.join(w, col("ip") === col("w_ip") &&
+        col("w_time") >= col("r_time") - expr("INTERVAL 30 MINUTES") &&
+        col("w_time") <= col("r_time") + expr("INTERVAL 30 MINUTES"))
+      .select(col("ip"), col("r_time"), col("w_time"),
+        col("r_name"), col("w_name"), col("r_bytes"), col("w_bytes"))
+  }
+
   /** Streaming per-hour per-status counts with late-data drop — the
     * §2.7 windowed-aggregation extension. Append mode: a window only
     * emits once the watermark passes it (deterministic final counts). */

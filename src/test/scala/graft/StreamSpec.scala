@@ -304,4 +304,58 @@ class StreamSpec extends AnyFunSuite {
     assert(got == batchTwin, s"stream/batch enrichment diverged: $got vs $batchTwin")
     assert(got.contains("uncategorized"), "left-join default lane is empty")
   }
+
+  test("crossServerJoin: stream-stream interval join matches the batch twin " +
+       "across a rotation restart") {
+    val base = Files.createTempDirectory("graft_ssjoin").toString
+    val rsIn = s"$base/rs"; val webIn = s"$base/web"; val out = s"$base/out"
+    new java.io.File(rsIn).mkdirs(); new java.io.File(webIn).mkdirs()
+    val rsLines = Style5.renderedLines(spark, sf).cache()
+    val webLines = graft.parse.WebLog.renderedLines(spark, sf).cache()
+
+    def runOnce(): Unit = {
+      val q = StreamEtl.crossServerJoin(spark, s"$rsIn/*", s"$webIn/*")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", s"$base/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    rsLines.filter(col("event_id") < 400).select("line")
+      .coalesce(1).write.mode("overwrite").text(s"$rsIn/f1")
+    webLines.filter(col("event_id") < 400).select("line")
+      .coalesce(1).write.mode("overwrite").text(s"$webIn/f1")
+    runOnce()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 > 0, "stream-stream join emitted nothing")
+
+    // rotate: each server gets a second file; the restart must join
+    // new-vs-new AND new-vs-buffered-old pairs exactly once
+    rsLines.filter(col("event_id") >= 400 && col("event_id") < 700).select("line")
+      .coalesce(1).write.mode("overwrite").text(s"$rsIn/f2")
+    webLines.filter(col("event_id") >= 400 && col("event_id") < 700).select("line")
+      .coalesce(1).write.mode("overwrite").text(s"$webIn/f2")
+    runOnce()
+
+    // batch twin over the full universe
+    val rBatch = StreamEtl.parseLines(spark.read.text(s"$rsIn/*"))
+      .select(col("client_ip_address").as("ip"), col("datetime").as("r_time"),
+        col("bytes_sent").as("r_bytes"))
+    val wBatch = spark.read.text(s"$webIn/*")
+      .filter(col("value").rlike("\\.wma|\\.wmv"))
+      .filter(col("value").rlike(Style5.timestampShapeRe + graft.parse.WebLog.webRe))
+      .select(graft.parse.WebLog.webFieldCols(col("value")): _*)
+      .select(col("client_ip_address").as("w_ip"),
+        col("datetime").as("w_time"), col("bytes_sent").as("w_bytes"))
+    val batch = rBatch.join(wBatch, col("ip") === col("w_ip") &&
+        col("w_time") >= col("r_time") - expr("INTERVAL 30 MINUTES") &&
+        col("w_time") <= col("r_time") + expr("INTERVAL 30 MINUTES"))
+    val streamed = spark.read.parquet(out)
+    assert(streamed.count() == batch.count(),
+      "stream-stream join row count diverged from the batch twin")
+    val sB = batch.agg(sum(col("r_bytes") + col("w_bytes"))).head().getLong(0)
+    val sS = streamed.agg(sum(col("r_bytes") + col("w_bytes"))).head().getLong(0)
+    assert(sS == sB, "stream-stream join payload diverged from the batch twin")
+  }
 }
