@@ -420,4 +420,55 @@ object Corpus {
          max(t.quality_score) AS max_score
        FROM tiered t JOIN documents d ON t.doc_id = d.doc_id
        GROUP BY t.tier, d.lang ORDER BY tier, lang"""
+
+  /** Vocabulary coverage: per-document out-of-vocabulary token counts
+    * against the corpus top-V document-frequency vocabulary — the
+    * "how much of this corpus does a fixed tokenizer vocab cover"
+    * pre-training report. V is a constant, so the vocab side is a
+    * bounded broadcast no matter the corpus size (the vocab BUILD is
+    * the same df aggregate as [[vocabTopk]]: one shuffle capped by
+    * map-side combine at |distinct tokens| per partition, and top-V
+    * is a TakeOrderedAndProject, never a global sort). The per-doc
+    * pass is explode → broadcast left join → one doc_id groupBy.
+    * oov_ppm = floor(n_oov·10⁶ / n_tokens): exact-integer-numerator
+    * IEEE division + floor — bit-stable in both engines. */
+  private val VOCAB = 100
+
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"))
+    val vocab = docs
+      .select(explode_outer(array_distinct(toks(col("text")))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(VOCAB)
+      .select(col("token"), lit(1).as("in_vocab"))
+    val tok = docs.select(col("doc_id"), explode_outer(toks(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm",
+        floor(col("n_oov") * 1000000.0 / col("n_tokens")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oovRateSql: String =
+    s"""WITH v AS (
+         SELECT token FROM (
+           SELECT unnest(list_distinct(${toksSql("text")})) AS token
+           FROM documents)
+         GROUP BY token ORDER BY count(*) DESC, token LIMIT $VOCAB),
+       t AS (
+         SELECT doc_id, unnest(${toksSql("text")}) AS token FROM documents),
+       j AS (
+         SELECT t.doc_id,
+           CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+         FROM t LEFT JOIN v ON t.token = v.token)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(oov) AS BIGINT) AS n_oov,
+         CAST(floor(sum(oov) * 1000000.0 / count(*)) AS BIGINT) AS oov_ppm
+       FROM j GROUP BY doc_id ORDER BY doc_id"""
 }

@@ -3,7 +3,7 @@ package graft.report
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.util.Exact
+import graft.util.{Exact, Hashing}
 
 /** Incremental-load companions to the watermark filter (SURVEY.md
   * §2.3 F1, §2.4): the set-difference formulations the reference
@@ -74,4 +74,49 @@ object Incremental {
     s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        ${Exact.moneySumSql("value")} AS sum_value
        FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** Salted JOIN — [[saltedAgg]]'s sibling for the join side of the
+    * skew problem. `event_type` has a handful of values, so a plain
+    * shuffle join on it lands each type's ENTIRE fact volume in one
+    * task (the classic power-law straggler). Fix: replicate the small
+    * dim R ways (explode over the salt range) and shard the fact side
+    * deterministically (`event_id % R`); the join key becomes
+    * (event_type, salt) — R tasks per hot key. The shuffle_hash hint
+    * keeps the demonstration honest at test scale (the 40-row dim
+    * would otherwise auto-broadcast, which IS the right plan when the
+    * dim fits — salting is for when it doesn't, or when AQE's skew
+    * split can't help a hash-partitioned downstream). Enrichment is
+    * exact-integer: value cents × per-type rate_ppm, so the oracle
+    * (the UNSALTED plain join) matches bit-for-bit. */
+  private val R = 8
+
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        (col("event_id") % R).as("salt"))
+    val dim = Tables.events(spark, dir)
+      .select(col("event_type")).distinct()
+      .withColumn("rate_ppm", Hashing.phash(col("event_type"), "rate_") % 1000000L)
+      .withColumn("salt", explode(sequence(lit(0L), lit(R - 1L))))
+    ev.join(dim.hint("shuffle_hash"), Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("cents") * col("rate_ppm")).as("scaled_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val skewJoinSql: String =
+    s"""WITH ev AS (
+         SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         FROM events),
+       dim AS (
+         SELECT DISTINCT event_type,
+           ${Hashing.phashSql("event_type", "rate_")} % 1000000 AS rate_ppm
+         FROM events)
+       SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(ev.cents * dim.rate_ppm) AS BIGINT) AS scaled_sum
+       FROM ev JOIN dim ON ev.event_type = dim.event_type
+       GROUP BY ev.event_type ORDER BY ev.event_type"""
 }

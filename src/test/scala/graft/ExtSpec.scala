@@ -355,4 +355,41 @@ class ExtSpec extends AnyFunSuite {
     val flag = df.filter(col("col_name") === "l_returnflag").head()
     assert(flag.getLong(3) <= 3, "l_returnflag has more than 3 distinct values")
   }
+
+  test("oov_rate token totals agree with token_count and bound the OOV share") {
+    val oov = SparkEntry.queries("oov_rate")(spark, sf)
+    assert(oov.filter(col("n_oov") > col("n_tokens")).count() == 0)
+    assert(oov.filter(col("oov_ppm") < 0 || col("oov_ppm") > 1000000).count() == 0)
+    // same whitespace tokenization as token_count → corpus totals match
+    val total = oov.agg(sum(col("n_tokens"))).head().getLong(0)
+    val want = SparkEntry.queries("token_count")(spark, sf)
+      .agg(sum(col("ws_tokens"))).head().getLong(0)
+    assert(total == want, s"token universe diverged: $total vs $want")
+    // a corpus where the top-100 vocab covers something: not all OOV
+    assert(oov.filter(col("n_oov") < col("n_tokens")).count() > 0)
+  }
+
+  test("skew_join equals the plain unsalted join and shards each hot key R ways") {
+    val df = SparkEntry.queries("skew_join")(spark, sf)
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val dim = graft.model.Tables.events(spark, sf)
+      .select(col("event_type")).distinct()
+      .withColumn("rate_ppm",
+        graft.util.Hashing.phash(col("event_type"), "rate_") % 1000000L)
+    val plain = ev.join(dim, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("cents") * col("rate_ppm")).as("scaled_sum"))
+    val joined = df.join(plain.withColumnRenamed("n_events", "pn")
+        .withColumnRenamed("scaled_sum", "ps"), Seq("event_type"), "full")
+    assert(joined.filter(col("n_events").isNull || col("pn").isNull ||
+      col("n_events") =!= col("pn") || col("scaled_sum") =!= col("ps")).count() == 0,
+      "salted join result diverged from the plain join")
+    // the physical join must key on the salt (that's the whole point)
+    val p = df.queryExecution.executedPlan.toString
+    val joinLine = p.linesIterator.find(_.contains("ShuffledHashJoin")).getOrElse("")
+    assert(joinLine.contains("salt"), s"join not keyed by salt: $joinLine")
+  }
 }
