@@ -93,12 +93,14 @@ object Incremental {
   def skewJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        Exact.cents(col("value")).as("cents"),
         (col("event_id") % R).as("salt"))
     val dim = Tables.events(spark, dir)
       .select(col("event_type")).distinct()
       .withColumn("rate_ppm", Hashing.phash(col("event_type"), "rate_") % 1000000L)
-      .withColumn("salt", explode(sequence(lit(0L), lit(R - 1L))))
+      // explode_outer + isNotNull per the generator rule (CLAUDE.md)
+      .withColumn("salt", explode_outer(sequence(lit(0L), lit(R - 1L))))
+      .filter(col("salt").isNotNull)
     ev.join(dim.hint("shuffle_hash"), Seq("event_type", "salt"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -109,7 +111,7 @@ object Incremental {
   val skewJoinSql: String =
     s"""WITH ev AS (
          SELECT event_type,
-           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           ${Exact.centsSql("value")} AS cents
          FROM events),
        dim AS (
          SELECT DISTINCT event_type,

@@ -57,9 +57,14 @@ object Intervals {
         (col("ts") + expr(s"INTERVAL $LEN SECONDS")).as("w_end"),
         floor(unix_timestamp(col("ts")) / W).cast("long").as("bs"),
         floor((unix_timestamp(col("ts")) + LEN) / W).cast("long").as("be"))
+    // explode_outer + isNotNull: the CLAUDE.md generator rule — plain
+    // explode lets InferFiltersFromGenerate push a synthesized
+    // size(sequence(..))>0 filter below the projection with the
+    // expression inlined onto the scan
     val winsExp = wins
       .select(col("window_id"), col("w_type"), col("w_start"), col("w_end"),
-        explode(sequence(col("bs"), col("be"))).as("bucket"))
+        explode_outer(sequence(col("bs"), col("be"))).as("bucket"))
+      .filter(col("bucket").isNotNull)
     // no broadcast hint: the interval side is O(N) by construction —
     // this must stay a shuffle equi-join at scale
     ev.join(winsExp,
@@ -101,7 +106,7 @@ object Intervals {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
         unix_timestamp(col("ts")).as("es"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        Exact.cents(col("value")).as("cents"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
       .rangeBetween(-(7L * 86400 - 1), Window.currentRow)
     ev.withColumn("trailing_cnt", count(lit(1)).over(w))
@@ -115,7 +120,7 @@ object Intervals {
     s"""WITH src AS (
          SELECT event_id, user_id,
            CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
-           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           ${Exact.centsSql("value")} AS cents
          FROM events)
        SELECT event_id, user_id, es,
          CAST(count(*) OVER w AS BIGINT) AS trailing_cnt,

@@ -54,4 +54,13 @@ object Exact {
 
   def moneyAvgSql(x: String): String =
     pround2Sql(s"CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / count(*)")
+
+  /** Per-row money value as exact integer cents (portable HALF_UP):
+    * the form operators use when cents must SUM exactly as BIGINTs
+    * (rolling windows, salted enrichment). ONE definition, same drift
+    * rationale as [[pround4]].
+    * SQL twin: [[centsSql]]. */
+  def cents(x: Column): Column = floor(x * 100 + 0.5).cast("long")
+
+  def centsSql(x: String): String = s"CAST(floor(($x) * 100 + 0.5) AS BIGINT)"
 }

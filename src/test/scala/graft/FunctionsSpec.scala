@@ -30,15 +30,22 @@ class FunctionsSpec extends AnyFunSuite {
       "fused minhash diverges from the composed form")
   }
 
-  test("MinHashSig yields K nulls on an empty array and null on null input") {
+  test("MinHashSig yields K nulls on BOTH empty and null input (composed-form parity)") {
+    // the composed form gives array(NULL×K) for null hs too:
+    // transform(NULL)=NULL, array_min(NULL)=NULL, array(NULL..) is a
+    // NON-null array — a null text row must not diverge from the
+    // oracle (the sf1-replica class of red)
     val df = spark.range(1).select(
       MinHashSig(array().cast("array<long>"), Dedup.affine, Dedup.MODP).as("e"),
-      MinHashSig(lit(null).cast("array<long>"), Dedup.affine, Dedup.MODP).as("n"))
+      MinHashSig(lit(null).cast("array<long>"), Dedup.affine, Dedup.MODP).as("n"),
+      composed(lit(null).cast("array<long>")).as("ref"))
     val row = df.head()
     val e = row.getSeq[Any](0)
     assert(e.length == Dedup.affine.length && e.forall(_ == null),
       "empty input must give K null minima (array_min-of-empty semantics)")
-    assert(row.isNullAt(1), "null input must stay null")
+    assert(!row.isNullAt(1), "null input must give the K-null array, not NULL")
+    assert(row.getSeq[Any](1) == row.getSeq[Any](2),
+      "null-input result diverged from the composed form")
   }
 
   test("MinHashSig interpreted eval matches codegen") {
@@ -48,7 +55,7 @@ class FunctionsSpec extends AnyFunSuite {
     val expr = MinHashSig(
       org.apache.spark.sql.catalyst.expressions.Literal.create(hs,
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
-      Dedup.affine.map(_._1).toArray, Dedup.affine.map(_._2).toArray, Dedup.MODP)
+      Dedup.affine.map(_._1), Dedup.affine.map(_._2), Dedup.MODP)
     val interp = expr.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toLongArray.toSeq
     val viaPlan = spark.range(1)
