@@ -6,19 +6,23 @@ import graft.model.Tables
 
 /** Dataset audit/profiling — the pre-flight sweep every large-scale
   * ingest runs before committing compute: per-column null counts,
-  * exact distinct cardinalities, and value ranges, in ONE pass over
-  * the table (the reference has no audit surface at all; its parser
-  * silently skips malformed rows — SURVEY.md §2.2 P-ops — so this is
-  * the §7 "know your corpus before you train on it" extension).
+  * exact distinct cardinalities, and value ranges (the reference has
+  * no audit surface at all; its parser silently skips malformed rows
+  * — SURVEY.md §2.2 P-ops — so this is the §7 "know your corpus
+  * before you train on it" extension).
   *
-  * Shape: a single wide aggregate — Catalyst plans the multi-DISTINCT
-  * via one Expand (×|cols| row fan-out) and a single shuffle keyed by
-  * the distinct groups; min/max/null counts ride the same pass. The
-  * per-column result rows are then unpivoted from the one aggregate
-  * row with an `explode(array(struct...))` — no driver-side loop, no
-  * second scan. At 100 TB the exact DISTINCT is the knob to relax:
-  * swap `countDistinct` for `approx_count_distinct` (HLL++, no
-  * Expand) — kept exact here because the oracle hash-compares, and
+  * Shape: ONE AGGREGATE PER COLUMN, unioned. The tempting
+  * alternative — a single wide aggregate with 11 DISTINCT aggregates
+  * — plans through Expand: every row fans out ×(|cols|+1) with wide
+  * mostly-null composite grouping keys, and measured 18.7 s at sf0.1
+  * where this shape runs in ~1 s. Per-column aggregates instead get
+  * (a) parquet column pruning — each scan reads exactly one column,
+  * so the 11 scans together read ≈ one row-width of I/O, the
+  * canonical profiling shape on columnar storage — and (b) Spark's
+  * two-level partial-distinct plan per column (map-side distinct
+  * partials, no row fan-out). At 100 TB the exact DISTINCT is still
+  * the knob to relax: swap count_distinct for approx_count_distinct
+  * (HLL++) — kept exact here because the oracle hash-compares, and
   * [[Sketches.distinctSketch]] already covers the approximate path.
   */
 object Audit {
@@ -30,41 +34,34 @@ object Audit {
 
   def columnProfile(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val aggs: Seq[Column] = Seq(count(lit(1)).as("n_rows")) ++
-      (numCols ++ strCols ++ tsCols).flatMap { c =>
-        Seq(count(col(c)).as(s"${c}__nn"),
-            countDistinct(col(c)).as(s"${c}__nd"))
-      } ++
-      numCols.flatMap { c =>
-        Seq(min(col(c)).cast("double").as(s"${c}__mn"),
-            max(col(c)).cast("double").as(s"${c}__mx"))
-      } ++
+    def prof(c: String): DataFrame = {
+      val isTs = tsCols.contains(c)
+      val isNum = numCols.contains(c) || isTs
       // timestamps surface as whole epoch seconds (unix_timestamp
       // truncates; l_shipdate has no sub-second part, and DuckDB's
       // floor(epoch()) matches exactly)
-      tsCols.flatMap { c =>
-        Seq(unix_timestamp(min(col(c))).cast("double").as(s"${c}__mn"),
-            unix_timestamp(max(col(c))).cast("double").as(s"${c}__mx"))
-      } ++
-      strCols.flatMap { c =>
-        Seq(min(col(c)).as(s"${c}__smn"), max(col(c)).as(s"${c}__smx"))
-      }
-    val one = li.agg(aggs.head, aggs.tail: _*)
-    def rec(c: String, numeric: Boolean): Column = struct(
-      lit(c).as("col_name"),
-      (col("n_rows") - col(s"${c}__nn")).as("n_nulls"),
-      col(s"${c}__nd").as("n_distinct"),
-      (if (numeric) col(s"${c}__mn") else lit(null).cast("double")).as("min_num"),
-      (if (numeric) col(s"${c}__mx") else lit(null).cast("double")).as("max_num"),
-      (if (numeric) lit(null).cast("string") else col(s"${c}__smn")).as("min_str"),
-      (if (numeric) lit(null).cast("string") else col(s"${c}__smx")).as("max_str"))
-    val recs = (numCols ++ tsCols).map(rec(_, numeric = true)) ++
-      strCols.map(rec(_, numeric = false))
-    one.select(col("n_rows"), explode(array(recs: _*)).as("p"))
-      .select(col("p.col_name").as("col_name"), col("n_rows"),
-        col("p.n_nulls").as("n_nulls"), col("p.n_distinct").as("n_distinct"),
-        col("p.min_num").as("min_num"), col("p.max_num").as("max_num"),
-        col("p.min_str").as("min_str"), col("p.max_str").as("max_str"))
+      val mn: Column =
+        if (isTs) unix_timestamp(min(col(c))).cast("double")
+        else if (isNum) min(col(c)).cast("double")
+        else lit(null).cast("double")
+      val mx: Column =
+        if (isTs) unix_timestamp(max(col(c))).cast("double")
+        else if (isNum) max(col(c)).cast("double")
+        else lit(null).cast("double")
+      val smn: Column = if (isNum) lit(null).cast("string") else min(col(c))
+      val smx: Column = if (isNum) lit(null).cast("string") else max(col(c))
+      li.select(col(c)).agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        mn.as("min_num"), mx.as("max_num"),
+        smn.as("min_str"), smx.as("max_str"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_num"), col("max_num"),
+          col("min_str"), col("max_str"))
+    }
+    (numCols ++ tsCols ++ strCols).map(prof)
+      .reduce(_ unionAll _)
       .orderBy(col("col_name"))
   }
 

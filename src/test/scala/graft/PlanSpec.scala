@@ -137,14 +137,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("column_profile is one scan: multi-distinct via a single Expand") {
+  test("column_profile: per-column pruned scans, no Expand fan-out") {
     val p = planOf("column_profile")
-    assert(p.contains("Expand"), "multi-distinct did not plan through Expand")
-    // one parquet scan of lineitem — a second scan would mean the
-    // unpivot re-reads the table
-    val scans = p.linesIterator.count(l => l.contains("FileScan parquet") ||
-      l.contains("Scan parquet"))
-    assert(scans == 1, s"expected exactly 1 scan, saw $scans")
+    // the single-wide-aggregate alternative plans through Expand
+    // (row fan-out x12, measured 18.7s vs ~1s at sf0.1)
+    assert(!p.contains("Expand"), "profile regressed to the Expand multi-distinct plan")
+    // each scan must be pruned to exactly one column (ReadSchema has
+    // a single field) — together the 11 scans read ~one table width
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty)
+    assert(schemas.forall(s => !s.substring(s.indexOf("ReadSchema")).contains(",")),
+      s"a profile scan reads more than one column")
   }
 
   test("filters and pruning reach the parquet scan in the flagship report") {
