@@ -259,7 +259,35 @@ object Corpus {
        FROM c GROUP BY source, shard, (cum - n_tokens) // $PACK_BUDGET
        ORDER BY source, shard, bin"""
 
-  private val DECON_GRAM = 8   // consecutive tokens that count as overlap
+  private[ext] val DECON_GRAM = 8   // consecutive tokens that count as overlap
+
+  /** Shared decontamination shingle frame: (source, doc_id, sh8) with
+    * sh8 = the distinct 60-bit hashes of every [[DECON_GRAM]]-token
+    * span. Fenced because it is expensive and multi-referenced (see
+    * [[graft.util.Fence]]). Used by [[decontaminate]] and
+    * [[Curation.bloomDecontaminate]] so the two can never drift. */
+  private[ext] def deconShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("t", toks(col("text")))
+      .withColumn("sh8", array_distinct(
+        transform(sequence(lit(1), greatest(size(col("t")) - (DECON_GRAM - 1), lit(1))),
+          i => Hashing.phash(concat_ws(" ",
+            (0 until DECON_GRAM).map(k => element_at(col("t"), least(i + k, size(col("t"))))): _*),
+            "dec_"))))
+      .select(col("source"), col("doc_id"), col("sh8"))
+      .transform(graft.util.Fence.lineage)
+
+  /** DuckDB twin of [[deconShingles]] — the body of a `d AS (...)` CTE. */
+  private[ext] val deconShinglesSqlCte: String = {
+    val gram = (0 until DECON_GRAM)
+      .map(k => s"t[least(i + $k, len(t))]").mkString(", ")
+    s"""SELECT source, doc_id,
+           list_distinct(list_transform(
+             generate_series(1, greatest(len(${toksSql("text")}) - ${DECON_GRAM - 1}, 1)),
+             i -> ${Hashing.phashSql(s"concat_ws(' ', $gram)", "dec_")})) AS sh8
+         FROM (SELECT source, doc_id, text, ${toksSql("text")} AS t FROM documents)"""
+  }
 
   /** Benchmark decontamination — the train/eval-overlap scan every
     * pretraining pipeline runs: a corpus document is CONTAMINATED if
@@ -271,16 +299,7 @@ object Corpus {
     * set while the corpus side stays a narrow explode + semi-join
     * (no shuffle of corpus text, ever). */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("t", toks(col("text")))
-      .withColumn("sh8", array_distinct(
-        transform(sequence(lit(1), greatest(size(col("t")) - (DECON_GRAM - 1), lit(1))),
-          i => Hashing.phash(concat_ws(" ",
-            (0 until DECON_GRAM).map(k => element_at(col("t"), least(i + k, size(col("t"))))): _*),
-            "dec_"))))
-      .select(col("source"), col("doc_id"), col("sh8"))
-      .transform(graft.util.Fence.lineage)
+    val d = deconShingles(spark, dir)
     val evalSh = d.filter(col("doc_id") % 13 === 0)
       .select(explode_outer(col("sh8")).as("h")).filter(col("h").isNotNull).distinct()
     val contaminated = d
@@ -297,14 +316,7 @@ object Corpus {
   }
 
   val decontaminateSql: String = {
-    val gram = (0 until DECON_GRAM)
-      .map(k => s"t[least(i + $k, len(t))]").mkString(", ")
-    s"""WITH d AS (
-         SELECT source, doc_id,
-           list_distinct(list_transform(
-             generate_series(1, greatest(len(${toksSql("text")}) - ${DECON_GRAM - 1}, 1)),
-             i -> ${Hashing.phashSql(s"concat_ws(' ', $gram)", "dec_")})) AS sh8
-         FROM (SELECT source, doc_id, text, ${toksSql("text")} AS t FROM documents)),
+    s"""WITH d AS ($deconShinglesSqlCte),
        ev AS (
          SELECT DISTINCT unnest(sh8) AS h FROM d WHERE doc_id % 13 = 0),
        hits AS (

@@ -1,0 +1,209 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.util.Hashing
+
+/** Later-stage curation operators over the `documents` table:
+  * tokenizer-training statistics (BPE pair counts), a Bloom-filter
+  * prefilter for benchmark decontamination, and the per-domain
+  * document cap every web-scale corpus applies before mixing.
+  *
+  * Scale shapes: bpe_pair_counts aggregates over the DISTINCT
+  * vocabulary (bounded by |vocab|, not corpus tokens); the Bloom
+  * filter is O(filter bits) regardless of corpus size; domain_cap is
+  * a two-phase salted top-k so no window partition ever holds a whole
+  * domain. No UDFs, no driver-side collects.
+  */
+object Curation {
+
+  private def toks(c: Column): Column = TextAnalysis.toks(c)
+  private def toksSql(x: String): String = TextAnalysis.toksSql(x)
+
+  // ---------------------------------------------------------------
+  // BPE pair counts — the map-reduce heart of tokenizer training
+  // ---------------------------------------------------------------
+
+  private val BPE_TOPK = 30
+
+  /** Adjacent-character-pair frequencies over the corpus — the count
+    * a BPE trainer computes every merge round (the argmax pair is the
+    * next merge). Two-stage shape borrowed from every distributed BPE
+    * implementation: first collapse the corpus to its distinct-word
+    * frequency table (one shuffle, map-side combined, output bounded
+    * by |vocab|), then explode each WORD's adjacent pairs weighted by
+    * its frequency (bounded by |vocab|·avg_word_len — independent of
+    * corpus size, which is what makes merge rounds cheap at 100 TB).
+    * Top-k via TakeOrderedAndProject, never a global sort. */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-split table, CPU-bound tokenize
+      .select(explode_outer(toks(col("text"))).as("word"))
+      .filter(col("word").isNotNull && length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"), explode_outer(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .filter(col("pair").isNotNull)
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("pair"))
+      .limit(BPE_TOPK)
+  }
+
+  val bpePairCountsSql: String =
+    s"""WITH w AS (
+         SELECT word, count(*) AS freq FROM (
+           SELECT unnest(${toksSql("text")}) AS word FROM documents)
+         WHERE len(word) >= 2 GROUP BY word),
+       p AS (
+         SELECT freq, unnest(list_transform(generate_series(1, len(word) - 1),
+           i -> substr(word, i, 2))) AS pair
+         FROM w)
+       SELECT pair, CAST(sum(freq) AS BIGINT) AS n_pairs
+       FROM p GROUP BY pair ORDER BY n_pairs DESC, pair LIMIT $BPE_TOPK"""
+
+  // ---------------------------------------------------------------
+  // Bloom-filter decontamination prefilter
+  // ---------------------------------------------------------------
+
+  private val BLOOM_K = 3         // hash functions per shingle
+  private val BLOOM_M = 1 << 18   // filter bit positions
+
+  /** The k salted bit positions of one shingle hash. */
+  private def bloomPos(h: Column, m: Int): Column =
+    array((0 until BLOOM_K).map(k =>
+      Hashing.phash(h.cast("string"), s"blm${k}_") % m): _*)
+
+  private def bloomPosSql(x: String, m: Int): String =
+    (0 until BLOOM_K).map(k =>
+      s"${Hashing.phashSql(s"CAST($x AS VARCHAR)", s"blm${k}_")} % $m").mkString("[", ", ", "]")
+
+  /** Bloom-filter prefilter for [[Corpus.decontaminate]] — the shape
+    * that survives an eval suite too big to broadcast raw: the filter
+    * is the distinct BIT POSITIONS lit by the eval shingles (k=3
+    * salted hashes each, m=2^18 bits), so its size is bounded by m —
+    * a constant — no matter how many benchmarks feed it. A corpus
+    * document "bloom-hits" if ANY of its shingles finds all k of its
+    * positions lit; only bloom-positive docs would proceed to the
+    * exact check, which this query also runs, reporting the false
+    * positives the prefilter would send there (n_bloom >= n_exact by
+    * construction — a Bloom filter has no false negatives, asserted
+    * per-source by ExtSpec at a deliberately saturated m=256).
+    *
+    * Membership is a broadcast equi-join against the lit-position
+    * set rather than a materialized bitset: identical semantics
+    * (collisions and all), plan-visible, and oracle-checkable. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    bloomDecontaminateM(spark, dir, BLOOM_M)
+
+  /** [[bloomDecontaminate]] with an explicit filter size — the
+    * ExtSpec false-positive-behavior entry point. */
+  private[graft] def bloomDecontaminateM(spark: SparkSession, dir: String, m: Int): DataFrame = {
+    val d = Corpus.deconShingles(spark, dir)
+    val docSh = d.select(col("doc_id"), explode_outer(col("sh8")).as("h"))
+      .filter(col("h").isNotNull)
+    val evalSh = d.filter(col("doc_id") % 13 === 0)
+      .select(explode_outer(col("sh8")).as("h")).filter(col("h").isNotNull)
+      .distinct()
+    val litPos = evalSh
+      .select(explode_outer(bloomPos(col("h"), m)).as("pos"))
+      .distinct()
+      .withColumn("lit", lit(1))
+    val bloomDocs = docSh
+      .select(col("doc_id"), col("h"), explode_outer(bloomPos(col("h"), m)).as("pos"))
+      .join(broadcast(litPos), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("h"))
+      .agg(sum(when(col("lit").isNotNull, 1).otherwise(0)).as("n_lit"))
+      .filter(col("n_lit") === BLOOM_K)
+      .select(col("doc_id")).distinct()
+      .withColumn("bloom_hit", lit(true))
+    val exactDocs = docSh
+      .join(broadcast(evalSh), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("exact_hit", lit(true))
+    d.select(col("source"), col("doc_id"))
+      .join(bloomDocs, Seq("doc_id"), "left")
+      .join(exactDocs, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(when(col("exact_hit"), 1L).otherwise(0L)).as("n_exact_hits"),
+        sum(when(col("bloom_hit") && coalesce(col("exact_hit"), lit(false)) === false,
+          1L).otherwise(0L)).as("n_false_pos"))
+      .orderBy(col("source"))
+  }
+
+  val bloomDecontaminateSql: String =
+    s"""WITH d AS (${Corpus.deconShinglesSqlCte}),
+       sh AS (
+         SELECT doc_id, unnest(sh8) AS h FROM d),
+       ev AS (
+         SELECT DISTINCT unnest(sh8) AS h FROM d WHERE doc_id % 13 = 0),
+       fpos AS (
+         SELECT DISTINCT unnest(${bloomPosSql("h", BLOOM_M)}) AS pos FROM ev),
+       probe AS (
+         SELECT doc_id, h, unnest(${bloomPosSql("h", BLOOM_M)}) AS pos FROM sh),
+       bdocs AS (
+         SELECT DISTINCT doc_id FROM (
+           SELECT doc_id, h,
+             sum(CASE WHEN fpos.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_lit
+           FROM probe LEFT JOIN fpos ON probe.pos = fpos.pos
+           GROUP BY doc_id, h)
+         WHERE n_lit = $BLOOM_K),
+       edocs AS (
+         SELECT DISTINCT doc_id FROM sh WHERE h IN (SELECT h FROM ev))
+       SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+         CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+         CAST(sum(CASE WHEN b.doc_id IS NOT NULL AND e.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+       FROM d
+       LEFT JOIN bdocs b ON d.doc_id = b.doc_id
+       LEFT JOIN edocs e ON d.doc_id = e.doc_id
+       GROUP BY d.source ORDER BY d.source"""
+
+  // ---------------------------------------------------------------
+  // Per-domain document cap
+  // ---------------------------------------------------------------
+
+  private val CAP = 25
+
+  /** Per-domain cap: keep at most [[CAP]] documents per source, by a
+    * deterministic hash priority (reproducible on any engine / any
+    * cluster size, like [[Corpus.sampleStratified]]). Exact top-k per
+    * group WITHOUT a whole-domain window partition: phase 1 ranks
+    * within (source, salt) cells — 8 cells bound any domain's
+    * partition to 1/8th, and more salts linearly shrink it for a
+    * 100 TB skewed domain — phase 2 ranks the <= 8·CAP survivors per
+    * source. Any global top-CAP row is a top-CAP row of its salt
+    * cell, so the two-phase result is exact. */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"), col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("pri", Hashing.phash(col("doc_id").cast("string"), "cap_"))
+    val w1 = Window.partitionBy(col("source"), col("doc_id") % 8)
+      .orderBy(col("pri"), col("doc_id"))
+    val w2 = Window.partitionBy(col("source"))
+      .orderBy(col("pri"), col("doc_id"))
+    d.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= CAP)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= CAP)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_tokens"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val domainCapSql: String =
+    s"""SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_tokens FROM (
+         SELECT source, doc_id, n_tokens,
+           row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rank
+         FROM (
+           SELECT source, doc_id,
+             CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+             ${Hashing.phashSql("CAST(doc_id AS VARCHAR)", "cap_")} AS pri
+           FROM documents))
+       WHERE rank <= $CAP ORDER BY source, rank"""
+}

@@ -369,6 +369,52 @@ class ExtSpec extends AnyFunSuite {
     assert(oov.filter(col("n_oov") < col("n_tokens")).count() > 0)
   }
 
+  test("bpe_pair_counts pairs are 2-char substrings with positive counts") {
+    val rows = SparkEntry.queries("bpe_pair_counts")(spark, sf).collect()
+    assert(rows.length == 30)
+    assert(rows.forall(_.getString(0).length == 2), "a pair that is not 2 chars")
+    val counts = rows.map(_.getLong(1))
+    assert(counts.forall(_ > 0))
+    assert(counts.sameElements(counts.sorted.reverse), "not sorted by count desc")
+  }
+
+  test("bloom_decontaminate has no false negatives even when saturated") {
+    // m=256 deliberately saturates the filter: lots of false positives,
+    // but exact hits must ALWAYS bloom-hit (the Bloom guarantee), and
+    // the realistic-m query must agree with decontaminate's exact counts
+    val tiny = graft.ext.Curation.bloomDecontaminateM(spark, sf, 256).collect()
+    assert(tiny.forall(r => r.getLong(2) >= r.getLong(3)),
+      "false negative: n_bloom_hits < n_exact_hits at m=256")
+    assert(tiny.map(r => r.getLong(4)).sum > 0,
+      "a 256-bit filter over thousands of shingles should false-positive")
+    val real = SparkEntry.queries("bloom_decontaminate")(spark, sf)
+      .select(col("source"), col("n_exact_hits"))
+    val exact = SparkEntry.queries("decontaminate")(spark, sf)
+      .select(col("source"), col("n_contaminated"))
+    val joined = real.join(exact, Seq("source"), "full")
+    assert(joined.filter(col("n_exact_hits") =!= col("n_contaminated")).count() == 0,
+      "bloom query's exact arm diverged from decontaminate")
+  }
+
+  test("domain_cap two-phase top-k equals the single-window ground truth") {
+    val capped = SparkEntry.queries("domain_cap")(spark, sf)
+    import org.apache.spark.sql.expressions.Window
+    val truth = graft.model.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"))
+      .withColumn("pri",
+        graft.util.Hashing.phash(col("doc_id").cast("string"), "cap_"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 25)
+      .select(col("source"), col("rank"), col("doc_id").as("want_id"))
+    val j = capped.join(truth, Seq("source", "rank"), "full")
+    assert(j.filter(col("doc_id").isNull || col("want_id").isNull ||
+      col("doc_id") =!= col("want_id")).count() == 0,
+      "two-phase cap diverged from the single-window ranking")
+    val sizes = capped.groupBy(col("source")).count()
+    assert(sizes.filter(col("count") > 25).count() == 0)
+  }
+
   test("skew_join equals the plain unsalted join and shards each hot key R ways") {
     val df = SparkEntry.queries("skew_join")(spark, sf)
     val ev = graft.model.Tables.events(spark, sf)
