@@ -196,6 +196,52 @@ object Curation {
       .orderBy(col("source"), col("rank"))
   }
 
+  // ---------------------------------------------------------------
+  // Epoch assembly plan
+  // ---------------------------------------------------------------
+
+  /** Epoch assembly plan: apply [[Corpus.corpusMixture]]'s flattening
+    * weights to the corpus — each document survives the epoch iff its
+    * deterministic hash draw lands under its stratum's weight_ppm
+    * (exactly the thinning a mixture-reweighted data loader performs,
+    * but reproducible on any engine and cluster size). The weights
+    * frame is bounded by |strata|, so the join is a broadcast at any
+    * corpus size; the draw is a pure narrow map; one stratum groupBy
+    * ends it. Reports planned vs raw docs/tokens per stratum. */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"), col("lang"), col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+    val weights = Corpus.corpusMixture(spark, dir)
+      .select(col("source"), col("lang"), col("weight_ppm"))
+    d.join(broadcast(weights), Seq("source", "lang"))
+      .withColumn("keep",
+        Hashing.phash(col("doc_id").cast("string"), "epoch_") % 1000000L < col("weight_ppm"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        max(col("weight_ppm")).as("weight_ppm"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("planned_docs"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("planned_tokens"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val epochPlanSql: String =
+    s"""WITH cm AS (${Corpus.corpusMixtureSql}),
+       d AS (
+         SELECT source, lang, doc_id,
+           CAST(len(${toksSql("text")}) AS BIGINT) AS n_tok,
+           ${Hashing.phashSql("CAST(doc_id AS VARCHAR)", "epoch_")} % 1000000 AS draw
+         FROM documents)
+       SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(d.n_tok) AS BIGINT) AS n_tokens,
+         CAST(max(cm.weight_ppm) AS BIGINT) AS weight_ppm,
+         CAST(sum(CASE WHEN d.draw < cm.weight_ppm THEN 1 ELSE 0 END) AS BIGINT) AS planned_docs,
+         CAST(sum(CASE WHEN d.draw < cm.weight_ppm THEN d.n_tok ELSE 0 END) AS BIGINT) AS planned_tokens
+       FROM d JOIN cm ON d.source = cm.source AND d.lang = cm.lang
+       GROUP BY d.source, d.lang ORDER BY d.source, d.lang"""
+
   val domainCapSql: String =
     s"""SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_tokens FROM (
          SELECT source, doc_id, n_tokens,

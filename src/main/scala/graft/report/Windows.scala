@@ -203,6 +203,52 @@ object Windows {
        SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
        FROM u GROUP BY cohort ORDER BY cohort"""
 
+  /** Weekly retention-cohort triangle — the classic activity view:
+    * each user joins the cohort of their first active epoch-week, and
+    * every (cohort, week_offset) cell counts the cohort members still
+    * active that week, with exact-ppm retention against the cohort
+    * size. Shapes: one distinct over (user, week) — shuffle keyed on
+    * the high-cardinality user — one per-user min, one join back on
+    * user, one cell groupBy; the cohort-size frame is bounded by the
+    * timeline (weeks), so its join is a broadcast at any N. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 604800L).cast("long").as("week"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    uw.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("retained_ppm",
+        floor(col("n_active") * 1000000.0 / col("cohort_size")).cast("long"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"), col("retained_ppm"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH uw AS (
+         SELECT DISTINCT user_id,
+           CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 604800) AS BIGINT) AS week
+         FROM events),
+       c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id),
+       sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM c GROUP BY cohort_week),
+       act AS (
+         SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+         FROM uw JOIN c ON uw.user_id = c.user_id
+         GROUP BY c.cohort_week, uw.week - c.cohort_week)
+       SELECT a.cohort_week, a.week_offset, a.n_active, sz.cohort_size,
+         CAST(floor(a.n_active * 1000000.0 / sz.cohort_size) AS BIGINT) AS retained_ppm
+       FROM act a JOIN sz ON a.cohort_week = sz.cohort_week
+       ORDER BY a.cohort_week, a.week_offset"""
+
   /** JSON prop extraction over `events.props` (§7.2 module 6):
     * get_json_object ≙ json_extract_string. */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =

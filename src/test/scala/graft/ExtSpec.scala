@@ -415,6 +415,20 @@ class ExtSpec extends AnyFunSuite {
     assert(sizes.filter(col("count") > 25).count() == 0)
   }
 
+  test("epoch_plan thins exactly the strata corpus_mixture overweights") {
+    val plan = SparkEntry.queries("epoch_plan")(spark, sf).collect()
+    assert(plan.forall(r => r.getLong(5) <= r.getLong(2)), "planned_docs > n_docs")
+    assert(plan.forall(r => r.getLong(6) <= r.getLong(3)), "planned_tokens > n_tokens")
+    // weight 1,000,000 (at-or-under budget) strata keep every document
+    val flat = plan.filter(_.getLong(4) == 1000000L)
+    assert(flat.nonEmpty, "no stratum at the 1e6 weight cap — fixture drifted")
+    assert(flat.forall(r => r.getLong(5) == r.getLong(2)),
+      "a full-weight stratum lost documents")
+    // overweighted strata genuinely thin
+    assert(plan.filter(_.getLong(4) < 1000000L).exists(r => r.getLong(5) < r.getLong(2)),
+      "no overweight stratum was thinned")
+  }
+
   test("skew_join equals the plain unsalted join and shards each hot key R ways") {
     val df = SparkEntry.queries("skew_join")(spark, sf)
     val ev = graft.model.Tables.events(spark, sf)

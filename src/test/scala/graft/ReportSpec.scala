@@ -116,4 +116,20 @@ class ReportSpec extends AnyFunSuite {
       .select(col("event_type")).collect().map(_.getString(0)).mkString(">")
     assert(g.getString(3) == expected)
   }
+
+  test("retention_cohorts offset-0 cells are full and later cells never exceed them") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("retention_cohorts")(spark, sf)
+    // every cohort's week-0 row exists with n_active == cohort_size
+    val wk0 = df.filter(col("week_offset") === 0)
+    assert(wk0.count() > 0)
+    assert(wk0.filter(col("n_active") =!= col("cohort_size")).count() == 0,
+      "a user's first-activity week must count them active")
+    assert(df.filter(col("n_active") > col("cohort_size")).count() == 0)
+    assert(df.filter(col("retained_ppm") > 1000000L).count() == 0)
+    // total cohort membership equals the distinct user universe
+    val users = graft.model.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(wk0.agg(sum(col("cohort_size"))).head().getLong(0) == users)
+  }
 }
