@@ -150,6 +150,42 @@ class PlanSpec extends AnyFunSuite {
       s"a profile scan reads more than one column")
   }
 
+  test("bpe_pair_counts aggregates twice with a final TakeOrderedAndProject") {
+    val p = planOf("bpe_pair_counts")
+    assert(p.contains("TakeOrderedAndProject"), "pair head fell back to global sort+limit")
+    // word-collapse THEN pair aggregate: two exchanges, both hash-keyed
+    assert("Exchange hashpartitioning".r.findAllIn(p).size >= 2,
+      "vocab-collapse stage missing — pairs aggregate over raw corpus tokens")
+  }
+
+  test("bloom_decontaminate membership joins are broadcasts, never shuffles of the corpus") {
+    val p = planOf("bloom_decontaminate")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange"), "lit-position / eval-shingle set not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a corpus-side shuffle join appeared — the filter side must broadcast")
+  }
+
+  test("domain_cap ranks via WindowGroupLimit in both phases") {
+    val p = planOf("domain_cap")
+    val hits = "WindowGroupLimit".r.findAllIn(p).size
+    // partial + final per phase: the rank filter must prune BEFORE each
+    // exchange, or a whole domain rides the shuffle
+    assert(hits >= 2, s"expected both cap phases to push WindowGroupLimit, found $hits")
+  }
+
+  test("epoch_plan joins the weights broadcast-side") {
+    val p = planOf("epoch_plan")
+    assert(p.contains("BroadcastExchange"), "stratum weights not broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("retention_cohorts joins the cohort sizes broadcast-side") {
+    val p = planOf("retention_cohorts")
+    assert(p.contains("BroadcastExchange"), "cohort-size frame not broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("filters and pruning reach the parquet scan in the flagship report") {
     val p = SparkEntry.queries("report_metrics")(spark, sf)
       .queryExecution.executedPlan.toString
