@@ -55,7 +55,7 @@ object Similarity {
   // the 8-plane kNN tables are prefixes of the 16-plane dedup tables
   // (same md5 stream), so the kNN buckets are unchanged by the dedup
   // widening
-  private[ext] val planes16: Array[Array[Int]] = planesFor("pl", DEDUP_PLANES)
+  private[graft] val planes16: Array[Array[Int]] = planesFor("pl", DEDUP_PLANES)
   private[ext] val planes16b: Array[Array[Int]] = planesFor("p2", DEDUP_PLANES)
   private[ext] val planes: Array[Array[Int]] = planes16.take(PLANES)
 
@@ -66,8 +66,12 @@ object Similarity {
   private[ext] val quantSql: String =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+  /** Fused native dot product ([[graft.functions.LongDot]]) — same
+    * semantics as the composed `aggregate(zip_with(a, b, _ * _),
+    * lit(0L), _ + _)` it replaced (FunctionsSpec asserts parity), but
+    * one codegen'd primitive loop instead of an interpreted
+    * allocate-zip-then-fold per row. */
+  private def dot(a: Column, b: Column): Column = graft.functions.LongDot(a, b)
 
   private def norm2(a: Column): Column = dot(a, a)
 
@@ -109,12 +113,13 @@ object Similarity {
        SELECT qid, rank, vec_id AS neighbor_id, cosine
        FROM ranked WHERE rank <= $TOPK ORDER BY qid, rank"""
 
-  /** LSH bucket id: sign bit per hyperplane dot, packed. */
+  /** LSH bucket id: sign bit per hyperplane dot, packed. Fused
+    * one-pass native form ([[graft.functions.HyperplaneBucket]]) —
+    * parity with the composed per-plane `when(dot > 0, 1<<p)` sum it
+    * replaced is asserted by FunctionsSpec, including the
+    * malformed-vector → bucket 0 edge. */
   private def bucketWith(ps: Array[Array[Int]])(qv: Column): Column =
-    ps.indices.map { p =>
-      val w = array(ps(p).map(lit(_)): _*)
-      when(dot(w.cast("array<long>"), qv) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.HyperplaneBucket(qv, ps.map(_.map(_.toLong).toSeq).toSeq)
 
   private def bucketSqlWith(ps: Array[Array[Int]], qv: String): String =
     ps.indices.map { p =>

@@ -67,6 +67,87 @@ class FunctionsSpec extends AnyFunSuite {
     assert(interp == want)
   }
 
+  private def composedDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  test("LongDot equals the composed zip_with+aggregate fold on real embeddings") {
+    val e = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * 1000 + 0.5).cast("long")).as("qv"))
+    val paired = e.as("a").crossJoin(e.as("b").limit(3))
+      .select(
+        graft.functions.LongDot(col("a.qv"), col("b.qv")).as("fused"),
+        composedDot(col("a.qv"), col("b.qv")).as("ref"))
+    assert(paired.filter(not(col("fused") <=> col("ref"))).count() == 0,
+      "fused dot diverges from the composed form")
+  }
+
+  test("LongDot null parity: null input, length mismatch, null element, empty") {
+    val df = spark.range(1).select(
+      graft.functions.LongDot(lit(null).cast("array<long>"),
+        array(lit(1L))).as("n1"),
+      graft.functions.LongDot(array(lit(1L), lit(2L)),
+        array(lit(3L))).as("mismatch"),
+      graft.functions.LongDot(array(lit(1L), lit(null).cast("long")),
+        array(lit(3L), lit(4L))).as("nullElem"),
+      graft.functions.LongDot(array().cast("array<long>"),
+        array().cast("array<long>")).as("empty"),
+      composedDot(array(lit(1L), lit(2L)), array(lit(3L))).as("refMismatch"),
+      composedDot(array(lit(1L), lit(null).cast("long")),
+        array(lit(3L), lit(4L))).as("refNullElem"))
+    val r = df.head()
+    assert(r.isNullAt(0), "null input must yield null")
+    assert(r.isNullAt(1) && r.isNullAt(4), "length mismatch must yield null in both forms")
+    assert(r.isNullAt(2) && r.isNullAt(5), "null element must yield null in both forms")
+    assert(r.getLong(3) == 0L, "empty arrays must fold to the initial 0")
+  }
+
+  test("HyperplaneBucket equals the composed per-plane when-sum on real embeddings") {
+    val planes = graft.ext.Similarity.planes16
+    val composedBucket = planes.indices.map { p =>
+      val w = array(planes(p).map(lit(_)): _*).cast("array<long>")
+      when(composedDot(w, col("qv")) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = graft.model.Tables.embeddings(spark, sf)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 1000 + 0.5).cast("long")).as("qv"))
+    val both = e.select(
+      graft.functions.HyperplaneBucket(col("qv"),
+        planes.map(_.map(_.toLong).toSeq).toSeq).as("fused"),
+      composedBucket.as("ref"))
+    assert(both.filter(not(col("fused") <=> col("ref"))).count() == 0,
+      "fused bucket diverges from the composed form")
+  }
+
+  test("HyperplaneBucket malformed vectors bucket to 0, never null (composed parity)") {
+    val planes = Seq(Seq(1L, -1L), Seq(-1L, 1L))
+    val df = spark.range(1).select(
+      graft.functions.HyperplaneBucket(lit(null).cast("array<long>"), planes).as("n"),
+      graft.functions.HyperplaneBucket(array(lit(5L)), planes).as("short"),
+      graft.functions.HyperplaneBucket(array(lit(5L), lit(null).cast("long")), planes).as("ne"),
+      graft.functions.HyperplaneBucket(array(lit(5L), lit(-1L)), planes).as("ok"))
+    val r = df.head()
+    assert(!r.isNullAt(0) && r.getLong(0) == 0L)
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L)
+    // plane0: 5·1 + (−1)(−1) = 6 > 0 → bit0; plane1: −5·1 + 1·(−1) = −6 → no bit
+    assert(r.getLong(3) == 1L)
+  }
+
+  test("LongDot and HyperplaneBucket stay inside whole-stage codegen") {
+    val df = spark.range(100)
+      .select(array(col("id"), col("id") * 3 - 50).as("v"))
+      .select(
+        graft.functions.LongDot(col("v"), col("v")).as("d"),
+        graft.functions.HyperplaneBucket(col("v"),
+          Seq(Seq(1L, -1L), Seq(-1L, 1L))).as("b"))
+    assert(df.count() == 100)
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(l =>
+      l.contains("long_dot") || l.contains("hyperplane_bucket")).getOrElse("")
+    assert(line.contains("*("),
+      s"native vec ops fell out of whole-stage codegen: $line")
+  }
+
   test("MinHashSig supports whole-stage codegen (unlike the HOF form it replaced)") {
     // the composed transform+array_min form is CodegenFallback (all
     // higher-order functions are), so it could NEVER join a codegen
