@@ -62,10 +62,12 @@ object Cluster {
     // nearest centroid per vector: K exact integer distances, argmin
     // ties to the lower cluster id
     def assign(cents: DataFrame): DataFrame = {
+      // fused native Σ(x·S − c)² ([[graft.functions.ScaledDistSq]]) —
+      // identical to the composed zip_with+fold it replaced
+      // (FunctionsSpec parity), one codegen'd loop per candidate row
       val scored = e.crossJoin(broadcast(cents))
-        .withColumn("dist2", aggregate(
-          zip_with(col("qv"), col("cent"), (x, c) => (x * SCALE - c) * (x * SCALE - c)),
-          lit(0L), _ + _))
+        .withColumn("dist2", graft.functions.ScaledDistSq(
+          col("qv"), col("cent"), lit(SCALE)))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("dist2"), col("cluster"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -162,9 +164,8 @@ object Cluster {
     val n = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
     val scored = e.join(broadcast(cent), Seq("label"))
       .join(broadcast(n), Seq("label"))
-      .withColumn("dist2n", aggregate(
-        zip_with(col("qv"), col("sv"), (x, s) => (x * col("n") - s) * (x * col("n") - s)),
-        lit(0L), _ + _))
+      .withColumn("dist2n", graft.functions.ScaledDistSq(
+        col("qv"), col("sv"), col("n")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("label")).orderBy(col("dist2n").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -96,6 +96,111 @@ object LongDot {
   def apply(a: Column, b: Column): Column =
     GraftColumnBridge.column(LongDot(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}
+
+/** Fused scaled squared distance `Σ_i (x_i·k − s_i)²` over two
+  * `array<bigint>` columns and a `bigint` scale as a native Catalyst
+  * expression.
+  *
+  * Semantically identical to the composed form it replaces
+  * (`aggregate(zip_with(x, s, (a, b) => (a*k − b) * (a*k − b)),
+  * lit(0L), _ + _)` — [[graft.ext.Cluster]]'s centroid-assignment and
+  * mean-comparison distances, where k is the centroid micro-scale or
+  * the group size n), so the DuckDB oracle twins are untouched.
+  *
+  * Null parity with the composed form (asserted by FunctionsSpec):
+  * null array → null; length mismatch → null (zip_with null-pad);
+  * null element → null; null k with NON-empty arrays → null (the
+  * lambda yields null per element); two empty arrays → 0 regardless
+  * of k (the fold never runs, 0 is its initial value).
+  */
+case class ScaledDistSq(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"scaled_dist_sq requires (array<bigint>, array<bigint>, bigint), got ${a.sql}, ${b.sql}, ${c.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "scaled_dist_sq"
+
+  override def eval(input: InternalRow): Any = {
+    val xv = first.eval(input)
+    if (xv == null) return null
+    val sv = second.eval(input)
+    if (sv == null) return null
+    val xa = xv.asInstanceOf[ArrayData]
+    val sa = sv.asInstanceOf[ArrayData]
+    val n = xa.numElements()
+    if (n != sa.numElements()) return null
+    if (n == 0) return 0L
+    val kv = third.eval(input)
+    if (kv == null) return null
+    val k = kv.asInstanceOf[Long]
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (xa.isNullAt(i) || sa.isNullAt(i)) return null
+      val d = xa.getLong(i) * k - sa.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val xGen = first.genCode(ctx)
+    val sGen = second.genCode(ctx)
+    val kGen = third.genCode(ctx)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    val d = ctx.freshName("d")
+    val nullElem = ctx.freshName("nullElem")
+    ev.copy(code = code"""
+      ${xGen.code}
+      ${sGen.code}
+      ${kGen.code}
+      boolean ${ev.isNull} = true;
+      long ${ev.value} = 0L;
+      if (!${xGen.isNull} && !${sGen.isNull}) {
+        final int $n = ${xGen.value}.numElements();
+        if ($n == ${sGen.value}.numElements()) {
+          if ($n == 0) {
+            ${ev.isNull} = false;
+          } else if (!${kGen.isNull}) {
+            long $acc = 0L;
+            boolean $nullElem = false;
+            for (int $i = 0; $i < $n; $i++) {
+              if (${xGen.value}.isNullAt($i) || ${sGen.value}.isNullAt($i)) {
+                $nullElem = true; break;
+              }
+              final long $d = ${xGen.value}.getLong($i) * ${kGen.value} - ${sGen.value}.getLong($i);
+              $acc += $d * $d;
+            }
+            if (!$nullElem) { ${ev.isNull} = false; ${ev.value} = $acc; }
+          }
+        }
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): ScaledDistSq =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object ScaledDistSq {
+  /** Column-API entry point: `ScaledDistSq($"qv", $"cent", $"k")`. */
+  def apply(x: Column, s: Column, k: Column): Column =
+    GraftColumnBridge.column(ScaledDistSq(
+      GraftColumnBridge.expression(x), GraftColumnBridge.expression(s),
+      GraftColumnBridge.expression(k)))
 }
 
 /** Fused P-plane LSH sign-bucket as a native Catalyst expression: the

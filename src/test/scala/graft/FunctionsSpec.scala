@@ -102,6 +102,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 0L, "empty arrays must fold to the initial 0")
   }
 
+  test("ScaledDistSq equals the composed zip_with fold, incl. null-k/empty edges") {
+    def composedDist(x: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column,
+        k: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, s, (a, b) => (a * k - b) * (a * k - b)), lit(0L), _ + _)
+    val e = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long").as("n"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + 0.5).cast("long")).as("qv"))
+    val s = e.select(transform(col("qv"), x => x * 7 + 1).as("sv")).limit(2)
+    val both = e.crossJoin(s).select(
+      graft.functions.ScaledDistSq(col("qv"), col("sv"), col("n") + 1).as("fused"),
+      composedDist(col("qv"), col("sv"), col("n") + 1).as("ref"))
+    assert(both.filter(not(col("fused") <=> col("ref"))).count() == 0,
+      "fused distance diverges from the composed form")
+    val edges = spark.range(1).select(
+      graft.functions.ScaledDistSq(array().cast("array<long>"),
+        array().cast("array<long>"), lit(null).cast("long")).as("emptyNullK"),
+      graft.functions.ScaledDistSq(array(lit(1L)), array(lit(2L)),
+        lit(null).cast("long")).as("nullK"),
+      graft.functions.ScaledDistSq(array(lit(1L), lit(2L)), array(lit(2L)),
+        lit(3L)).as("mismatch"),
+      graft.functions.ScaledDistSq(array(lit(4L)), array(lit(2L)), lit(3L)).as("ok"))
+    val r = edges.head()
+    assert(r.getLong(0) == 0L, "empty arrays must fold to 0 even with null k")
+    assert(r.isNullAt(1), "null k over non-empty arrays must yield null")
+    assert(r.isNullAt(2), "length mismatch must yield null")
+    assert(r.getLong(3) == 100L) // (4·3 − 2)² = 100
+  }
+
   test("HyperplaneBucket equals the composed per-plane when-sum on real embeddings") {
     val planes = graft.ext.Similarity.planes16
     val composedBucket = planes.indices.map { p =>
