@@ -65,6 +65,42 @@ object Audit {
       .orderBy(col("col_name"))
   }
 
+  /** Referential-integrity audit between the two modality tables —
+    * the orphan scan every multimodal pipeline runs before training
+    * (a document without its embedding silently vanishes from ANN
+    * retrieval; an embedding without its document is dead weight).
+    * ONE full-outer equi-join on the id (a single shuffle keyed on
+    * the high-cardinality id — the scalable shape; never two
+    * separate anti-joins re-shuffling the same tables) aggregated
+    * down to a one-row summary. */
+  def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("has_d", lit(1))
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"))
+      .withColumn("has_e", lit(1))
+    d.join(e, d("doc_id") === e("vec_id"), "full")
+      .agg(
+        sum(coalesce(col("has_d"), lit(0))).as("n_docs"),
+        sum(coalesce(col("has_e"), lit(0))).as("n_vecs"),
+        sum(when(col("has_d").isNotNull && col("has_e").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("has_d").isNotNull && col("has_e").isNull, 1L)
+          .otherwise(0L)).as("docs_orphaned"),
+        sum(when(col("has_d").isNull && col("has_e").isNotNull, 1L)
+          .otherwise(0L)).as("vecs_orphaned"))
+      .orderBy(col("n_docs"))
+  }
+
+  val refIntegritySql: String =
+    """SELECT
+         CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs,
+         CAST(sum(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+         CAST(sum(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_orphaned,
+         CAST(sum(CASE WHEN d.doc_id IS NULL AND e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS vecs_orphaned
+       FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+       ORDER BY n_docs"""
+
   val columnProfileSql: String = {
     def row(c: String, numeric: Boolean): String = {
       val isTs = tsCols.contains(c)

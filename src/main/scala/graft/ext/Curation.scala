@@ -197,6 +197,42 @@ object Curation {
   }
 
   // ---------------------------------------------------------------
+  // Normalization-aware exact dedup
+  // ---------------------------------------------------------------
+
+  /** Exact-dedup cardinality before and after text normalization
+    * (lowercase, punctuation → space, whitespace collapse) — the
+    * standard pre-dedup canonicalization step, reported per source as
+    * how many additional collapses normalization buys over raw
+    * byte-identity. Narrow per-row map (two regex passes + md5), one
+    * groupBy(source) with distinct-hash partials — no text ever rides
+    * a shuffle, only the 128-bit hashes. */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"), md5(col("text")).as("raw_h"), md5(norm).as("norm_h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_h")).as("n_distinct_raw"),
+        countDistinct(col("norm_h")).as("n_distinct_norm"))
+      .withColumn("n_extra_collapsed",
+        col("n_distinct_raw") - col("n_distinct_norm"))
+      .orderBy(col("source"))
+  }
+
+  val dedupNormalizedSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_raw,
+         CAST(count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))) AS BIGINT) AS n_distinct_norm,
+         CAST(count(DISTINCT md5(text)) -
+              count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))) AS BIGINT) AS n_extra_collapsed
+       FROM documents GROUP BY source ORDER BY source"""
+
+  // ---------------------------------------------------------------
   // Epoch assembly plan
   // ---------------------------------------------------------------
 

@@ -429,6 +429,25 @@ class ExtSpec extends AnyFunSuite {
       "no overweight stratum was thinned")
   }
 
+  test("dedup_normalized cardinalities nest and account for every document") {
+    val rows = SparkEntry.queries("dedup_normalized")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, raw, norm, extra) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(norm <= raw && raw <= n, s"cardinalities do not nest in ${r.getString(0)}")
+      assert(extra == raw - norm)
+    }
+  }
+
+  test("ref_integrity row balances against the table counts") {
+    val r = SparkEntry.queries("ref_integrity")(spark, sf).head()
+    val nDocs = graft.model.Tables.documents(spark, sf).count()
+    val nVecs = graft.model.Tables.embeddings(spark, sf).count()
+    assert(r.getLong(0) == nDocs && r.getLong(1) == nVecs)
+    assert(r.getLong(2) + r.getLong(3) == nDocs, "matched + doc orphans != docs")
+    assert(r.getLong(2) + r.getLong(4) == nVecs, "matched + vec orphans != vecs")
+  }
+
   test("skew_join equals the plain unsalted join and shards each hot key R ways") {
     val df = SparkEntry.queries("skew_join")(spark, sf)
     val ev = graft.model.Tables.events(spark, sf)
