@@ -352,6 +352,97 @@ object Similarity {
          JOIN e b ON b.vec_id = c.id2)
        SELECT id1, id2, cosine FROM p WHERE cosine >= 0.99 ORDER BY id1, id2"""
 
+  // ---- SemDeDup: k-means-cell-bucketed semantic dedup ----------------
+
+  private val SEM_CELLS = 32
+  private val SEM_THRESH = 0.99
+
+  /** Semantic dedup, SemDeDup-style (Abbas et al., 2303.09540): bucket
+    * every vector into its nearest coarse-centroid CELL, then verify
+    * cosine only WITHIN cells — the complementary candidate generator
+    * to [[dedupEmbedding]]'s hyperplane LSH (cluster-locality instead
+    * of random projections; the published method for pruning semantic
+    * duplicates from web-scale image/text corpora). Same injected twin
+    * corpus and 0.99 threshold as dedupEmbedding, so the two
+    * generators are directly comparable.
+    *
+    * Scale shape: the centroid table is a bounded broadcast (the
+    * assignment is O(N·C) exactly like [[knnIvf]]); within-cell pairs
+    * are O(Σ|cell|²) — the method's published knob is C ≈ √N so cells
+    * are O(√N) and the pair count stays ~O(N^1.5/constant); here C=32
+    * fits the test corpus. Pair frames carry only (cell, id) — the
+    * vectors join back by id for the cosine verify, so no vector ever
+    * rides the pair shuffle. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val twins = base.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 1, x + lit(0.01f)).otherwise(x)).as("embedding"))
+    val e = base.unionAll(twins)
+      .withColumn("qv", quant(col("embedding")))
+      .select(col("vec_id"), col("qv"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.util.Fence.lineage)
+    val cents = e.filter(col("vec_id") < SEM_CELLS)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val cells = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", pr6(
+        dot(col("qv"), col("cv")).cast("double") /
+          (sqrt(norm2(col("qv")).cast("double")) * sqrt(norm2(col("cv")).cast("double")))))
+      .withColumn("rk", row_number().over(wA)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val pairs = cells.select(col("cell"), col("vec_id").as("id1"))
+      .join(cells.select(col("cell"), col("vec_id").as("id2")), Seq("cell"))
+      .filter(col("id1") < col("id2"))
+    val scored = pairs
+      .join(e.select(col("vec_id").as("id1"), col("qv").as("v1")), Seq("id1"))
+      .join(e.select(col("vec_id").as("id2"), col("qv").as("v2")), Seq("id2"))
+      .withColumn("cosine", pr6(
+        dot(col("v1"), col("v2")).cast("double") /
+          (sqrt(norm2(col("v1")).cast("double")) * sqrt(norm2(col("v2")).cast("double")))))
+      .filter(col("cosine") >= SEM_THRESH)
+    cells.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      .join(scored.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_dup_pairs"),
+          countDistinct(col("id2")).as("n_removable")), Seq("cell"), "left")
+      .na.fill(0L, Seq("n_dup_pairs", "n_removable"))
+      .orderBy(col("cell"))
+  }
+
+  val dedupSemanticSql: String =
+    s"""WITH base AS (
+         SELECT vec_id, embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 100000 AS vec_id,
+           list_transform(generate_series(1, $DIM),
+             i -> CASE WHEN i = 2 THEN embedding[i] + CAST(0.01 AS FLOAT) ELSE embedding[i] END) AS embedding
+         FROM embeddings WHERE vec_id % 7 = 0),
+       e AS (SELECT vec_id, $quantSql AS qv FROM base),
+       c AS (SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id < $SEM_CELLS),
+       assigned AS (
+         SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosSql("e.qv", "c.cv")} DESC, c.cid) AS rk
+         FROM e CROSS JOIN c),
+       cells AS (SELECT vec_id, cid AS cell FROM assigned WHERE rk = 1),
+       pairs AS (
+         SELECT l.cell, l.vec_id AS id1, r.vec_id AS id2
+         FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id),
+       scored AS (
+         SELECT p.cell, p.id1, p.id2, ${cosSql("a.qv", "b.qv")} AS cosine
+         FROM pairs p JOIN e a ON a.vec_id = p.id1 JOIN e b ON b.vec_id = p.id2),
+       dups AS (
+         SELECT cell, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           CAST(count(DISTINCT id2) AS BIGINT) AS n_removable
+         FROM scored WHERE cosine >= $SEM_THRESH GROUP BY cell),
+       sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM cells GROUP BY cell)
+       SELECT sz.cell, sz.n_vecs,
+         COALESCE(d.n_dup_pairs, 0) AS n_dup_pairs,
+         COALESCE(d.n_removable, 0) AS n_removable
+       FROM sz LEFT JOIN dups d ON sz.cell = d.cell ORDER BY sz.cell"""
+
   val knnLshSql: String =
     s"""WITH e AS (
          SELECT vec_id, $quantSql AS qv, ${bucketSqlWith(planes, quantSql)} AS bucket

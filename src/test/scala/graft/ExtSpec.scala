@@ -429,6 +429,24 @@ class ExtSpec extends AnyFunSuite {
       "no overweight stratum was thinned")
   }
 
+  test("dedup_semantic accounts for every vector and finds the twin mass") {
+    val rows = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
+    val base = graft.model.Tables.embeddings(spark, sf).count()
+    val twins = graft.model.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 7 === 0).count()
+    assert(rows.map(_.getLong(1)).sum == base + twins,
+      "cell sizes do not partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1) - 1 || r.getLong(1) == 0,
+        s"cell ${r.getLong(0)} would remove everything")
+      assert(r.getLong(3) <= r.getLong(2), "removable exceeds pair count")
+    }
+    // each twin is near-identical to its original; cell-locality should
+    // co-bucket (and so find) at least half of them
+    assert(rows.map(_.getLong(2)).sum >= twins / 2,
+      s"found ${rows.map(_.getLong(2)).sum} dup pairs for $twins twins")
+  }
+
   test("dedup_normalized cardinalities nest and account for every document") {
     val rows = SparkEntry.queries("dedup_normalized")(spark, sf).collect()
     assert(rows.nonEmpty)
