@@ -247,4 +247,119 @@ object Quality {
        JOIN totals tb ON tb.source = p.source_b
        ORDER BY p.source_a, p.source_b"""
   }
+
+  private val CONT_RARE_MAX = 10   // blocking shingles: 2 <= df <= 10
+  private val CONT_NUM = 9         // containment >= 9/10, exact rational
+
+  /** Document-level CONTAINMENT pairs — the asymmetric-duplicate
+    * detector the whole symmetric dedup family is blind to: a short
+    * document embedded in a longer one (syndicated article + added
+    * commentary, quoted post, boilerplate page) has containment
+    * |A∩B|/min(|A|,|B|) ≈ 1 but Jaccard ≈ |A|/|B| — far below any
+    * MinHash/SimHash threshold, and symmetric-LSH candidates miss it
+    * with the same probability. An injected prefix-half corpus
+    * (doc_id%11==0 → its first half as id+200000, containment exactly
+    * 1.0, Jaccard ≈ 0.5) pins the blindspot.
+    *
+    * Candidates come from RARE-SHINGLE BLOCKING (the entity-resolution
+    * standard): two docs are candidates iff they share an 8-gram whose
+    * corpus document-frequency is in [2, 10]. A contained doc shares
+    * ALL its shingles — rare ones included — with its container, so
+    * recall does not depend on any symmetric similarity; and the pair
+    * volume is bounded by Σ_h df(h)² ≤ 10·Σ df(h) — linear in corpus
+    * size. Hot shingles (df > 10 — boilerplate) are excluded exactly
+    * like blocking stop-words; the at-scale containment index
+    * (LSH Ensemble, VLDB'16 2331) is the next rung when the rare band
+    * itself is too wide. Verification is exact set intersection over
+    * the shingle-hash arrays, joined back by doc id — candidate
+    * frames carry only ids. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val g = OVERLAP_GRAM
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+    val halves = base.filter(col("doc_id") % 11 === 0)
+      .withColumn("t", toks(col("text")))
+      .select(col("source"), (col("doc_id") + 200000).as("doc_id"),
+        concat_ws(" ", slice(col("t"), lit(1),
+          greatest(floor(size(col("t")) / 2), lit(1)).cast("int"))).as("text"))
+    val d = base.unionAll(halves)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("t", toks(col("text")))
+      .withColumn("sh",
+        when(size(col("t")) >= g,
+          array_distinct(transform(sequence(lit(1), size(col("t")) - (g - 1)),
+            i => Hashing.phash(concat_ws(" ",
+              (0 until g).map(k => element_at(col("t"), i + k)): _*), "cnt_"))))
+          .otherwise(array().cast("array<long>")))
+      .select(col("doc_id"), col("sh"))
+      // referenced by the df build, the candidate explode, and both
+      // verify sides — materialize the shingle pipeline once
+      .transform(graft.util.Fence.lineage)
+    val occ = d.select(col("doc_id"), explode_outer(col("sh")).as("h"))
+      .filter(col("h").isNotNull)
+    val rare = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= CONT_RARE_MAX)
+      .select(col("h"))
+    val rocc = occ.join(rare, Seq("h"))
+    val cand = rocc.as("l")
+      .join(rocc.as("r"),
+        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    val sets = d.select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("id1"), col("sh").as("s1")), Seq("id1"))
+      .join(sets.select(col("doc_id").as("id2"), col("sh").as("s2")), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("cmin", least(size(col("s1")), size(col("s2"))))
+      // exact rational threshold referencing `inter` once in the
+      // filter (the rounded form would inline array_intersect twice
+      // through the join-condition pushdown)
+      .filter(col("cmin") > 0 && col("inter") * 10 >= col("cmin") * CONT_NUM)
+      .withColumn("containment",
+        floor(col("inter").cast("double") / col("cmin") * 10000 + 0.5) / 10000)
+      .select(col("id1"), col("id2"), col("inter").cast("long").as("n_shared"),
+        col("cmin").cast("long").as("n_smaller"), col("containment"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val containmentPairsSql: String = {
+    val g = OVERLAP_GRAM
+    val gram = (0 until g).map(k => s"t[i + $k]").mkString(", ")
+    s"""WITH halves AS (
+         SELECT source, doc_id + 200000 AS doc_id,
+           array_to_string(list_slice(t, 1, greatest(len(t) // 2, 1)), ' ') AS text
+         FROM (SELECT source, doc_id, ${toksSql("text")} AS t
+               FROM documents WHERE doc_id % 11 = 0)),
+       all_docs AS (
+         SELECT source, doc_id, text FROM documents
+         UNION ALL SELECT source, doc_id, text FROM halves),
+       d AS (
+         SELECT doc_id,
+           CASE WHEN len(t) >= $g
+                THEN list_distinct(list_transform(generate_series(1, len(t) - ${g - 1}),
+                       i -> ${Hashing.phashSql(s"concat_ws(' ', $gram)", "cnt_")}))
+                ELSE [] END AS sh
+         FROM (SELECT doc_id, ${toksSql("text")} AS t FROM all_docs)),
+       occ AS (SELECT doc_id, unnest(sh) AS h FROM d),
+       rare AS (
+         SELECT h FROM (SELECT h, count(*) AS df FROM occ GROUP BY h)
+         WHERE df BETWEEN 2 AND $CONT_RARE_MAX),
+       cand AS (
+         SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+         FROM occ l JOIN occ r ON l.h = r.h AND l.doc_id < r.doc_id
+         WHERE l.h IN (SELECT h FROM rare)),
+       scored AS (
+         SELECT c.id1, c.id2,
+           len(list_intersect(a.sh, b.sh)) AS inter,
+           least(len(a.sh), len(b.sh)) AS cmin
+         FROM cand c
+         JOIN d a ON a.doc_id = c.id1
+         JOIN d b ON b.doc_id = c.id2)
+       SELECT id1, id2, CAST(inter AS BIGINT) AS n_shared,
+         CAST(cmin AS BIGINT) AS n_smaller,
+         floor(CAST(inter AS DOUBLE) / cmin * 10000 + 0.5) / 10000 AS containment
+       FROM scored WHERE cmin > 0 AND inter * 10 >= cmin * $CONT_NUM
+       ORDER BY id1, id2"""
+  }
 }

@@ -447,6 +447,25 @@ class ExtSpec extends AnyFunSuite {
       s"found ${rows.map(_.getLong(2)).sum} dup pairs for $twins twins")
   }
 
+  test("containment_pairs finds every eligible embedded prefix doc at containment 1.0") {
+    val found = SparkEntry.queries("containment_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // eligible injected halves: originals doc_id%11==0 whose prefix half
+    // still holds >= 8 tokens (shorter halves have no 8-gram shingles)
+    val eligible = graft.model.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"),
+        (size(split(trim(col("text")), "\\s+")) / 2).cast("int").as("half"))
+      .filter(col("half") >= 8)
+      .collect().map(_.getLong(0))
+    assert(eligible.nonEmpty, "fixture drifted: no eligible prefix docs")
+    eligible.foreach { id =>
+      val c = found.get((id, id + 200000))
+      assert(c.contains(1.0),
+        s"prefix doc of $id not found at containment 1.0 (got $c)")
+    }
+  }
+
   test("dedup_normalized cardinalities nest and account for every document") {
     val rows = SparkEntry.queries("dedup_normalized")(spark, sf).collect()
     assert(rows.nonEmpty)
