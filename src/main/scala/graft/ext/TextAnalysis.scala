@@ -230,6 +230,65 @@ object TextAnalysis {
        CAST(greatest(len(text) - 7, 1) AS BIGINT) AS n_shingles
        FROM documents ORDER BY doc_id"""
 
+  private val WINNOW_W = 4
+
+  /** Winnowing fingerprint selection (Schleimer et al., SIGMOD'03 —
+    * the MOSS algorithm): over the ordered char-8-gram hash stream,
+    * keep the MINIMUM of every [[WINNOW_W]]-wide window; the distinct
+    * minima are the document's fingerprint set. Guarantees every
+    * shared substring of length >= 8+W-1 contributes a shared
+    * fingerprint while storing only ~2/(W+1) of the shingles — the
+    * standard index-size/recall trade for substring-level dedup at
+    * scale (the full shingle set never leaves the row; only the
+    * winnowed minima would feed an inverted index). Pure narrow map;
+    * the fingerprint SET is oracle-checked via a sorted-concat hash,
+    * so the comparison is order-insensitive on both engines. */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val w = WINNOW_W
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-split table, md5-heavy map
+      .withColumn("hs",
+        transform(sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+          i => Hashing.phash(col("text").substr(i, lit(8)), "wn_")))
+      .withColumn("n", size(col("hs")))
+      .withColumn("fps", array_distinct(
+        when(col("n") >= w,
+          transform(sequence(lit(1), col("n") - (w - 1)),
+            i => array_min(slice(col("hs"), i, lit(w)))))
+          .otherwise(array(array_min(col("hs"))))))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_shingles"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        (floor(size(col("fps")).cast("double") / col("n") * 10000 + 0.5) / 10000)
+          .as("keep_frac"),
+        Hashing.phash(concat_ws(",",
+          transform(array_sort(col("fps")), x => x.cast("string"))), "wnh_")
+          .as("fp_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val winnowFingerprintSql: String = {
+    val w = WINNOW_W
+    s"""WITH h AS (
+         SELECT doc_id, list_transform(generate_series(1, greatest(len(text) - 7, 1)),
+             i -> ${Hashing.phashSql("substr(text, CAST(i AS INT), 8)", "wn_")}) AS hs
+         FROM documents),
+       f AS (
+         SELECT doc_id, len(hs) AS n,
+           list_distinct(CASE WHEN len(hs) >= $w
+             THEN list_transform(generate_series(1, len(hs) - ${w - 1}),
+                    i -> list_min(list_slice(hs, i, i + ${w - 1})))
+             ELSE [list_min(hs)] END) AS fps
+         FROM h)
+       SELECT doc_id, CAST(n AS BIGINT) AS n_shingles,
+         CAST(len(fps) AS BIGINT) AS n_fingerprints,
+         floor(CAST(len(fps) AS DOUBLE) / n * 10000 + 0.5) / 10000 AS keep_frac,
+         ${Hashing.phashSql(
+           "array_to_string(list_transform(list_sort(fps), x -> CAST(x AS VARCHAR)), ',')",
+           "wnh_")} AS fp_hash
+       FROM f ORDER BY doc_id"""
+  }
+
   // ---- Markup stripping (web-corpus main-text extraction) ----------
 
   /** HTML-strip pipeline over a deterministically synthesized page

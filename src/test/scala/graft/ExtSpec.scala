@@ -447,6 +447,20 @@ class ExtSpec extends AnyFunSuite {
       s"found ${rows.map(_.getLong(2)).sum} dup pairs for $twins twins")
   }
 
+  test("winnow_fingerprint keeps a ~2/(W+1) density subset of the shingles") {
+    val rows = SparkEntry.queries("winnow_fingerprint")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "more fingerprints than shingles")
+      assert(r.getLong(2) >= 1)
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+    }
+    // winnowing density: expected 2/(W+1) = 0.4 for W=4; the corpus
+    // mean should sit near it, far below keeping everything
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    assert(mean > 0.2 && mean < 0.7, s"winnow density off: $mean")
+  }
+
   test("containment_pairs finds every eligible embedded prefix doc at containment 1.0") {
     val found = SparkEntry.queries("containment_pairs")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
