@@ -186,6 +186,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup_semantic: broadcast centroid assignment, equi-joined cells") {
+    val p = planOf("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), "cell pair join degraded to a product")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroid table not broadcast")
+    assert(p.contains("Scan ExistingRDD"), "quantization fence missing")
+  }
+
+  test("containment_pairs: hash-keyed blocking joins over one fenced shingle set") {
+    val p = planOf("containment_pairs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Scan ExistingRDD"), "shingle fence missing — " +
+      "the explode pipeline would run once per consumer")
+  }
+
+  test("winnow_fingerprint is a pure narrow map — no joins at any scale") {
+    val p = planOf("winnow_fingerprint")
+    assert(!p.toLowerCase.contains("join"), "a join appeared in a per-row map op")
+  }
+
+  test("ref_integrity is one full-outer equi-join, not two anti-joins") {
+    val p = planOf("ref_integrity")
+    assert(!p.contains("CartesianProduct"))
+    assert("FullOuter".r.findAllIn(p).size >= 1, "full-outer join shape lost")
+    assert("Join".r.findAllIn(p).size <= 2, // one join + possible AQE reprint
+      "more joins than the single planned full-outer")
+  }
+
   test("filters and pruning reach the parquet scan in the flagship report") {
     val p = SparkEntry.queries("report_metrics")(spark, sf)
       .queryExecution.executedPlan.toString
