@@ -135,4 +135,71 @@ object Sketches {
          END AS mse_milli
        FROM a ORDER BY vec_id"""
   }
+
+  private val CM_ROWS = 4
+  private val CM_COLS = 2048
+  private val HH_TOPK = 20
+
+  /** Count-Min heavy hitters: the frequency-sketch complement to
+    * [[distinctSketch]]'s cardinality sketch. Every token occurrence
+    * lands in one cell per row (4 salted hashes into 2048 columns);
+    * a token's estimate is the MIN of its 4 cells — never below the
+    * true count (other tokens only ADD to a cell), which is the CM
+    * guarantee the spec asserts. The exact counts ride along to
+    * expose each hitter's overcount; a production deployment keeps
+    * only the sketch (4·2048 integers however large the corpus — the
+    * groupBy key space is the CELL GRID, so the shuffle is map-side
+    * combined to ≤ 8192 rows per partition regardless of N) and
+    * queries it without the exact pass. */
+  def heavyHittersCm(spark: SparkSession, dir: String): DataFrame = {
+    def rcArray(tokenCol: org.apache.spark.sql.Column) =
+      array((0 until CM_ROWS).map(r => struct(lit(r).as("r"),
+        (Hashing.phash(tokenCol, s"cm${r}_") % CM_COLS).as("c"))): _*)
+    val tok = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode_outer(toks(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      // referenced by the exact pass AND the sketch build
+      .transform(graft.util.Fence.lineage)
+    val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+    val cells = tok
+      .select(explode_outer(rcArray(col("token"))).as("rc"))
+      .filter(col("rc").isNotNull)
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = exact.orderBy(col("n_exact").desc, col("token")).limit(HH_TOPK)
+    top
+      .select(col("token"), col("n_exact"),
+        explode_outer(rcArray(col("token"))).as("rc"))
+      .filter(col("rc").isNotNull)
+      .select(col("token"), col("n_exact"),
+        col("rc.r").as("r"), col("rc.c").as("c"))
+      .join(broadcast(cells), Seq("r", "c"))
+      .groupBy(col("token"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_cm"))
+      .withColumn("overcount", col("n_cm") - col("n_exact"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  val heavyHittersCmSql: String = {
+    def occRow(r: Int, src: String) =
+      s"SELECT $r AS r, ${Hashing.phashSql("token", s"cm${r}_")} % $CM_COLS AS c" +
+        (if (src.isEmpty) " FROM tok" else s", token, n_exact FROM $src")
+    val occ = (0 until CM_ROWS).map(r => occRow(r, "")).mkString("\n         UNION ALL ")
+    val probes = (0 until CM_ROWS).map(r => occRow(r, "top")).mkString("\n         UNION ALL ")
+    s"""WITH tok AS (
+         SELECT unnest(${toksSql("text")}) AS token FROM documents),
+       occ AS (
+         $occ),
+       cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY r, c),
+       exact AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY token),
+       top AS (SELECT token, n_exact FROM exact ORDER BY n_exact DESC, token LIMIT $HH_TOPK),
+       probes AS (
+         $probes)
+       SELECT p.token, p.n_exact, CAST(min(cells.cnt) AS BIGINT) AS n_cm,
+         CAST(min(cells.cnt) - p.n_exact AS BIGINT) AS overcount
+       FROM probes p JOIN cells ON p.r = cells.r AND p.c = cells.c
+       GROUP BY p.token, p.n_exact
+       ORDER BY p.n_exact DESC, p.token"""
+  }
 }

@@ -447,6 +447,19 @@ class ExtSpec extends AnyFunSuite {
       s"found ${rows.map(_.getLong(2)).sum} dup pairs for $twins twins")
   }
 
+  test("heavy_hitters_cm never undercounts (the Count-Min guarantee)") {
+    val rows = SparkEntry.queries("heavy_hitters_cm")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CM undercounted '${r.getString(0)}': ${r.getLong(2)} < ${r.getLong(1)}")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // exact counts desc — the top really is the head
+    val ex = rows.map(_.getLong(1))
+    assert(ex.sameElements(ex.sorted.reverse))
+  }
+
   test("winnow_fingerprint keeps a ~2/(W+1) density subset of the shingles") {
     val rows = SparkEntry.queries("winnow_fingerprint")(spark, sf).collect()
     assert(rows.nonEmpty)
