@@ -251,18 +251,18 @@ object TextAnalysis {
         transform(sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
           i => Hashing.phash(col("text").substr(i, lit(8)), "wn_")))
       .withColumn("n", size(col("hs")))
-      .withColumn("fps", array_distinct(
-        when(col("n") >= w,
-          transform(sequence(lit(1), col("n") - (w - 1)),
-            i => array_min(slice(col("hs"), i, lit(w)))))
-          .otherwise(array(array_min(col("hs"))))))
+      // fused native winnowing ([[graft.functions.WindowMinima]]):
+      // sorted distinct window minima in ONE primitive loop — the
+      // composed slice+array_min form allocated a w-array per window
+      // (FunctionsSpec asserts set parity; output is already sorted)
+      .withColumn("fps", graft.functions.WindowMinima(col("hs"), w))
       .select(col("doc_id"),
         col("n").cast("long").as("n_shingles"),
         size(col("fps")).cast("long").as("n_fingerprints"),
         (floor(size(col("fps")).cast("double") / col("n") * 10000 + 0.5) / 10000)
           .as("keep_frac"),
         Hashing.phash(concat_ws(",",
-          transform(array_sort(col("fps")), x => x.cast("string"))), "wnh_")
+          transform(col("fps"), x => x.cast("string"))), "wnh_")
           .as("fp_hash"))
       .orderBy(col("doc_id"))
   }

@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(scaledDistSqDesc)
     ext.injectFunction(hyperplaneBucketDesc)
     ext.injectFunction(minHashSigDesc)
+    ext.injectFunction(windowMinimaDesc)
   }
 }
 
@@ -89,6 +90,25 @@ object GraftExtensions {
     { args =>
       require(args.length == 2, "hyperplane_bucket takes (v, planes)")
       HyperplaneBucket(args(0), longMatrix(args(1), "hyperplane_bucket"))
+    })
+
+  val windowMinimaDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("window_minima"),
+    info("window_minima",
+      "window_minima(hs, w) - sorted distinct minima of every w-wide sliding window; w an integer literal"),
+    { args =>
+      require(args.length == 2, "window_minima takes (hs, w)")
+      val w = args(1) match {
+        case e if e.resolved && e.foldable &&
+            (e.dataType == LongType || e.dataType == org.apache.spark.sql.types.IntegerType) =>
+          e.eval() match {
+            case l: Long => l.toInt
+            case i: Integer => i.intValue
+          }
+        case e => throw new IllegalArgumentException(
+          s"window_minima w must be an integer literal, got ${e.sql}")
+      }
+      WindowMinima(args(0), w)
     })
 
   val minHashSigDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -98,6 +98,131 @@ object LongDot {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
 
+/** Fused winnowing kernel: the SORTED DISTINCT minima of every
+  * `w`-wide sliding window over an `array<bigint>` — the inner loop
+  * of [[graft.ext.TextAnalysis.winnowFingerprint]] (MOSS winnowing).
+  *
+  * Replaces the composed
+  * `array_distinct(transform(sequence(1, n-w+1), i => array_min(slice(hs, i, w))))`
+  * — which allocates a w-element slice and runs an interpreted
+  * array_min per window — with one primitive loop and a single
+  * sort+dedupe on the minima. Output order is SORTED ascending (the
+  * composed form is first-occurrence order); the only consumers are
+  * set-shaped (size + sorted-concat hash), and FunctionsSpec asserts
+  * set equality against the composed form.
+  *
+  * Edge parity: n < w (including n = 1) yields the single global
+  * minimum, matching the `when(n >= w, …).otherwise(array(array_min))`
+  * guard it replaces. Null input or a null element → null (the input
+  * contract is a non-null hash array; the guard is for safety, not
+  * parity).
+  */
+case class WindowMinima(child: Expression, w: Int) extends UnaryExpression {
+
+  require(w >= 1, "window must be at least 1")
+
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"window_minima requires array<bigint> input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_minima"
+
+  override def eval(input: InternalRow): Any = {
+    val value = child.eval(input)
+    if (value == null) return null
+    val arr = value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
+    val nw = if (n < w) 1 else n - w + 1
+    val win = if (n < w) n else w
+    val mins = new Array[Long](nw)
+    i = 0
+    while (i < nw) {
+      var m = arr.getLong(i)
+      var j = 1
+      while (j < win) {
+        val v = arr.getLong(i + j)
+        if (v < m) m = v
+        j += 1
+      }
+      mins(i) = m
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var k = 0
+    i = 0
+    while (i < nw) {
+      if (i == 0 || mins(i) != mins(i - 1)) { mins(k) = mins(i); k += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(mins, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    val ad = classOf[org.apache.spark.sql.catalyst.util.ArrayData].getName
+    val childGen = child.genCode(ctx)
+    val n = ctx.freshName("n")
+    val nw = ctx.freshName("nw")
+    val win = ctx.freshName("win")
+    val mins = ctx.freshName("mins")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val m = ctx.freshName("m")
+    val v = ctx.freshName("v")
+    val k = ctx.freshName("k")
+    val ok = ctx.freshName("ok")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      $ad ${ev.value} = null;
+      if (!${childGen.isNull} && ${childGen.value}.numElements() > 0) {
+        final int $n = ${childGen.value}.numElements();
+        boolean $ok = true;
+        for (int $i = 0; $i < $n; $i++) {
+          if (${childGen.value}.isNullAt($i)) { $ok = false; break; }
+        }
+        if ($ok) {
+          final int $nw = $n < $w ? 1 : $n - $w + 1;
+          final int $win = $n < $w ? $n : $w;
+          final long[] $mins = new long[$nw];
+          for (int $i = 0; $i < $nw; $i++) {
+            long $m = ${childGen.value}.getLong($i);
+            for (int $j = 1; $j < $win; $j++) {
+              final long $v = ${childGen.value}.getLong($i + $j);
+              if ($v < $m) $m = $v;
+            }
+            $mins[$i] = $m;
+          }
+          java.util.Arrays.sort($mins);
+          int $k = 0;
+          for (int $i = 0; $i < $nw; $i++) {
+            if ($i == 0 || $mins[$i] != $mins[$i - 1]) { $mins[$k++] = $mins[$i]; }
+          }
+          ${ev.isNull} = false;
+          ${ev.value} = new $gad(java.util.Arrays.copyOf($mins, $k));
+        }
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WindowMinima =
+    copy(child = newChild)
+}
+
+object WindowMinima {
+  /** Column-API entry point: `WindowMinima($"hs", 4)`. */
+  def apply(c: Column, w: Int): Column =
+    GraftColumnBridge.column(WindowMinima(GraftColumnBridge.expression(c), w))
+}
+
 /** Fused scaled squared distance `Σ_i (x_i·k − s_i)²` over two
   * `array<bigint>` columns and a `bigint` scale as a native Catalyst
   * expression.

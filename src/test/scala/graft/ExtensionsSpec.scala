@@ -54,6 +54,12 @@ class ExtensionsSpec extends AnyFunSuite {
       s"non-literal planes must be rejected clearly, got: ${err.getMessage}")
   }
 
+  test("window_minima is SQL-callable with a folded window literal") {
+    val r = extSpark.sql(
+      "SELECT window_minima(array(9L, 3L, 7L, 8L, 1L), 4) AS m").head()
+    assert(r.getSeq[Long](0) == Seq(1L, 3L)) // windows [9,3,7,8]->3, [3,7,8,1]->1
+  }
+
   test("minhash_sig is SQL-callable and matches the Column API") {
     val viaSql = extSpark.sql(
       """SELECT minhash_sig(array(17L, 99L), array(3L, 5L), array(7L, 11L),

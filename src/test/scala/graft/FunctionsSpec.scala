@@ -162,6 +162,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 1L)
   }
 
+  test("WindowMinima equals the composed slice+array_min winnowing as a set") {
+    val w = 4
+    val composedWin = {
+      val hs = col("hs")
+      array_sort(array_distinct(
+        when(size(hs) >= w,
+          transform(sequence(lit(1), size(hs) - (w - 1)),
+            i => array_min(slice(hs, i, lit(w)))))
+          .otherwise(array(array_min(hs)))))
+    }
+    val d = graft.model.Tables.documents(spark, sf)
+      .select(transform(sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+        i => graft.util.Hashing.phash(col("text").substr(i, lit(8)), "wn_")).as("hs"))
+    val both = d.select(
+      graft.functions.WindowMinima(col("hs"), w).as("fused"),
+      composedWin.as("ref"))
+    assert(both.filter(not(col("fused") <=> col("ref"))).count() == 0,
+      "fused winnowing diverges from the composed form")
+    // edges: n < w -> single global min; singleton array
+    val r = spark.range(1).select(
+      graft.functions.WindowMinima(array(lit(9L), lit(3L), lit(7L)), 4).as("short"),
+      graft.functions.WindowMinima(array(lit(5L)), 4).as("one")).head()
+    assert(r.getSeq[Long](0) == Seq(3L))
+    assert(r.getSeq[Long](1) == Seq(5L))
+  }
+
   test("LongDot and HyperplaneBucket stay inside whole-stage codegen") {
     val df = spark.range(100)
       .select(array(col("id"), col("id") * 3 - 50).as("v"))
