@@ -550,23 +550,31 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairsOf(corpus(spark, dir))
 
-  val simhashPairsSql: String = {
+  /** CTE chain `banded .. shp(id1, id2, hamming)` over a `sims` CTE —
+    * factored so [[dedupMethodOverlapSql]] can run the same pair
+    * pipeline over a different corpus definition. */
+  private val simhashPairsCtes: String = {
     val bandRows = (0 until 4).map(b =>
       s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 16}) & 65535 AS bv FROM sims")
       .mkString("\n         UNION ALL\n         ")
-    s"""WITH $corpusSql,
-       $simhashCte,
-       banded AS (
+    s"""banded AS (
          $bandRows),
        cand AS (
          SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
                 l.simhash AS s1, r.simhash AS s2
          FROM banded l JOIN banded r
-           ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id)
-       SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
-       FROM cand WHERE bit_count(xor(s1, s2)) <= 3
-       ORDER BY id1, id2"""
+           ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id),
+       shp AS (
+         SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(s1, s2)) <= 3)"""
   }
+
+  val simhashPairsSql: String =
+    s"""WITH $corpusSql,
+       $simhashCte,
+       $simhashPairsCtes
+       SELECT id1, id2, hamming FROM shp
+       ORDER BY id1, id2"""
 
   /** n-gram (unigram-set) Jaccard near-dup pairs within a source.
     *
@@ -688,4 +696,56 @@ object Dedup {
     s"""WITH $ngramPairsCtes
        SELECT source, id1, id2, jaccard FROM ngj WHERE jaccard >= 0.8
        ORDER BY source, id1, id2"""
+
+  /** Method-agreement report between the two near-dup pair
+    * generators — the evaluation a curation team runs before picking
+    * a dedup method (the [[graft.ext.Similarity]] `ann_recall`
+    * counterpart for the dedup family). Both pipelines run over the
+    * SAME raw corpus (no injected twins, unlike their standalone
+    * queries) and their pair sets full-outer join on (id1, id2):
+    * ngram-Jaccard >= 0.8 is the high-precision set-overlap view,
+    * SimHash hamming <= 3 the cheap bit-signature view — the
+    * disagreement counts are each method's blind spots, and
+    * agreement_ppm is the exact-integer Jaccard of the two pair
+    * sets. Cost is the two generators plus one join of their
+    * (small) pair frames. */
+  def dedupMethodOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val a = ngramJaccardOf(docs)
+      .select(col("id1"), col("id2")).withColumn("in_a", lit(1))
+    val b = simhashPairsOf(docs.select(col("doc_id"), col("text")))
+      .select(col("id1"), col("id2")).withColumn("in_b", lit(1))
+    a.join(b, Seq("id1", "id2"), "full")
+      .agg(
+        sum(coalesce(col("in_a"), lit(0))).as("n_ngram"),
+        sum(coalesce(col("in_b"), lit(0))).as("n_simhash"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+      .withColumn("agreement_ppm",
+        floor(col("n_both") * 1000000.0 /
+          nullif(col("n_ngram") + col("n_simhash") - col("n_both"), lit(0L)))
+          .cast("long"))
+      .orderBy(col("n_ngram"))
+  }
+
+  val dedupMethodOverlapSql: String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       $simhashCte,
+       $simhashPairsCtes,
+       $ngramPairsCtes,
+       a AS (SELECT id1, id2 FROM ngj WHERE jaccard >= 0.8),
+       b AS (SELECT id1, id2 FROM shp),
+       m AS (
+         SELECT a.id1 IS NOT NULL AS in_a, b.id1 IS NOT NULL AS in_b
+         FROM a FULL OUTER JOIN b ON a.id1 = b.id1 AND a.id2 = b.id2)
+       SELECT
+         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_ngram,
+         CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
+         CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         CAST(floor(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) * 1000000.0 /
+           nullif(sum(CASE WHEN in_a THEN 1 ELSE 0 END)
+                + sum(CASE WHEN in_b THEN 1 ELSE 0 END)
+                - sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END), 0)) AS BIGINT)
+           AS agreement_ppm
+       FROM m ORDER BY n_ngram"""
 }

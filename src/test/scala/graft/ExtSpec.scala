@@ -447,6 +447,15 @@ class ExtSpec extends AnyFunSuite {
       s"found ${rows.map(_.getLong(2)).sum} dup pairs for $twins twins")
   }
 
+  test("dedup_method_overlap balances against both generators' pair counts") {
+    val r = SparkEntry.queries("dedup_method_overlap")(spark, sf).head()
+    val (a, b, both) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(both <= math.min(a, b), "intersection exceeds a side")
+    assert(a > 0 && b > 0, "a generator found nothing — fixture drifted")
+    val expected = math.floor(both * 1000000.0 / (a + b - both)).toLong
+    assert(r.getLong(3) == expected)
+  }
+
   test("heavy_hitters_cm never undercounts (the Count-Min guarantee)") {
     val rows = SparkEntry.queries("heavy_hitters_cm")(spark, sf).collect()
     assert(rows.length == 20)
