@@ -184,6 +184,48 @@ object StreamEtl {
       }
   }
 
+  /** Streaming → JDBC with exactly-once semantics — the reference's
+    * literal job ("parse logs, INSERT INTO MySQL",
+    * `real_parse.pl:96-177`) in its modern shape: `foreachBatch` with
+    * batch-id scrub-then-append. The checkpoint makes micro-batch
+    * REPLAY the failure mode (a batch can be re-run after a crash
+    * between the JDBC write and the offset commit); tagging every row
+    * with its `batch_id` and deleting that batch's rows before
+    * re-appending makes the write idempotent — the standard
+    * exactly-once recipe for non-transactional streaming sinks, and
+    * the distributed answer to the reference's `LOCK TABLES` (S12).
+    * Batched inserts (batchsize) like the batch JDBC sink; the DELETE
+    * is one indexed statement per (replayed) batch, not per row. */
+  def jdbcIngest(spark: SparkSession, inputGlob: String, checkpointDir: String,
+                 url: String, table: String): StreamingQuery =
+    parseLines(spark.readStream.text(inputGlob))
+      .select(col("client_ip_address"), col("datetime"),
+        col("presentation_id"), col("bytes_sent"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          // Spark's JDBC writer passes the TABLE name through raw but
+          // quotes every COLUMN name — the scrub must match: unquoted
+          // table (engine case-folding applies as at CREATE), quoted
+          // column (a bare batch_id would fold away from "batch_id")
+          try st.executeUpdate(
+            s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+          catch { case _: java.sql.SQLException => () } // first batch: table absent
+          finally st.close()
+        } finally conn.close()
+        batch.withColumn("batch_id", lit(batchId))
+          .write.format("jdbc")
+          .option("url", url).option("dbtable", table)
+          .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+          .option("batchsize", "500")
+          .mode("append").save()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-static enrichment join — the reference's per-row
     * dimension lookups (`pull_report.pl`'s customer→project→file
     * chain, SURVEY §2.3 J2/J3) re-expressed in the streaming path:
