@@ -163,4 +163,43 @@ object Tpch {
          AND l_shipdate < TIMESTAMP '1997-01-01'
          AND l_discount >= 0.05 AND l_discount <= 0.07
          AND l_quantity < 24"""
+
+  /** TPC-H Q14 (promotion effect), adapted to the test dims: share of
+    * one month's revenue from ECO-type parts. The part side carries
+    * only (key, type) and is written WITHOUT a broadcast hint: at test
+    * scale AQE broadcasts it; at TPC-H scale `part` grows with SF, so
+    * forcing a broadcast would be the 100 TB mistake — the shuffled
+    * hash join Spark picks there is the right plan. One conditional +
+    * one total exact money sum in the same aggregate (single pass),
+    * percentage via a single double division + portable rounding. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-03-01")) &&
+              col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        Exact.moneySum(when(col("p_type").startsWith("ECO"),
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0))).as("promo_revenue"),
+        Exact.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      .withColumn("promo_pct",
+        Exact.pround2(col("promo_revenue") * 100 / col("total_revenue")))
+      .orderBy(col("promo_pct"))
+
+  val q14PromoRevenueSql: String =
+    s"""SELECT promo_revenue, total_revenue,
+         ${Exact.pround2Sql("promo_revenue * 100 / total_revenue")} AS promo_pct
+       FROM (
+         SELECT
+           ${Exact.moneySumSql(
+             "CASE WHEN p_type LIKE 'ECO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             AS promo_revenue,
+           ${Exact.moneySumSql("l_extendedprice * (1 - l_discount)")} AS total_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01')
+       ORDER BY promo_pct"""
 }

@@ -249,6 +249,35 @@ object Windows {
        FROM act a JOIN sz ON a.cohort_week = sz.cohort_week
        ORDER BY a.cohort_week, a.week_offset"""
 
+  /** Last-touch purchase attribution: every purchase event credits
+    * the user's immediately-preceding event (lag over the per-user
+    * event sequence with the (ts, event_id) total order the window
+    * rules require) — the marketing-analytics counterpart to
+    * [[eventFunnel]]'s forward view. A user's FIRST event being a
+    * purchase attributes to 'none'. Window partitions on the
+    * high-cardinality user key; one tiny groupBy ends it. */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("prev_type"), lit("none")).as("prev_event_type"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy(col("prev_event_type"))
+  }
+
+  val purchaseAttributionSql: String =
+    """WITH seq AS (
+         SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+         FROM events)
+       SELECT coalesce(prev_type, 'none') AS prev_event_type,
+         CAST(count(*) AS BIGINT) AS n_purchases
+       FROM seq WHERE event_type = 'purchase'
+       GROUP BY coalesce(prev_type, 'none') ORDER BY prev_event_type"""
+
   /** JSON prop extraction over `events.props` (§7.2 module 6):
     * get_json_object ≙ json_extract_string. */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =

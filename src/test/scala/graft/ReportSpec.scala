@@ -117,6 +117,23 @@ class ReportSpec extends AnyFunSuite {
     assert(g.getString(3) == expected)
   }
 
+  test("q14 promo revenue is a sub-share of total with a consistent pct") {
+    val r = SparkEntry.queries("q14_promo_revenue")(spark, sf).head()
+    val (promo, total, pct) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(promo >= 0 && promo <= total)
+    assert(pct == math.floor(promo * 100 / total * 100 + 0.5) / 100)
+  }
+
+  test("purchase_attribution accounts for every purchase exactly once") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("purchase_attribution")(spark, sf)
+    val attributed = df.agg(sum("n_purchases")).head().getLong(0)
+    val purchases = graft.model.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(attributed == purchases,
+      s"attributed $attributed of $purchases purchases")
+  }
+
   test("retention_cohorts offset-0 cells are full and later cells never exceed them") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("retention_cohorts")(spark, sf)
