@@ -52,16 +52,38 @@ object GraftExtensions {
     case _ if e.resolved && e.foldable &&
         e.dataType.isInstanceOf[ArrayType] &&
         e.dataType.asInstanceOf[ArrayType].elementType == LongType =>
-      e.eval().asInstanceOf[ArrayData].toLongArray.toSeq
+      val a = e.eval().asInstanceOf[ArrayData]
+      if (a == null || (0 until a.numElements()).exists(a.isNullAt))
+        throw new IllegalArgumentException(
+          s"$fn expects a foldable array<bigint> literal without nulls, got ${e.sql}")
+      a.toLongArray.toSeq
     case _ => throw new IllegalArgumentException(
       s"$fn expects a foldable array<bigint> literal, got ${e.sql}")
   }
 
-  /** A foldable `array<array<bigint>>` argument evaluated to rows. */
+  /** A foldable `array<array<bigint>>` argument evaluated to rows —
+    * validated non-empty, null-free, and rectangular here so the
+    * constructed expression never sees a matrix its eval/codegen paths
+    * can't handle (a nullable literal is resolved+foldable and would
+    * otherwise surface as an opaque NPE deep in ArrayData). */
   private def longMatrix(e: Expression, fn: String): Seq[Seq[Long]] = e.dataType match {
     case ArrayType(ArrayType(LongType, _), _) if e.resolved && e.foldable =>
       val a = e.eval().asInstanceOf[ArrayData]
-      (0 until a.numElements()).map(i => a.getArray(i).toLongArray.toSeq)
+      if (a == null || a.numElements() == 0 ||
+          (0 until a.numElements()).exists(a.isNullAt))
+        throw new IllegalArgumentException(
+          s"$fn expects a non-empty foldable array<array<bigint>> literal without null rows, got ${e.sql}")
+      val rows = (0 until a.numElements()).map { i =>
+        val r = a.getArray(i)
+        if ((0 until r.numElements()).exists(r.isNullAt))
+          throw new IllegalArgumentException(
+            s"$fn matrix rows must not contain nulls, got ${e.sql}")
+        r.toLongArray.toSeq
+      }
+      if (rows.exists(_.length != rows.head.length) || rows.head.isEmpty)
+        throw new IllegalArgumentException(
+          s"$fn matrix rows must be non-empty and equal-length, got ${e.sql}")
+      rows
     case _ => throw new IllegalArgumentException(
       s"$fn expects a foldable array<array<bigint>> literal, got ${e.sql}")
   }

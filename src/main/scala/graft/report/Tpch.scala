@@ -186,12 +186,13 @@ object Tpch {
         Exact.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("total_revenue"))
       .withColumn("promo_pct",
-        Exact.pround2(col("promo_revenue") * 100 / col("total_revenue")))
+        Exact.pround2(col("promo_revenue") * 100 /
+          nullif(col("total_revenue"), lit(0.0))))
       .orderBy(col("promo_pct"))
 
   val q14PromoRevenueSql: String =
     s"""SELECT promo_revenue, total_revenue,
-         ${Exact.pround2Sql("promo_revenue * 100 / total_revenue")} AS promo_pct
+         ${Exact.pround2Sql("promo_revenue * 100 / nullif(total_revenue, 0)")} AS promo_pct
        FROM (
          SELECT
            ${Exact.moneySumSql(

@@ -205,20 +205,36 @@ object StreamEtl {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val conn = java.sql.DriverManager.getConnection(url)
         try {
-          val st = conn.createStatement()
-          // Spark's JDBC writer passes the TABLE name through raw but
-          // quotes every COLUMN name — the scrub must match: unquoted
-          // table (engine case-folding applies as at CREATE), quoted
-          // column (a bare batch_id would fold away from "batch_id")
-          try st.executeUpdate(
-            s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
-          catch { case _: java.sql.SQLException => () } // first batch: table absent
-          finally st.close()
+          // First batch: the table doesn't exist yet (the append below
+          // creates it), so probe the catalog instead of swallowing
+          // SQLExceptions — a transient DELETE failure during a REPLAY
+          // must fail the batch, or the re-append would double rows.
+          val exists = {
+            val rs = conn.getMetaData.getTables(null, null, null,
+              Array("TABLE"))
+            try Iterator.continually(rs).takeWhile(_.next())
+              .exists(_.getString("TABLE_NAME").equalsIgnoreCase(table))
+            finally rs.close()
+          }
+          if (exists) {
+            // Spark's JDBC writer passes the TABLE name through raw but
+            // quotes every COLUMN name per the url's dialect — the
+            // scrub must match: unquoted table (engine case-folding
+            // applies as at CREATE), dialect-quoted column (a bare
+            // batch_id would fold away from the quoted form).
+            val bid = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+              .quoteIdentifier("batch_id")
+            val st = conn.createStatement()
+            try st.executeUpdate(
+              s"DELETE FROM $table WHERE $bid = $batchId")
+            finally st.close()
+          }
         } finally conn.close()
+        // No hardcoded driver: DriverManager resolves it from the url
+        // (same mechanism as the scrub connection above).
         batch.withColumn("batch_id", lit(batchId))
           .write.format("jdbc")
           .option("url", url).option("dbtable", table)
-          .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
           .option("batchsize", "500")
           .mode("append").save()
       }

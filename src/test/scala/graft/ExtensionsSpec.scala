@@ -69,6 +69,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql == want)
   }
 
+  test("null elements and empty matrices in literals are rejected clearly") {
+    val e1 = intercept[Exception] {
+      extSpark.sql(
+        """SELECT minhash_sig(array(1L), array(1L, CAST(NULL AS BIGINT)),
+                              array(1L, 2L), 7L)""").collect()
+    }
+    assert(e1.getMessage.contains("without nulls"),
+      s"null array element must be rejected clearly, got: ${e1.getMessage.take(200)}")
+    val e2 = intercept[Exception] {
+      extSpark.sql(
+        "SELECT hyperplane_bucket(array(1L), array(array(1L, CAST(NULL AS BIGINT))))")
+        .collect()
+    }
+    assert(e2.getMessage.contains("nulls"),
+      s"null matrix element must be rejected clearly, got: ${e2.getMessage.take(200)}")
+    val e3 = intercept[Exception] {
+      extSpark.sql(
+        "SELECT hyperplane_bucket(array(1L), CAST(array() AS ARRAY<ARRAY<BIGINT>>))")
+        .collect()
+    }
+    assert(e3.getMessage.contains("non-empty"),
+      s"empty planes matrix must be rejected clearly, got: ${e3.getMessage.take(200)}")
+    val e4 = intercept[Exception] {
+      extSpark.sql(
+        "SELECT hyperplane_bucket(array(1L), array(array(1L), array(2L, 3L)))")
+        .collect()
+    }
+    assert(e4.getMessage.contains("equal-length"),
+      s"ragged matrix must be rejected clearly, got: ${e4.getMessage.take(200)}")
+  }
+
   test("the base session is unaffected by the extension registration") {
     val err = intercept[Exception] {
       TestSpark.spark.sql("SELECT long_dot(array(1L), array(1L))").collect()
