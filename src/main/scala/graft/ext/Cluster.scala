@@ -48,33 +48,40 @@ object Cluster {
   private val quantSql: String =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
 
-  def kmeansEmbeddings(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+  /** The milli-quantized embeddings frame — referenced by the seed
+    * pick and every assignment pass, so the quantization is fenced
+    * once. Shared with [[Similarity.knnIvfKmeans]]. */
+  private[ext] def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), quant(col("embedding")).as("qv"))
-      // referenced by the seed pick and BOTH assignment passes —
-      // materialize the quantization once
       .transform(graft.util.Fence.lineage)
+
+  /** Nearest centroid per vector: K exact integer distances, argmin
+    * ties to the lower cluster id. Fused native Σ(x·S − c)²
+    * ([[graft.functions.ScaledDistSq]]) — identical to the composed
+    * zip_with+fold it replaced (FunctionsSpec parity), one codegen'd
+    * loop per candidate row. */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("dist2", graft.functions.ScaledDistSq(
+        col("qv"), col("cent"), lit(SCALE)))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist2"), col("cluster"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("cluster"), col("dist2"))
+  }
+
+  /** The trained coarse quantizer — seed assignment plus one exact
+    * centroid update, as `(cluster, cent)` in micro-units. This is
+    * the frame a production pipeline persists and broadcasts into
+    * every index build; [[Similarity.knnIvfKmeans]] consumes it as
+    * the IVF cell table (train → index composition). */
+  private[ext] def trainedCentroids(e: DataFrame): DataFrame = {
     val seeds = e.filter(col("vec_id") < K)
       .select(col("vec_id").as("cluster"),
         transform(col("qv"), x => x * SCALE).as("cent"))
-
-    // nearest centroid per vector: K exact integer distances, argmin
-    // ties to the lower cluster id
-    def assign(cents: DataFrame): DataFrame = {
-      // fused native Σ(x·S − c)² ([[graft.functions.ScaledDistSq]]) —
-      // identical to the composed zip_with+fold it replaced
-      // (FunctionsSpec parity), one codegen'd loop per candidate row
-      val scored = e.crossJoin(broadcast(cents))
-        .withColumn("dist2", graft.functions.ScaledDistSq(
-          col("qv"), col("cent"), lit(SCALE)))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist2"), col("cluster"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("qv"), col("cluster"), col("dist2"))
-    }
-
-    val a1 = assign(seeds)
+    val a1 = assign(e, seeds)
     // centroid update: per-(cluster, dim) exact sums — map-side
     // combine caps the exchange at K·DIM rows per partition
     val sums = a1.select(col("cluster"),
@@ -89,29 +96,42 @@ object Cluster {
       .select(col("cluster"), transform(col("pc"), p => p.getField("c")).as("cent"))
     // a seed duplicated elsewhere can leave its cluster empty after
     // reassignment — an empty cluster keeps its seed centroid
-    val cents = seeds.withColumnRenamed("cent", "seed_cent")
+    seeds.withColumnRenamed("cent", "seed_cent")
       .join(updated, Seq("cluster"), "left")
       .select(col("cluster"), coalesce(col("cent"), col("seed_cent")).as("cent"))
+  }
 
-    assign(cents)
+  def kmeansEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    assign(e, trainedCentroids(e))
       .select(col("vec_id"), col("cluster"), col("dist2"))
       .orderBy(col("vec_id"))
   }
 
-  val kmeansEmbeddingsSql: String = {
-    def distSql(cent: String) =
-      s"CAST(list_sum(list_transform(generate_series(1, $DIM), " +
-        s"i -> (qv[i] * $SCALE - $cent[i]) * (qv[i] * $SCALE - $cent[i]))) AS BIGINT)"
-    def assignSql(cents: String, out: String) =
-      s"""${out}s AS (
-           SELECT e.vec_id, e.qv, c.cluster, ${distSql("c.cent")} AS dist2
-           FROM e CROSS JOIN $cents c),
-         $out AS (
-           SELECT vec_id, qv, cluster, dist2 FROM (
-             SELECT *, row_number() OVER (
-               PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
-             FROM ${out}s) WHERE rn = 1)"""
-    s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+  /** Exact integer distance of a quantized vector `qv` to a
+    * micro-unit centroid column — shared with the IVF composition's
+    * oracle twin. */
+  private[ext] def distSql(cent: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, $DIM), " +
+      s"i -> (qv[i] * $SCALE - $cent[i]) * (qv[i] * $SCALE - $cent[i]))) AS BIGINT)"
+
+  private def assignSql(cents: String, out: String) =
+    s"""${out}s AS (
+         SELECT e.vec_id, e.qv, c.cluster, ${distSql("c.cent")} AS dist2
+         FROM e CROSS JOIN $cents c),
+       $out AS (
+         SELECT vec_id, qv, cluster, dist2 FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+           FROM ${out}s) WHERE rn = 1)"""
+
+  /** The WITH-body producing `e` (quantized embeddings) and `cents`
+    * (trained micro-unit centroids) — the SQL twin of
+    * [[quantized]]+[[trainedCentroids]], shared by the k-means oracle
+    * and the IVF-composition oracle so both engines index against the
+    * byte-identical centroid table. */
+  private[ext] val trainCtesSql: String =
+    s"""e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
        seeds AS (
          SELECT vec_id AS cluster, list_transform(qv, x -> x * $SCALE) AS cent
          FROM e WHERE vec_id < $K),
@@ -128,10 +148,12 @@ object Cluster {
          FROM dimsum GROUP BY cluster),
        cents AS (
          SELECT s.cluster, coalesce(u.cent, s.cent) AS cent
-         FROM seeds s LEFT JOIN updated u ON s.cluster = u.cluster),
+         FROM seeds s LEFT JOIN updated u ON s.cluster = u.cluster)"""
+
+  val kmeansEmbeddingsSql: String =
+    s"""WITH $trainCtesSql,
        ${assignSql("cents", "a2")}
        SELECT vec_id, cluster, dist2 FROM a2 ORDER BY vec_id"""
-  }
 
   /** Per-label embedding outliers — the mislabeled/noisy-sample sweep
     * of an embedding-curated corpus: the 5 vectors farthest from

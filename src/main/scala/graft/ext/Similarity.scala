@@ -255,6 +255,80 @@ object Similarity {
        SELECT qid, rank, vec_id AS neighbor_id, cosine
        FROM ranked WHERE rank <= $TOPK ORDER BY qid, rank"""
 
+  /** ANN via IVF with TRAINED k-means cells — the closed train→index
+    * loop: [[Cluster.trainedCentroids]] (the oracle-checked k-means
+    * coarse quantizer) is consumed directly as the IVF cell table,
+    * replacing [[knnIvf]]'s deterministic corpus sample. This is the
+    * production composition both scaladocs point at — train centroids
+    * offline, broadcast them, assign every vector to its nearest cell
+    * by EXACT integer distance (ties to the lower cluster id, the
+    * k-means rule), probe a query's NPROBE nearest cells, rank by
+    * exact quantized cosine.
+    *
+    * Scale shape: identical to [[knnIvf]] — assignment is O(N·K) with
+    * the K×DIM centroid table broadcast, probing O(|Q|·NPROBE·N/K) —
+    * plus the bounded training cost documented on
+    * [[Cluster.trainedCentroids]]. The assignment frame is fenced: it
+    * feeds both the cell inversion and the query probes, and must not
+    * re-run the train+assign pipeline per reference. */
+  def knnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = Cluster.quantized(spark, dir)
+    val cents = Cluster.trainedCentroids(e)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist2"), col("cluster"))
+    val ranked = e.crossJoin(broadcast(cents))
+      .withColumn("dist2", graft.functions.ScaledDistSq(
+        col("qv"), col("cent"), lit(1000L)))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") <= NPROBE)
+      .select(col("vec_id"), col("cluster"), col("rk"))
+      .transform(graft.util.Fence.lineage)
+    val cells = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("cluster").as("cell"))
+      .join(e, Seq("vec_id"))
+    val qprobes = ranked.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("cluster").as("cell"))
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("qv").as("qvec"))
+    val scored = cells.join(broadcast(qprobes), Seq("cell"))
+      .join(broadcast(q), Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", pr6(
+        dot(col("qvec"), col("qv")).cast("double") /
+          (sqrt(norm2(col("qvec")).cast("double")) * sqrt(norm2(col("qv")).cast("double")))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val knnIvfKmeansSql: String =
+    s"""WITH ${Cluster.trainCtesSql},
+       ivfa AS (
+         SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${Cluster.distSql("c.cent")}, c.cluster) AS rk
+         FROM e CROSS JOIN cents c),
+       icells AS (SELECT vec_id, cluster AS cell FROM ivfa WHERE rk = 1),
+       iqprobes AS (
+         SELECT vec_id AS qid, cluster AS cell FROM ivfa
+         WHERE rk <= $NPROBE AND vec_id < $NQUERIES),
+       iscored AS (
+         SELECT qp.qid, ce.vec_id,
+           ${cosSql("eq.qv", "ec.qv")} AS cosine
+         FROM icells ce
+         JOIN iqprobes qp ON ce.cell = qp.cell
+         JOIN e ec ON ec.vec_id = ce.vec_id
+         JOIN e eq ON eq.vec_id = qp.qid
+         WHERE ce.vec_id <> qp.qid),
+       iranked AS (
+         SELECT qid, vec_id, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM iscored)
+       SELECT qid, rank, vec_id AS neighbor_id, cosine
+       FROM iranked WHERE rank <= $TOPK ORDER BY qid, rank"""
+
   /** Embedding-cosine near-duplicate detection — the vector-space
     * dedup mode (complementing exact/MinHash/SimHash/Jaccard in
     * [[Dedup]]). A twin corpus is synthesized in-query (vec_id%7==0
@@ -354,7 +428,7 @@ object Similarity {
 
   // ---- SemDeDup: k-means-cell-bucketed semantic dedup ----------------
 
-  private val SEM_CELLS = 32
+  private val SEM_CELLS_MIN = 32L
   private val SEM_THRESH = 0.99
 
   /** Semantic dedup, SemDeDup-style (Abbas et al., 2303.09540): bucket
@@ -368,13 +442,25 @@ object Similarity {
     *
     * Scale shape: the centroid table is a bounded broadcast (the
     * assignment is O(N·C) exactly like [[knnIvf]]); within-cell pairs
-    * are O(Σ|cell|²) — the method's published knob is C ≈ √N so cells
-    * are O(√N) and the pair count stays ~O(N^1.5/constant); here C=32
-    * fits the test corpus. Pair frames carry only (cell, id) — the
-    * vectors join back by id for the cosine verify, so no vector ever
-    * rides the pair shuffle. */
-  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    * are O(Σ|cell|²) ≈ N²/C. The cell count is therefore DERIVED from
+    * the corpus size — C = max(32, ⌊√N⌋), the SemDeDup knob — inside
+    * the query itself (a 1-row count aggregate broadcast into the
+    * centroid filter, so no driver-side job): at any N both the
+    * assignment pass (N·√N distance evaluations) and the within-cell
+    * pair count (~N^1.5) grow as N^1.5 — the balanced point between
+    * the two, where a FIXED C would leave pairs quadratic.
+    * ScaleTrial2 measures the growth empirically at 10×. Pair frames
+    * carry only (cell, id) — the vectors join back by id for the
+    * cosine verify, so no vector ever rides the pair shuffle. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    dedupSemanticOf(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+
+  /** [[dedupSemantic]] over an arbitrary (vec_id, embedding) frame —
+    * the ScaleTrial2 entry point. vec_ids must stay below the 100,000
+    * twin offset. */
+  private[graft] def dedupSemanticOf(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
     val twins = base.filter(col("vec_id") % 7 === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"),
@@ -384,7 +470,13 @@ object Similarity {
       .select(col("vec_id"), col("qv"))
       .repartition(spark.sparkContext.defaultParallelism)
       .transform(graft.util.Fence.lineage)
-    val cents = e.filter(col("vec_id") < SEM_CELLS)
+    // C = max(32, ⌊√N⌋): sqrt is IEEE-correctly-rounded on both
+    // engines (bit-stable, unlike ln/exp/pow), and the comparison is
+    // against an exact integer
+    val ncells = e.agg(greatest(lit(SEM_CELLS_MIN),
+      floor(sqrt(count(lit(1)).cast("double"))).cast("long")).as("n_cells"))
+    val cents = e.crossJoin(broadcast(ncells))
+      .filter(col("vec_id") < col("n_cells"))
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
     val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     val cells = e.crossJoin(broadcast(cents))
@@ -420,7 +512,10 @@ object Similarity {
              i -> CASE WHEN i = 2 THEN embedding[i] + CAST(0.01 AS FLOAT) ELSE embedding[i] END) AS embedding
          FROM embeddings WHERE vec_id % 7 = 0),
        e AS (SELECT vec_id, $quantSql AS qv FROM base),
-       c AS (SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id < $SEM_CELLS),
+       nc AS (SELECT greatest($SEM_CELLS_MIN,
+                CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS n_cells
+              FROM e),
+       c AS (SELECT vec_id AS cid, qv AS cv FROM e, nc WHERE e.vec_id < nc.n_cells),
        assigned AS (
          SELECT e.vec_id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
@@ -466,40 +561,59 @@ object Similarity {
 
   // ---- ANN quality evaluation --------------------------------------
 
-  /** Recall@k of the LSH index against the exact baseline — the
-    * evaluation loop every production ANN deployment runs on a query
-    * sample before trusting the index. Ground truth = [[knnBruteforce]]
-    * (exact by construction); a hit = a true top-k neighbor the LSH
-    * path also returned. Both inputs are existing oracle-checked
-    * queries, so this composes two verified plans and is itself
-    * verified end to end.
+  /** Per-index recall@k against the exact baseline — the evaluation
+    * loop every production ANN deployment runs on a query sample
+    * before trusting an index, as one comparable report across EVERY
+    * approximate index this module ships (hyperplane LSH, sampled
+    * IVF, k-means IVF). Ground truth = [[knnBruteforce]] (exact by
+    * construction); a hit = a true top-k neighbor the index also
+    * returned. All inputs are existing oracle-checked queries, so
+    * this composes verified plans and is itself verified end to end.
     *
-    * Scale shape: both sides are k·|Q| rows (tiny by definition) —
-    * the join and groupBy are driver-negligible at any corpus size;
-    * the real cost is the two underlying kNN plans, whose linearity
-    * is documented on their own definitions. */
+    * Scale shape: every side is k·|Q| rows (tiny by definition) — the
+    * joins and groupBys are driver-negligible at any corpus size; the
+    * real cost is the underlying kNN plans, whose linearity is
+    * documented on their own definitions. The truth frame is fenced:
+    * it is referenced once per index and must not re-run the exact
+    * scan each time. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val truth = knnBruteforce(spark, dir)
       .select(col("qid"), col("neighbor_id"))
-    val got = knnLsh(spark, dir)
-      .select(col("qid"), col("neighbor_id"), lit(1L).as("hit"))
-    truth.join(got, Seq("qid", "neighbor_id"), "left")
-      .groupBy(col("qid"))
-      .agg(count(lit(1)).as("k"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-      .select(col("qid"), col("n_hits"),
-        pr6(col("n_hits").cast("double") / col("k").cast("double")).as("recall_at_k"))
-      .orderBy(col("qid"))
+      .transform(graft.util.Fence.lineage)
+    def recallOf(index: String, got: DataFrame): DataFrame =
+      truth.join(
+          got.select(col("qid"), col("neighbor_id"), lit(1L).as("hit")),
+          Seq("qid", "neighbor_id"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(index).as("index_name"), col("qid"), col("n_hits"),
+          pr6(col("n_hits").cast("double") / col("k").cast("double")).as("recall_at_k"))
+    recallOf("ivf", knnIvf(spark, dir))
+      .unionAll(recallOf("ivf_kmeans", knnIvfKmeans(spark, dir)))
+      .unionAll(recallOf("lsh", knnLsh(spark, dir)))
+      .orderBy(col("index_name"), col("qid"))
   }
 
-  val annRecallSql: String =
+  val annRecallSql: String = {
+    def recallOfSql(index: String): String =
+      s"""SELECT '$index' AS index_name, t.qid,
+           CAST(coalesce(sum(g.hit), 0) AS BIGINT) AS n_hits,
+           floor(coalesce(sum(g.hit), 0) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS recall_at_k
+         FROM truth t
+         LEFT JOIN got_$index g ON t.qid = g.qid AND t.neighbor_id = g.neighbor_id
+         GROUP BY t.qid"""
     s"""WITH truth AS (
          SELECT qid, neighbor_id FROM ($knnBruteforceSql)),
-       got AS (
+       got_ivf AS (
+         SELECT qid, neighbor_id, 1 AS hit FROM ($knnIvfSql)),
+       got_ivf_kmeans AS (
+         SELECT qid, neighbor_id, 1 AS hit FROM ($knnIvfKmeansSql)),
+       got_lsh AS (
          SELECT qid, neighbor_id, 1 AS hit FROM ($knnLshSql))
-       SELECT t.qid, CAST(coalesce(sum(g.hit), 0) AS BIGINT) AS n_hits,
-         floor(coalesce(sum(g.hit), 0) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS recall_at_k
-       FROM truth t
-       LEFT JOIN got g ON t.qid = g.qid AND t.neighbor_id = g.neighbor_id
-       GROUP BY t.qid ORDER BY t.qid"""
+       ${recallOfSql("ivf")}
+       UNION ALL ${recallOfSql("ivf_kmeans")}
+       UNION ALL ${recallOfSql("lsh")}
+       ORDER BY index_name, qid"""
+  }
 }

@@ -67,6 +67,18 @@ object ScaleTrial2 {
       big.repartition(spark.sparkContext.defaultParallelism)
     }
 
+    // dedup_semantic: candidate pairs are Σ|cell|·(|cell|−1)/2 over
+    // the output's per-cell sizes — the quantity the scaled cell
+    // count (C = max(32, √N)) must keep from growing quadratically
+    def semTrial(name: String, df: => DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val cand = df.agg(sum(col("n_vecs") * (col("n_vecs") - lit(1)) / lit(2))
+        .cast("long")).head().getLong(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE2 $name: $cand%,d candidate pairs in $secs%.2f s")
+      (cand, secs)
+    }
+
     trial("warmup simhash 1x", Dedup.simhashPairsOf(corpus(1)))
     val (sp1, st1) = trial("simhash_pairs  1x", Dedup.simhashPairsOf(corpus(1)))
     val (spN, stN) = trial(f"simhash_pairs ${mult}%2dx", Dedup.simhashPairsOf(corpus(mult)))
@@ -74,12 +86,17 @@ object ScaleTrial2 {
     val (npN, ntN) = trial(f"ngram_jaccard ${mult}%2dx", Dedup.ngramJaccardOf(corpus(mult)))
     val (ep1, et1) = trial("dedup_embed    1x", graft.ext.Similarity.dedupEmbeddingOf(ecorpus(1)))
     val (epN, etN) = trial(f"dedup_embed   ${mult}%2dx", graft.ext.Similarity.dedupEmbeddingOf(ecorpus(mult)))
+    val (cp1, ct1) = semTrial("dedup_semantic 1x", graft.ext.Similarity.dedupSemanticOf(ecorpus(1)))
+    val (cpN, ctN) = semTrial(f"dedup_semantic${mult}%2dx", graft.ext.Similarity.dedupSemanticOf(ecorpus(mult)))
     println(f"SCALE2 simhash: ${mult}x corpus -> ${spN.toDouble / math.max(sp1, 1)}%.1fx pairs, " +
       f"${stN / st1}%.1fx time (linear target ~${mult}x, quadratic ~${mult * mult}x)")
     println(f"SCALE2 ngram:   ${mult}x corpus -> ${npN.toDouble / math.max(np1, 1)}%.1fx pairs, " +
       f"${ntN / nt1}%.1fx time (linear target ~${mult}x, quadratic ~${mult * mult}x)")
     println(f"SCALE2 embed:   ${mult}x corpus -> ${epN.toDouble / math.max(ep1, 1)}%.1fx pairs, " +
       f"${etN / et1}%.1fx time (linear target ~${mult}x, quadratic ~${mult * mult}x)")
+    println(f"SCALE2 semantic:${mult}x corpus -> ${cpN.toDouble / math.max(cp1, 1)}%.1fx candidates, " +
+      f"${ctN / ct1}%.1fx time (C=sqrt(N) theory ~${math.pow(mult, 1.5)}%.1fx, " +
+      f"fixed-C quadratic ~${mult * mult}x)")
     spark.stop()
   }
 }

@@ -86,7 +86,7 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.05, f"multi-probe recall@5 degraded: $recall%.2f")
   }
 
-  test("ann_recall agrees with a hand-computed intersection") {
+  test("ann_recall agrees with a hand-computed intersection, per index") {
     val bf = SparkEntry.queries("knn_bruteforce")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     val lsh = SparkEntry.queries("knn_lsh")(spark, sf)
@@ -94,11 +94,33 @@ class ExtSpec extends AnyFunSuite {
     val want = bf.groupBy(_._1).view
       .mapValues(ns => ns.count(lsh.contains).toLong).toMap
     val rows = SparkEntry.queries("ann_recall")(spark, sf).collect()
-    assert(rows.length == 8)
+    assert(rows.length == 24) // 3 indexes × 8 queries
+    assert(rows.map(_.getString(0)).distinct.sorted.toSeq ==
+      Seq("ivf", "ivf_kmeans", "lsh"))
     rows.foreach { r =>
-      assert(r.getLong(1) == want(r.getLong(0)), s"n_hits mismatch: $r")
-      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
     }
+    rows.filter(_.getString(0) == "lsh").foreach { r =>
+      assert(r.getLong(2) == want(r.getLong(1)), s"n_hits mismatch: $r")
+    }
+  }
+
+  test("IVF recall at NPROBE=2 clears the regression floor; kmeans cells beat sampled cells") {
+    // data + centroids are deterministic, so these are fixed floors
+    // (mean recall@5 at HEAD: ivf 0.45, ivf_kmeans 0.90, lsh 0.125),
+    // not statistical bounds. The trained-centroid index must stay
+    // strictly better than the sampled-centroid one — that gap is the
+    // point of the train→index composition.
+    val rows = SparkEntry.queries("ann_recall")(spark, sf).collect()
+    def mean(ix: String) = {
+      val rs = rows.filter(_.getString(0) == ix).map(_.getDouble(3))
+      rs.sum / rs.length
+    }
+    assert(mean("ivf") >= 0.40, f"ivf recall degraded: ${mean("ivf")}%.3f")
+    assert(mean("ivf_kmeans") >= 0.80,
+      f"ivf_kmeans recall degraded: ${mean("ivf_kmeans")}%.3f")
+    assert(mean("ivf_kmeans") > mean("ivf"),
+      "trained centroids must beat the deterministic sample")
   }
 
   test("dedup_groups merges twin triangles transitively") {
