@@ -301,7 +301,28 @@ object Dedup {
     * The DuckDB twin computes the same fixpoint with a recursive CTE
     * over the identical edge set, so the grouping itself is
     * oracle-checked, not just the pair list. */
-  def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame =
+    keeperTable(spark, dir).orderBy(col("doc_id"))
+
+  /** Memoized keeper assignment shared by [[dedupGroups]] and
+    * [[dedupGroupSizes]] — the LSH + label-propagation pipeline runs
+    * ONCE per (session, corpus) and every consumer reads the persisted
+    * (doc_id, keeper_id) table. This is the staged-keeper pattern of a
+    * production dedup run (compute the assignment, write it, derive
+    * every report from the staged table); locally the stage is a
+    * MEMORY_AND_DISK persist — recomputable on block loss, unlike a
+    * local checkpoint — and at cluster scale the same role is played
+    * by the staging parquet the job would write anyway. */
+  private val keeperCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def keeperTable(spark: SparkSession, dir: String): DataFrame =
+    keeperCache.computeIfAbsent((spark, dir), { _ =>
+      keeperAssignment(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private def keeperAssignment(spark: SparkSession, dir: String): DataFrame = {
     val docs = corpus2(spark, dir)
     // lshPairsOf already enforces the 0.5 threshold via its integer
     // predicate — re-filtering on the computed jaccard would inline a
@@ -354,7 +375,6 @@ object Dedup {
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("keeper_id"))
-      .orderBy(col("doc_id"))
   }
 
   val dedupGroupsSql: String =
@@ -376,11 +396,12 @@ object Dedup {
   /** Component-size histogram over [[dedupGroups]] — the summary
     * every dedup run reports (how much of the corpus sits in how-big
     * near-dup clusters, and the doc count a keep-one policy frees).
-    * Two more groupBys over the (doc_id, keeper_id) assignment: keyed
+    * Two more groupBys over the staged (doc_id, keeper_id) table
+    * ([[keeperTable]] — the propagation does NOT re-run here): keyed
     * on keeper_id (cardinality ~ corpus) then on the tiny size
     * domain — both trivially partial-aggregated. */
   def dedupGroupSizes(spark: SparkSession, dir: String): DataFrame =
-    dedupGroups(spark, dir)
+    keeperTable(spark, dir)
       .groupBy(col("keeper_id")).agg(count(lit(1)).as("group_size"))
       .groupBy(col("group_size"))
       .agg(count(lit(1)).as("n_groups"),
@@ -409,16 +430,31 @@ object Dedup {
     * must catch) so the oracle can rebuild it. */
   /** Id floor separating the synthetic new batch from the corpus.
     * Far above any test-scale id (sf1's max replica doc_id is ~50k),
-    * and the builder REQUIRES the corpus to stay below it — a silent
+    * and the pipeline REQUIRES the corpus to stay below it — a silent
     * violation would misclassify high-id originals as new arrivals
-    * identically in both engines, so the oracle could never catch it. */
+    * identically in both engines, so the oracle could never catch it.
+    * The contract is asserted IN the pipeline (a `raise_error` branch
+    * on the corpus-side doc_id, evaluated only on violating rows) —
+    * not by a driver-side max() probe, which would cost a whole extra
+    * scan job per run at any scale. */
   private val NEW_BATCH_FLOOR = 10000000L
 
-  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
-    require(maxId < NEW_BATCH_FLOOR,
-      s"dedupIncremental: corpus doc_ids must stay below $NEW_BATCH_FLOOR (max=$maxId)")
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    dedupIncrementalOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** [[dedupIncremental]] over an arbitrary (doc_id, text) corpus —
+    * the guard-contract test entry point. */
+  private[graft] def dedupIncrementalOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val d = docs
+      .select(
+        when(col("doc_id") < NEW_BATCH_FLOOR, col("doc_id"))
+          .otherwise(raise_error(concat(
+            lit(s"dedupIncremental: corpus doc_ids must stay below $NEW_BATCH_FLOOR, got "),
+            col("doc_id").cast("string"))).cast("long"))
+          .as("doc_id"),
+        col("text"))
     val newBatch = d.filter(col("doc_id") % 6 === 0)
       .select((col("doc_id") + NEW_BATCH_FLOOR).as("doc_id"),
         concat(col("text"), lit(" vv9")).as("text"))

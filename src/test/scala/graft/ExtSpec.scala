@@ -123,6 +123,26 @@ class ExtSpec extends AnyFunSuite {
       "trained centroids must beat the deterministic sample")
   }
 
+  test("dedupIncremental asserts its id-floor contract inside the pipeline") {
+    // no driver-side max() probe anymore — the contract rides the
+    // corpus projection as a raise_error branch, evaluated only on
+    // violating rows
+    import spark.implicits._
+    val bad = Seq((5L, "aa bb cc dd ee ff"), (10000001L, "gg hh ii jj kk ll"))
+      .toDF("doc_id", "text")
+    val err = intercept[Exception] {
+      graft.ext.Dedup.dedupIncrementalOf(bad).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+    assert(chain(err).exists(m => m != null && m.contains("must stay below")),
+      s"expected the floor-contract message, got: ${chain(err).mkString(" | ").take(300)}")
+    // and a conforming corpus passes through the same guarded plan
+    val ok = Seq((5L, "aa bb cc dd ee ff"), (11L, "gg hh ii jj kk ll"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.dedupIncrementalOf(ok).collect()
+  }
+
   test("dedup_groups merges twin triangles transitively") {
     val labels = SparkEntry.queries("dedup_groups")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
