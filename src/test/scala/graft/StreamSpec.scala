@@ -305,6 +305,127 @@ class StreamSpec extends AnyFunSuite {
     assert(got.contains("uncategorized"), "left-join default lane is empty")
   }
 
+  test("enrichedStream spans a rotation restart and picks up a catalog " +
+       "refresh between batches") {
+    val base = Files.createTempDirectory("graft_enrich3").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    new java.io.File(in).mkdirs()
+    val lines = Style5.renderedLines(spark, sf).cache()
+    lines.filter(col("event_id") < 250).select("line")
+      .coalesce(1).write.mode("overwrite").text(s"$in/f1")
+
+    def runOnce(dim: org.apache.spark.sql.DataFrame): Unit = {
+      val q = StreamEtl.enrichedStream(spark, s"$in/*", dim)
+        .select(col("name"), col("category"), col("bytes_sent"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", s"$base/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def twin(path: String, dim: org.apache.spark.sql.DataFrame) =
+      StreamEtl.parseLines(spark.read.text(path))
+        .join(dim, Seq("name"), "left")
+        .withColumn("category", coalesce(col("category"), lit("uncategorized")))
+        .select(col("name"), col("category"), col("bytes_sent"))
+
+    import spark.implicits._
+    val names = StreamEtl.parseLines(spark.read.text(s"$in/f1"))
+      .select(col("name")).distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(names.size >= 2, "fixture needs at least two distinct assets")
+    val dimV1 = names.take(1).toDF("name").withColumn("category", lit("v1"))
+    runOnce(dimV1)
+    assert(spark.read.parquet(out).count() == 250)
+
+    // rotation + catalog refresh: the restart must ingest ONLY f2, and
+    // the static side must be re-planned against the NEW catalog —
+    // f1's rows keep their v1 enrichment, f2's rows see v2
+    lines.filter(col("event_id") >= 250 && col("event_id") < 450).select("line")
+      .coalesce(1).write.mode("overwrite").text(s"$in/f2")
+    val dimV2 = names.take(2).toDF("name").withColumn("category", lit("v2"))
+    runOnce(dimV2)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 450, "rotation double-loaded or dropped rows")
+    val want = twin(s"$in/f1", dimV1).unionAll(twin(s"$in/f2", dimV2))
+      .groupBy("category").agg(count(lit(1)).as("n"), sum("bytes_sent").as("b"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val have = got
+      .groupBy("category").agg(count(lit(1)).as("n"), sum("bytes_sent").as("b"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(have == want, s"piecewise batch twin diverged: $have vs $want")
+    assert(have.contains("v1") && have.contains("v2"),
+      "catalog refresh not picked up between batches")
+  }
+
+  test("hourlyCounts drops late rows for watermark-closed windows " +
+       "across restarts") {
+    val base = Files.createTempDirectory("graft_stream3").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    val data = Style5.renderedLines(spark, sf).filter(col("event_id") < 1000).cache()
+    data.select("line").coalesce(1).write.mode("overwrite").text(s"$in/f1")
+
+    def runOnce(): Seq[(java.sql.Timestamp, Long, Long, Long)] = {
+      val buf = new scala.collection.mutable.ArrayBuffer[(java.sql.Timestamp, Long, Long, Long)]()
+      val q = StreamEtl.hourlyCounts(spark, s"$in/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= batch.collect().map(r =>
+              (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          }; ()
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      buf.synchronized(buf.toSeq)
+    }
+
+    val e1 = runOnce()
+    // two sentinel restarts close every real window (see the parity
+    // test above for why append mode needs two)
+    val sample = data.select("line").head().getString(0)
+    def sentinel(d: String) = sample.replaceFirst("\\[[^ ]+ ", s"[$d ")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/f2"), sentinel("01/Jan/2030:00:00:00") + "\n")
+    val e2 = runOnce()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/f3"), sentinel("02/Jan/2030:00:00:00") + "\n")
+    val e3 = runOnce()
+
+    // a LATE row for an already-closed window arrives after a restart:
+    // the checkpointed watermark (~2030) must DROP it, not re-emit or
+    // mutate the closed window
+    val lateLine = data.select("line").head().getString(0)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/f4"), lateLine + "\n")
+    val e4 = runOnce()
+
+    val cutoff = java.sql.Timestamp.valueOf("2029-01-01 00:00:00")
+    val emitted = (e1 ++ e2 ++ e3 ++ e4).filter(_._1.before(cutoff))
+    assert(emitted.size == emitted.toSet.size, "a closed window emitted twice")
+    val batchF1 = StreamEtl.parseLines(spark.read.text(s"$in/f1"))
+      .groupBy(window(col("datetime"), "1 hour"), col("status_code"))
+      .agg(count(lit(1)).as("n"), sum(col("bytes_sent")).as("bytes"))
+      .select(col("window.start"), col("status_code"), col("n"), col("bytes"))
+      .collect().toSeq
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(emitted.toSet == batchF1.toSet,
+      "late row leaked into a watermark-closed window")
+    // non-vacuous: a batch twin INCLUDING the late file differs, so
+    // the equality above proves the drop actually happened
+    val batchWithLate = StreamEtl.parseLines(
+        spark.read.text(s"$in/f1").unionAll(spark.read.text(s"$in/f4")))
+      .groupBy(window(col("datetime"), "1 hour"), col("status_code"))
+      .agg(count(lit(1)).as("n"), sum(col("bytes_sent")).as("bytes"))
+      .select(col("window.start"), col("status_code"), col("n"), col("bytes"))
+      .collect().toSeq
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(batchWithLate.toSet != batchF1.toSet,
+      "late fixture landed in no window — the drop assertion is vacuous")
+  }
+
   test("crossServerJoin: stream-stream interval join matches the batch twin " +
        "across a rotation restart") {
     val base = Files.createTempDirectory("graft_ssjoin").toString
