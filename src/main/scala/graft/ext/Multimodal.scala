@@ -9,13 +9,16 @@ import graft.util.Hashing
   * opaque `binary` columns with typed metadata, batch-shaped
   * decode / feature-extract / frame-sample operators.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * STUB — a deterministic fake (hash-derived "brightness", computed
-  * length-based "frames"). Everything around it is real Spark
-  * plumbing: the binary column, the metadata struct, the per-batch
-  * `mapPartitions` kernel shape (one kernel instance per partition,
-  * streaming over rows — exactly where a JNI/FFmpeg/torch call would
-  * sit), and the pure-expression feature path that stays in codegen.
+  * The decode kernels ([[decodeImages]], [[decodeFrames]],
+  * [[mediaDecode]]) do REAL bytes-to-pixels decoding of binary P6
+  * PPM images — header parse + raster walk — inside the production
+  * `mapPartitions` shape (one decoder scope per partition, streaming
+  * over rows — exactly where a JNI/FFmpeg/torch call would sit for
+  * compressed codecs this container doesn't ship). The decoded
+  * content is oracle-checked end to end. [[mediaFeatures]] is the
+  * complementary pure-expression metadata path that stays in codegen
+  * (its hash-derived `fake_brightness` is a labeled stand-in
+  * feature, not a decode).
   *
   * Scale: media bytes dominate row width, so the operators project
   * the binary column as late as possible (column pruning keeps scans
@@ -47,8 +50,9 @@ object Multimodal {
       .withColumn("n_frames", (col("n_bytes") % 30 + 1).cast("long"))
       // sample every 5th frame: ceil(n_frames / 5)
       .withColumn("n_sampled", ((col("n_frames") + 4) / 5).cast("long"))
-      // STUB decode: "brightness" = blob-hash bucket (a real decoder
-      // would run here, per partition batch)
+      // labeled stand-in feature (hash bucket) — the REAL decode path
+      // is decodeImages/mediaDecode; this column exists to exercise
+      // the codegen'd expression lane over the blob
       .withColumn("fake_brightness", Hashing.phash(col("blob").cast("string"), "px_") % 256)
     m.select(col("media_id"), col("n_bytes"),
         col("meta.width").as("width"), col("meta.height").as("height"),
@@ -122,28 +126,140 @@ object Multimodal {
          CAST((n_copies - 1) * n_bytes AS BIGINT) AS reclaimable_bytes
        FROM g WHERE n_copies >= 2 ORDER BY keeper_id"""
 
-  /** Decoded-frame record produced by the batch kernel. */
+  // ---- Real decode path: binary P6 PPM images ----------------------
+
+  /** Deterministic REAL-image media table: each document becomes a
+    * valid binary P6 PPM — `"P6\n{w} {h}\n255\n"` header followed by
+    * w·h·3 raw pixel bytes cycled from the document's pure-ASCII text
+    * (ASCII byte == char code, which is what lets the DuckDB oracle
+    * reproduce the DECODED content without a decoder of its own).
+    * Dimensions vary per row (w∈4..8, h∈3..6) so the header parse is
+    * load-bearing, not a constant. Precondition: text length ≥ 36
+    * (4·len must cover the 144-byte max pixel payload); the test
+    * corpora sit at ≥ 44.
+    *
+    * The blob is synthesized IN-PLAN (encode/concat/substr — all
+    * codegen) — the kernel downstream sees only `(media_id, blob:
+    * binary)`, exactly the shape a parquet of real thumbnails
+    * presents. */
+  def ppmMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val w = (col("doc_id") % 5 + 4).cast("int")
+    val h = (col("doc_id") % 4 + 3).cast("int")
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      encode(concat(
+        lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"),
+        repeat(col("text"), 4).substr(lit(1), w * h * 3)), "UTF-8").as("blob"))
+  }
+
+  /** Minimal binary P6 parser: magic, whitespace-separated
+    * width/height/maxval, one whitespace, then w·h·3 raw bytes.
+    * Returns (width, height, pixel offset). Rejects non-P6 and
+    * non-8-bit images loudly — a decode kernel must fail on
+    * malformed media, not fabricate features. */
+  private[graft] def parsePpmHeader(blob: Array[Byte]): (Int, Int, Int) = {
+    require(blob.length >= 2 && blob(0) == 'P' && blob(1) == '6',
+      "not a binary P6 PPM")
+    var i = 2
+    def int(): Int = {
+      while (i < blob.length && Character.isWhitespace(blob(i))) i += 1
+      require(i < blob.length && blob(i) >= '0' && blob(i) <= '9',
+        s"malformed PPM header at byte $i")
+      var v = 0
+      while (i < blob.length && blob(i) >= '0' && blob(i) <= '9') {
+        v = v * 10 + (blob(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = int(); val h = int(); val maxv = int()
+    require(maxv == 255, s"unsupported PPM maxval $maxv")
+    i += 1 // the single whitespace separating header from raster
+    require(blob.length >= i + w * h * 3,
+      s"truncated PPM raster: need ${w * h * 3} bytes, have ${blob.length - i}")
+    (w, h, i)
+  }
+
+  /** Decoded-image record produced by the batch kernel: parsed
+    * dimensions plus exact per-channel byte sums (the checksum the
+    * oracle recomputes from the source text). */
+  case class DecodedImage(media_id: Long, width: Int, height: Int,
+                          sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** The mapPartitions decode kernel — REAL bytes-to-pixels decoding
+    * (P6 PPM: header parse + raster walk), in the exact production
+    * shape: one decoder scope per partition, rows streamed through
+    * it, `repartition(parallelism)` sizing the decode to the decoder
+    * count rather than the data size. A JPEG/H.264 deployment swaps
+    * the parser body for the codec call; schema, batching and
+    * partition layout stay as they are here. */
+  def decodeImages(spark: SparkSession, dir: String, parallelism: Int = 8): Dataset[DecodedImage] = {
+    import spark.implicits._
+    val m = ppmMediaTable(spark, dir)
+      .select(col("media_id").cast("long"), col("blob"))
+      .repartition(parallelism)
+    m.as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.map { case (id, blob) =>
+        val (w, h, off) = parsePpmHeader(blob)
+        var k = 0; val n = w * h * 3
+        var sr = 0L; var sg = 0L; var sb = 0L
+        while (k < n) {
+          val v = (blob(off + k) & 0xff).toLong
+          (k % 3: @annotation.switch) match {
+            case 0 => sr += v
+            case 1 => sg += v
+            case _ => sb += v
+          }
+          k += 1
+        }
+        DecodedImage(id, w, h, sr, sg, sb)
+      }
+    }
+  }
+
+  /** Decoded-content query surface over [[decodeImages]] — the
+    * oracle twin recomputes width/height/channel sums directly from
+    * the ASCII source text, so a mistake anywhere in the synthesize →
+    * encode → header-parse → raster-walk chain hash-mismatches. */
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeImages(spark, dir).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy(col("media_id"))
+
+  val mediaDecodeSql: String = {
+    def chanSql(c: Int) =
+      s"""CAST(list_sum(list_transform(generate_series(1, width * height * 3),
+           k -> CASE WHEN (k - 1) % 3 = $c THEN unicode(substr(src, k, 1)) ELSE 0 END)) AS BIGINT)"""
+    s"""WITH m AS (
+         SELECT doc_id AS media_id,
+           CAST(doc_id % 5 + 4 AS INTEGER) AS width,
+           CAST(doc_id % 4 + 3 AS INTEGER) AS height,
+           substr(repeat(text, 4), 1,
+             CAST((doc_id % 5 + 4) * (doc_id % 4 + 3) * 3 AS INTEGER)) AS src
+         FROM documents)
+       SELECT media_id, width, height,
+         ${chanSql(0)} AS sum_r, ${chanSql(1)} AS sum_g, ${chanSql(2)} AS sum_b
+       FROM m ORDER BY media_id"""
+  }
+
+  /** Per-scanline brightness sampling over the decoded raster — the
+    * frame-sampling shape (every 2nd scanline stands in for every
+    * Nth video frame). Brightness is the scanline's mean byte in
+    * [0, 1]; REAL pixels via the same P6 parse as [[decodeImages]]. */
   case class FrameFeature(media_id: Long, frame_idx: Int, brightness: Double)
 
-  /** The mapPartitions decode kernel shape: one decoder instance per
-    * partition, rows streamed through it. The decode itself is a
-    * STUB (deterministic fake) — swap `fakeDecode` for the real
-    * codec call; the batching, schema and partition layout are the
-    * production shape. */
   def decodeFrames(spark: SparkSession, dir: String, parallelism: Int = 8): Dataset[FrameFeature] = {
     import spark.implicits._
-    val m = mediaTable(spark, dir)
+    val m = ppmMediaTable(spark, dir)
       .select(col("media_id").cast("long"), col("blob"))
-      .repartition(parallelism)   // decoder-count partitioning, not data-size
+      .repartition(parallelism)
     m.as[(Long, Array[Byte])].mapPartitions { rows =>
-      // per-partition decoder init would happen HERE (expensive setup once)
-      def fakeDecode(blob: Array[Byte], frame: Int): Double =
-        (blob((frame * 7) % blob.length) & 0xff) / 255.0   // STUB
       rows.flatMap { case (id, blob) =>
-        if (blob.isEmpty) Iterator.empty   // empty media: nothing to decode
-        else {
-          val nFrames = (blob.length % 30) + 1
-          (0 until nFrames by 5).iterator.map(f => FrameFeature(id, f, fakeDecode(blob, f)))
+        val (w, h, off) = parsePpmHeader(blob)
+        (0 until h by 2).iterator.map { line =>
+          var k = 0; var s = 0L
+          while (k < w * 3) { s += (blob(off + line * w * 3 + k) & 0xff); k += 1 }
+          FrameFeature(id, line, s.toDouble / (w * 3) / 255.0)
         }
       }
     }

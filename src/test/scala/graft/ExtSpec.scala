@@ -299,12 +299,42 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
-  test("decodeFrames kernel produces sampled frames per media row") {
+  test("decodeFrames kernel produces sampled scanline frames per media row") {
     val ds = Multimodal.decodeFrames(spark, sf, parallelism = 4)
     val agg = ds.groupBy("media_id").count()
     assert(agg.count() == 500)
     assert(ds.filter(col("brightness") < 0 || col("brightness") > 1).count() == 0)
-    assert(ds.filter(col("frame_idx") % 5 =!= 0).count() == 0)
+    assert(ds.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+  }
+
+  test("decodeImages recovers dimensions and channel sums from real PPM bytes") {
+    // independent content oracle computed here from the raw text
+    // (the same arithmetic the DuckDB twin runs): any slip in the
+    // synthesize → encode → header-parse → raster-walk chain diverges
+    val want = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val id = r.getLong(0); val text = r.getString(1)
+        val w = (id % 5 + 4).toInt; val h = (id % 4 + 3).toInt
+        val src = (text * 4).take(w * h * 3)
+        val sums = Array(0L, 0L, 0L)
+        src.zipWithIndex.foreach { case (c, k) => sums(k % 3) += c.toLong }
+        id -> ((w, h, sums(0), sums(1), sums(2)))
+      }.toMap
+    val got = Multimodal.decodeImages(spark, sf, parallelism = 4).collect()
+    assert(got.length == want.size)
+    got.foreach { d =>
+      val (w, h, sr, sg, sb) = want(d.media_id)
+      assert((d.width, d.height) == ((w, h)), s"dimensions diverged: $d")
+      assert((d.sum_r, d.sum_g, d.sum_b) == ((sr, sg, sb)), s"checksums diverged: $d")
+    }
+    // and the parser rejects malformed media loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.parsePpmHeader("P5\n2 2\n255\nxxxx".getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.parsePpmHeader("P6\n4 4\n255\nshort".getBytes("UTF-8"))
+    }
   }
 
   test("kmeans_embeddings assigns every vector to an in-range cluster") {
