@@ -513,6 +513,32 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOf(corpus(spark, dir)).orderBy(col("doc_id"))
 
+  /** Pure-Scala SimHash of one document — EXACTLY the [[simhashOf]]
+    * construction (same `sim_` md5 salt, same 60-bit hex windows,
+    * same ±1 vote and bit-packing rule; ExtSpec asserts bit-equality
+    * against the distributed query on the real corpus). Exists so a
+    * STREAMING kernel ([[graft.streaming.StreamEtl.nearDupStream]])
+    * can hash an arriving document inside `flatMapGroupsWithState`
+    * without a pre-aggregation stage. */
+  private[graft] def simhash64(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](SIMBITS)
+    text.trim.split("\\s+").distinct.foreach { t =>
+      val hex = md.digest(("sim_" + t).getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(16, 31), 16)
+      var j = 0
+      while (j < SIMBITS) {
+        val h = if (j < 32) h1 else h2
+        if (((h >>> (j % 32)) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+    }
+    (0 until SIMBITS).foldLeft(0L)((acc, j) =>
+      if (votes(j) > 0) acc | (1L << j) else acc)
+  }
+
   /** DuckDB CTE chain ending in `sims(doc_id, simhash)`. */
   private val simhashCte: String = {
     val sums = (0 until SIMBITS).map { j =>

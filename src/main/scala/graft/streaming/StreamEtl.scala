@@ -184,6 +184,77 @@ object StreamEtl {
       }
   }
 
+  /** A streaming near-duplicate hit: `doc_id` arrived and matched the
+    * already-seen `dup_of` within `hamming` SimHash bits in band
+    * `band` (a pair colliding in several bands emits once per band,
+    * same per-band multiplicity as the batch LSH — consumers
+    * `dropDuplicates("doc_id", "dup_of")`). */
+  case class NearDupHit(band: Int, doc_id: Long, dup_of: Long, hamming: Int)
+
+  /** Checkpointed members of one (band, bucket) LSH cell. */
+  case class BandMembers(memberIds: Array[Long], memberSims: Array[Long])
+
+  /** Streaming NEAR-duplicate gate — `dedup_incremental`'s semantics
+    * on a LIVE feed: every arriving document (a `doc_id\ttext` line)
+    * is SimHash-banded (4×16 bits of [[graft.ext.Dedup.simhash64]],
+    * the bit-identical kernel twin of the batch `simhash` query) and
+    * checked against every document EVER seen in any of its 4 band
+    * buckets; matches within `maxHamming` bits emit as they arrive.
+    * Pigeonhole: hamming ≤ 3 over 4 bands always leaves one band
+    * intact, so recall at the default threshold is exact, streamed.
+    *
+    * State layout is the LSH geometry itself: one
+    * `flatMapGroupsWithState` group per (band, 16-bit bucket), each
+    * holding its members' (id, simhash) pairs — the same ~N/2¹⁶
+    * collision classes the batch banded join shuffles on, here living
+    * in the checkpointed state store partitioned by bucket key. The
+    * pairwise hamming check within a bucket is the verify step, run
+    * only against a bucket's own members. Malformed lines drop in the
+    * parse (corpus feeds carry a quarantine lane upstream); re-arrived
+    * doc_ids neither re-enter state nor match themselves. Within a
+    * micro-batch, arrivals are ordered by doc_id so emissions are
+    * deterministic. For bounded state at crawl scale, age buckets out
+    * with a GroupStateTimeout and re-seed from the batch index. */
+  def nearDupStream(spark: SparkSession, inputGlob: String, maxHamming: Int = 3)
+      : org.apache.spark.sql.Dataset[NearDupHit] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val docs = spark.readStream.text(inputGlob)
+      .as[String]
+      .flatMap { line =>
+        val i = line.indexOf('\t')
+        if (i <= 0) None
+        else line.substring(0, i).toLongOption
+          .map(id => (id, graft.ext.Dedup.simhash64(line.substring(i + 1))))
+      }
+    val banded = docs.flatMap { case (id, sh) =>
+      (0 until 4).map(b => (b, (sh >>> (16 * b)) & 0xffffL, id, sh))
+    }
+    banded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[BandMembers, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val st = state.getOption.getOrElse(BandMembers(Array.empty, Array.empty))
+          val ids = scala.collection.mutable.ArrayBuffer(st.memberIds.toSeq: _*)
+          val hs = scala.collection.mutable.ArrayBuffer(st.memberSims.toSeq: _*)
+          val out = scala.collection.mutable.ArrayBuffer[NearDupHit]()
+          rows.toSeq.sortBy(_._3).foreach { case (b, _, id, sh) =>
+            if (!ids.contains(id)) {
+              var k = 0
+              while (k < ids.length) {
+                val d = java.lang.Long.bitCount(sh ^ hs(k))
+                if (d <= maxHamming) out += NearDupHit(b, id, ids(k), d)
+                k += 1
+              }
+              ids += id; hs += sh
+            }
+          }
+          state.update(BandMembers(ids.toArray, hs.toArray))
+          out.iterator
+      }
+  }
+
   /** Streaming → JDBC with exactly-once semantics — the reference's
     * literal job ("parse logs, INSERT INTO MySQL",
     * `real_parse.pl:96-177`) in its modern shape: `foreachBatch` with

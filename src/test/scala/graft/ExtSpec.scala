@@ -123,6 +123,22 @@ class ExtSpec extends AnyFunSuite {
       "trained centroids must beat the deterministic sample")
   }
 
+  test("simhash64 kernel is bit-identical to the distributed simhash query") {
+    val batch = SparkEntry.queries("simhash")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, text) =>
+      assert(graft.ext.Dedup.simhash64(text) == batch(id),
+        s"kernel simhash diverged from the query on doc $id")
+      if (id % 5 == 0)
+        assert(graft.ext.Dedup.simhash64(text + " zqxj") == batch(id + 100000),
+          s"kernel simhash diverged on twin of doc $id")
+    }
+  }
+
   test("dedupIncremental asserts its id-floor contract inside the pipeline") {
     // no driver-side max() probe anymore — the contract rides the
     // corpus projection as a raise_error branch, evaluated only on
