@@ -416,6 +416,48 @@ object Dedup {
          FROM ($dedupGroupsSql) GROUP BY keeper_id)
        GROUP BY group_size ORDER BY group_size"""
 
+  /** Keep-policy resolution over the near-dup components — the
+    * KEEP-LONGEST rule of production corpus dedup (keep the longest
+    * member of each duplicate cluster, C4/RefinedWeb-style), replacing
+    * [[dedupGroups]]' min-id canonical label with a content-aware
+    * choice. Reads the same staged keeper table ([[keeperTable]] — no
+    * recompute), joins member lengths, and resolves each component's
+    * argmax with ONE struct-max aggregate (`max(struct(n_chars,
+    * -doc_id))` — longest wins, ties to the lower id) instead of a
+    * window: partial aggregation collapses each component to one row
+    * per partition before the exchange, so the shuffle carries
+    * ~|components| rows where a row_number window would shuffle every
+    * member. */
+  def dedupKeepLongest(spark: SparkSession, dir: String): DataFrame = {
+    val lens = corpus2(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    keeperTable(spark, dir)
+      .join(lens, Seq("doc_id"))
+      .groupBy(col("keeper_id").as("component_id"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("b"),
+        count(lit(1)).as("n_members"))
+      .select(col("component_id"), (-col("b.neg_id")).as("keep_id"),
+        col("b.n_chars").as("keep_chars"), col("n_members"))
+      .orderBy(col("component_id"))
+  }
+
+  val dedupKeepLongestSql: String =
+    s"""WITH lens AS (
+         WITH $corpus2Sql
+         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM corpus),
+       m AS (
+         SELECT g.keeper_id AS component_id, g.doc_id, l.n_chars
+         FROM ($dedupGroupsSql) g JOIN lens l USING (doc_id)),
+       r AS (
+         SELECT component_id, doc_id, n_chars,
+           row_number() OVER (PARTITION BY component_id
+             ORDER BY n_chars DESC, doc_id) AS rk,
+           count(*) OVER (PARTITION BY component_id) AS n_members
+         FROM m)
+       SELECT component_id, doc_id AS keep_id, n_chars AS keep_chars,
+         CAST(n_members AS BIGINT) AS n_members
+       FROM r WHERE rk = 1 ORDER BY component_id"""
+
   /** Incremental dedup — the production shape: a NEW batch of
     * documents checked against the EXISTING corpus (not a self-join).
     * Both sides run through one shared signature pipeline; the new

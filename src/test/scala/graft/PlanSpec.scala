@@ -23,6 +23,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("keeper-table consumers read the staged cache, not the propagation") {
+    // dedup_group_sizes and dedup_keep_longest must derive from the
+    // persisted (doc_id, keeper_id) stage — a refactor that re-runs
+    // LSH + label propagation per consumer would still be green under
+    // the oracle, just N× the cost
+    for (q <- Seq("dedup_group_sizes", "dedup_keep_longest")) {
+      val p = planOf(q)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q does not read the staged keeper table")
+    }
+  }
+
   test("top-k compiles to TakeOrderedAndProject, not a global sort+limit") {
     assert(planOf("topk_assets").contains("TakeOrderedAndProject"))
   }
