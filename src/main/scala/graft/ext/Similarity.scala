@@ -268,21 +268,13 @@ object Similarity {
     * Scale shape: identical to [[knnIvf]] — assignment is O(N·K) with
     * the K×DIM centroid table broadcast, probing O(|Q|·NPROBE·N/K) —
     * plus the bounded training cost documented on
-    * [[Cluster.trainedCentroids]]. The assignment frame is fenced: it
-    * feeds both the cell inversion and the query probes, and must not
-    * re-run the train+assign pipeline per reference. */
+    * [[Cluster.trainedCentroids]]. The assignment frame is staged via
+    * [[kmeansIvfAssignment]]: it feeds both the cell inversion and the
+    * query probes, and must not re-run the train+assign pipeline per
+    * reference. */
   def knnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val e = Cluster.quantized(spark, dir)
-    val cents = Cluster.trainedCentroids(e)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist2"), col("cluster"))
-    val ranked = e.crossJoin(broadcast(cents))
-      .withColumn("dist2", graft.functions.ScaledDistSq(
-        col("qv"), col("cent"), lit(1000L)))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") <= NPROBE)
-      .select(col("vec_id"), col("cluster"), col("rk"))
-      .transform(graft.util.Fence.lineage)
+    val ranked = kmeansIvfAssignment(spark, dir)
     val cells = ranked.filter(col("rk") === 1)
       .select(col("vec_id"), col("cluster").as("cell"))
       .join(e, Seq("vec_id"))
@@ -302,6 +294,31 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Memoized staged IVF assignment — the index-build output a
+    * production deployment writes ONCE (train centroids, assign every
+    * vector to its NPROBE nearest cells, persist) and every query
+    * then reads: `(vec_id, cluster, rk)` per (session, corpus),
+    * MEMORY_AND_DISK like [[Dedup]]'s staged keeper table. Both
+    * [[knnIvfKmeans]] and [[annRecall]] consume it, so the train +
+    * assign pipeline runs once per corpus, not once per query. */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def kmeansIvfAssignment(spark: SparkSession, dir: String): DataFrame =
+    ivfIndexCache.computeIfAbsent((spark, dir), { _ =>
+      val e = Cluster.quantized(spark, dir)
+      val cents = Cluster.trainedCentroids(e)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist2"), col("cluster"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("dist2", graft.functions.ScaledDistSq(
+          col("qv"), col("cent"), lit(1000L)))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") <= NPROBE)
+        .select(col("vec_id"), col("cluster"), col("rk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   val knnIvfKmeansSql: String =
     s"""WITH ${Cluster.trainCtesSql},
