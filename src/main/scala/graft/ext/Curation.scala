@@ -288,4 +288,114 @@ object Curation {
              ${Hashing.phashSql("CAST(doc_id AS VARCHAR)", "cap_")} AS pri
            FROM documents))
        WHERE rank <= $CAP ORDER BY source, rank"""
+
+  // ---------------------------------------------------------------
+  // URL canonicalization dedup
+  // ---------------------------------------------------------------
+
+  /** URL canonicalization + exact dedup over the canonical form — the
+    * URL-level dedup every web-crawl corpus applies before any content
+    * hashing (scheme / host-case / `www.` / default-port / doubled- and
+    * trailing-slash / tracking-query / fragment noise collapses a large
+    * share of a raw crawl's URL list). The documents table carries no
+    * URL column, so each doc synthesizes its crawl URL
+    * deterministically from (source, doc_id) across 8 orthogonal
+    * variant axes; the OPERATOR is the canonicalizer — 8 ordered
+    * rewrite rules (lowercase scheme+host only, http→https, strip
+    * `www.`, strip default port, strip fragment then query, collapse
+    * doubled path slashes, strip trailing slash), all regexp codegen,
+    * no UDF.
+    *
+    * Scale shape: narrow per-row map, one map-side-combined
+    * (source, canon) shuffle bounded by the distinct-URL count, then a
+    * tiny per-source regroup. The canonical SET is verified by an
+    * order-independent checksum (sum of per-URL hashes bounded to
+    * < 2^30 so the BIGINT sum can never overflow ANSI arithmetic) —
+    * never by concat-ing millions of URLs into one row. */
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val host = concat(col("source"), lit(".example.com"))
+    val url = concat(
+      when(pmod(id, lit(2)) === 0, "https").otherwise("http"), lit("://"),
+      when(pmod(shiftright(id, 1), lit(2)) === 0, "www.").otherwise(""),
+      when(pmod(shiftright(id, 2), lit(2)) === 0, host).otherwise(upper(host)),
+      when(pmod(shiftright(id, 3), lit(2)) === 0, "").otherwise(
+        when(pmod(id, lit(2)) === 0, ":443").otherwise(":80")),
+      when(pmod(shiftright(id, 5), lit(2)) === 0, "/docs/").otherwise("//docs/"),
+      pmod(id, lit(50)).cast("string"),
+      when(pmod(shiftright(id, 4), lit(2)) === 0, "").otherwise("/"),
+      when(pmod(id, lit(3)) === 0,
+        concat(lit("?utm_source=rss&session="), id.cast("string"))).otherwise(""),
+      when(pmod(id, lit(5)) === 0,
+        concat(lit("#sec"), pmod(id, lit(4)).cast("string"))).otherwise(""))
+    // Ordered rewrite chain; every rule is host/scheme-anchored or
+    // suffix-anchored so rules cannot feed each other out of order.
+    val headPat = "^[^:]+://[^/?#]*"
+    val u = col("url")
+    val lowered = concat(
+      lower(regexp_extract(u, headPat, 0)), regexp_replace(u, headPat, ""))
+    val canon =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(lowered,
+          "^http://", "https://"),
+          "^https://www\\.", "https://"),
+          "^(https://[^/:?#]*):(80|443)", "$1"),
+          "#.*$", ""),
+          "\\?.*$", ""),
+          "([^:/])/{2,}", "$1/"),
+          "/+$", "")
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"), url.as("url"))
+      .select(col("source"), canon.as("canon"))
+      .groupBy(col("source"), col("canon"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).cast("long").as("n_urls"),
+        count(lit(1)).cast("long").as("n_canonical"),
+        sum(pmod(Hashing.phash(col("canon")), lit(1073741789L)))
+          .cast("long").as("canon_checksum"))
+      .withColumn("n_collapsed", (col("n_urls") - col("n_canonical")).cast("long"))
+      .orderBy(col("source"))
+  }
+
+  val dedupUrlSql: String = {
+    val hostSql = "source || '.example.com'"
+    val urlSql =
+      s"""(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+        (CASE WHEN (doc_id >> 1) % 2 = 0 THEN 'www.' ELSE '' END) ||
+        (CASE WHEN (doc_id >> 2) % 2 = 0 THEN $hostSql ELSE upper($hostSql) END) ||
+        (CASE WHEN (doc_id >> 3) % 2 = 0 THEN ''
+              ELSE (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) END) ||
+        (CASE WHEN (doc_id >> 5) % 2 = 0 THEN '/docs/' ELSE '//docs/' END) ||
+        CAST(doc_id % 50 AS VARCHAR) ||
+        (CASE WHEN (doc_id >> 4) % 2 = 0 THEN '' ELSE '/' END) ||
+        (CASE WHEN doc_id % 3 = 0
+              THEN '?utm_source=rss&session=' || CAST(doc_id AS VARCHAR) ELSE '' END) ||
+        (CASE WHEN doc_id % 5 = 0
+              THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END)"""
+    val headPat = "^[^:]+://[^/?#]*"
+    s"""WITH u AS (SELECT source, $urlSql AS url FROM documents),
+       lo AS (SELECT source,
+         lower(regexp_extract(url, '$headPat', 0)) ||
+           regexp_replace(url, '$headPat', '', 'g') AS lu
+         FROM u),
+       c AS (SELECT source,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(lu,
+             '^http://', 'https://', 'g'),
+             '^https://www\\.', 'https://', 'g'),
+             '^(https://[^/:?#]*):(80|443)', '\\1', 'g'),
+             '#.*$$', '', 'g'),
+             '\\?.*$$', '', 'g'),
+             '([^:/])/{2,}', '\\1/', 'g'),
+             '/+$$', '', 'g') AS canon
+         FROM lo),
+       g AS (SELECT source, canon, count(*) AS n FROM c GROUP BY source, canon)
+       SELECT source, CAST(sum(n) AS BIGINT) AS n_urls,
+         CAST(count(*) AS BIGINT) AS n_canonical,
+         CAST(sum(${Hashing.phashSql("canon")} % 1073741789) AS BIGINT) AS canon_checksum,
+         CAST(sum(n) - count(*) AS BIGINT) AS n_collapsed
+       FROM g GROUP BY source ORDER BY source"""
+  }
 }
