@@ -290,6 +290,89 @@ object Curation {
        WHERE rank <= $CAP ORDER BY source, rank"""
 
   // ---------------------------------------------------------------
+  // BPE merge application — tokenizer inference
+  // ---------------------------------------------------------------
+
+  private val BPE_MERGES = 8
+
+  /** Apply a learned BPE merge table to the corpus — the tokenizer
+    * INFERENCE step ([[bpePairCounts]] is the training-side count).
+    * The merge table is the top-[[BPE_MERGES]] round-0 pairs in
+    * priority order — a static merge list, derived in-query from the
+    * same corpus (one bounded-by-|vocab| aggregate collapsed to a
+    * 1-row broadcast array; no driver-side probe), applied greedily
+    * in rank order exactly as a tokenizer applies its merges file.
+    *
+    * Token-stream encoding: every char becomes `|c ` (marker-prefixed,
+    * space-terminated), so word gaps become double spaces and merge
+    * (a,b) is the plain string rewrite `|a |b ` → `|ab ` — anchored
+    * left by the marker and right by the terminator, so a merge can
+    * never fire across a token or word boundary, and non-overlapping
+    * left-to-right replacement is exactly greedy BPE. The fold runs
+    * in the engine-portable fixed order (Spark `aggregate` == DuckDB
+    * `list_reduce(list_prepend(...))`), and the `|` marker is safe
+    * because the corpus is verified `[a-z ]` (any `|` in raw text
+    * would make the encoding ambiguous).
+    *
+    * Scale shape: merge-table derivation is [[bpePairCounts]]'s
+    * vocab-bounded aggregate; application is a pure narrow map behind
+    * a broadcast of the 1-row merge array. The fold output feeds
+    * three consumers (two lengths + the hash), so it sits behind a
+    * lineage fence — CollapseProject would otherwise inline the whole
+    * K-merge fold once per consumer. */
+  def tokenizeBpe(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpePairCounts(spark, dir)
+      .orderBy(col("n_pairs").desc, col("pair")).limit(BPE_MERGES)
+      .agg(transform(
+        array_sort(collect_list(struct((-col("n_pairs")).as("neg"), col("pair").as("pair")))),
+        m => m.getField("pair")).as("ms"))
+    val enc0 = regexp_replace(col("text"), "(\\S)", "|$1 ")
+    val folded = aggregate(col("ms"), col("enc"),
+      (acc, p) => replace(acc,
+        concat(lit("|"), substring(p, 1, 1), lit(" |"), substring(p, 2, 1), lit(" ")),
+        concat(lit("|"), p, lit(" "))))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 500)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"), col("text"))
+      .crossJoin(broadcast(merges))
+      .withColumn("enc", enc0)
+      .select(col("doc_id"), col("source"), col("text"), folded.as("tstream"))
+      .transform(graft.util.Fence.lineage)
+      .select(col("doc_id"), col("source"),
+        length(replace(col("text"), lit(" "))).cast("long").as("n_chars"),
+        (length(col("tstream")) - length(replace(col("tstream"), lit("|"))))
+          .cast("long").as("n_tokens"),
+        Hashing.phash(col("tstream")).as("tok_hash"))
+      .withColumn("n_merged", col("n_chars") - col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenizeBpeSql: String =
+    s"""WITH pc AS (
+         SELECT pair, n_pairs FROM ($bpePairCountsSql)
+         ORDER BY n_pairs DESC, pair LIMIT $BPE_MERGES),
+       m AS (SELECT list(pair ORDER BY n_pairs DESC, pair) AS ms FROM pc),
+       d AS (
+         SELECT doc_id, source, text,
+           regexp_replace(text, '(\\S)', '|\\1 ', 'g') AS enc
+         FROM documents WHERE doc_id < 500),
+       t AS (
+         SELECT doc_id, source, text,
+           list_reduce(list_prepend(enc, ms),
+             (acc, mp) -> replace(acc,
+               '|' || substr(mp, 1, 1) || ' |' || substr(mp, 2, 1) || ' ',
+               '|' || mp || ' ')) AS tstream
+         FROM d CROSS JOIN m)
+       SELECT doc_id, source,
+         CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+         CAST(len(tstream) - len(replace(tstream, '|', '')) AS BIGINT) AS n_tokens,
+         ${Hashing.phashSql("tstream")} AS tok_hash,
+         CAST(len(replace(text, ' ', ''))
+           - (len(tstream) - len(replace(tstream, '|', ''))) AS BIGINT) AS n_merged
+       FROM t ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------
   // URL canonicalization dedup
   // ---------------------------------------------------------------
 

@@ -188,16 +188,23 @@ object Dedup {
     * bhs prefix filter emits each pair only from its first matching
     * band (no pair-dedup shuffle). The references to `sig` share one
     * physical shuffle via ReuseExchange. */
-  private[graft] def lshPairsOf(sig: DataFrame): DataFrame = {
+  /** Emit-once LSH candidate pairs (id1 < id2) from a signature
+    * frame — the shared blocking stage of [[lshPairsOf]] (Jaccard
+    * verify) and [[fuzzyEditOf]] (edit-distance verify). */
+  private[graft] def lshCandidatesOf(sig: DataFrame): DataFrame = {
     val banded = sig.withColumn("bhs", bandHashes("band"))
       .select(col("doc_id"), col("bhs"),
         posexplode_outer(col("bhs")).as(Seq("band", "bh")))
     val l = banded.as("l"); val r = banded.as("r")
-    val cand = l.join(r,
+    l.join(r,
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
         col("l.doc_id") < col("r.doc_id") &&
         firstMatchingBand(col("l.bhs"), col("r.bhs"), col("l.band")))
       .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
+  }
+
+  private[graft] def lshPairsOf(sig: DataFrame): DataFrame = {
+    val cand = lshCandidatesOf(sig)
     // hs is already the DISTINCT shingle-hash set, so |A∪B| comes
     // from sizes (|A|+|B|-|A∩B|) — half the per-pair array work of
     // materializing the union, over longs instead of shingle strings
@@ -221,9 +228,9 @@ object Dedup {
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     lshPairsOf(signatures(spark, dir)).orderBy(col("id1"), col("id2"))
 
-  /** CTE chain `sh .. j(id1, id2, jaccard)` — the SQL twin of
-    * [[lshPairsOf]], downstream of a CTE named `corpus`. */
-  private val lshPairsCtes: String = {
+  /** CTE chain `sh .. cand(id1, id2)` — the SQL twin of
+    * [[lshCandidatesOf]], downstream of a CTE named `corpus`. */
+  private val lshCandCtes: String = {
     val bhList = (0 until BANDS).map { b =>
       val parts = (0 until ROWS).map(r => s"CAST(sig[${b * ROWS + r + 1}] AS VARCHAR)").mkString(", ")
       Hashing.phashSql(s"concat_ws('_', $parts)", s"band${b}_")
@@ -239,7 +246,13 @@ object Dedup {
          SELECT l.doc_id AS id1, r.doc_id AS id2
          FROM banded l JOIN banded r
            ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
-          AND ${firstMatchingBandSql("l", "r")}),
+          AND ${firstMatchingBandSql("l", "r")})"""
+  }
+
+  /** CTE chain `sh .. j(id1, id2, jaccard)` — the SQL twin of
+    * [[lshPairsOf]], downstream of a CTE named `corpus`. */
+  private val lshPairsCtes: String =
+    s"""$lshCandCtes,
        shd AS (SELECT doc_id, hs AS shd FROM hs),
        j AS (
          SELECT c.id1, c.id2,
@@ -249,12 +262,58 @@ object Dedup {
          FROM cand c
          JOIN shd a ON a.doc_id = c.id1
          JOIN shd b ON b.doc_id = c.id2)"""
-  }
 
   val dedupMinhashLshSql: String =
     s"""WITH $corpusSql,
        $lshPairsCtes
        SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2"""
+
+  // ---- Edit-distance near-dup (LSH-blocked levenshtein) -------------
+
+  /** Edit-distance near-dup pairs over an LSH-blocked candidate set —
+    * the candidate-then-verify composition a typo-level dedup runs in
+    * production: [[lshCandidatesOf]] bounds the pair count (banded
+    * equi-join, never all-pairs), and only candidates pay the O(n·m)
+    * levenshtein verification. Both engines implement classical
+    * unit-cost Levenshtein, so the distance is integer-exact
+    * cross-engine. Keeps pairs with relative edit distance <= 20%
+    * (integer cross-multiplication `lev*5 <= max(len)` — no doubles).
+    * The lev/len projection sits behind a lineage fence: `lev` feeds
+    * both the threshold filter and the output, and CollapseProject +
+    * PushDownPredicates would otherwise inline the full DP once per
+    * reference (and push it into the join). Recall is bounded by the
+    * LSH blocking — an edit-close pair with disjoint shingles is
+    * invisible, the documented trade of every blocked fuzzy dedup. */
+  private[graft] def fuzzyEditOf(docs: DataFrame): DataFrame = {
+    val cand = lshCandidatesOf(signaturesOf(docs))
+    val t = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(t.select(col("doc_id").as("id1"), col("text").as("t1")), Seq("id1"))
+      .join(t.select(col("doc_id").as("id2"), col("text").as("t2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        levenshtein(col("t1"), col("t2")).cast("long").as("lev"),
+        length(col("t1")).cast("long").as("len1"),
+        length(col("t2")).cast("long").as("len2"))
+      .transform(graft.util.Fence.lineage)
+      .filter(col("lev") * 5 <= greatest(col("len1"), col("len2")))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  def dedupFuzzyEdit(spark: SparkSession, dir: String): DataFrame =
+    fuzzyEditOf(corpus(spark, dir))
+
+  val dedupFuzzyEditSql: String =
+    s"""WITH $corpusSql,
+       $lshCandCtes
+       SELECT c.id1, c.id2,
+         CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+         CAST(len(a.text) AS BIGINT) AS len1,
+         CAST(len(b.text) AS BIGINT) AS len2
+       FROM cand c
+       JOIN corpus a ON a.doc_id = c.id1
+       JOIN corpus b ON b.doc_id = c.id2
+       WHERE levenshtein(a.text, b.text) * 5 <= greatest(len(a.text), len(b.text))
+       ORDER BY id1, id2"""
 
   // ---- Connected-components dedup groups ---------------------------
 
