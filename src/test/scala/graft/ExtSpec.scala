@@ -609,6 +609,85 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getLong(2) + r.getLong(4) == nVecs, "matched + vec orphans != vecs")
   }
 
+  test("tokenize_bpe accounts for every character with only 2-char merges") {
+    val rows = SparkEntry.queries("tokenize_bpe")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (nChars, nTokens, nMerged) = (r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(nChars == nTokens + nMerged, s"doc ${r.getLong(0)} loses chars")
+      // the merge table holds single-char pairs only, so a token is at
+      // most 2 chars and the stream can never shrink below nChars/2
+      assert(nTokens * 2 >= nChars, s"doc ${r.getLong(0)} over-merged")
+      assert(nMerged >= 0)
+    }
+    assert(rows.map(_.getLong(5)).sum > 0, "no merge ever fired")
+  }
+
+  test("dedup_url collapses variants onto the id%50 canonical forms") {
+    val rows = SparkEntry.queries("dedup_url")(spark, sf).collect()
+    // canonical form is https://{source}.example.com/docs/{doc_id%50} —
+    // every variant axis (scheme, www, host case, port, doubled slash,
+    // trailing slash, query, fragment) must collapse onto it
+    val truth = graft.model.Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), countDistinct(pmod(col("doc_id"), lit(50))).as("nc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.map(_.getString(0)).toSet == truth.keySet)
+    rows.foreach { r =>
+      val (n, nc) = truth(r.getString(0))
+      assert(r.getLong(1) == n, s"${r.getString(0)}: n_urls != doc count")
+      assert(r.getLong(2) == nc, s"${r.getString(0)}: canonical set wrong")
+      assert(r.getLong(4) == n - nc, s"${r.getString(0)}: n_collapsed wrong")
+      assert(r.getLong(4) > 0, s"${r.getString(0)}: nothing collapsed")
+    }
+  }
+
+  test("dedup_keep_longest picks each component's longest member") {
+    val lens = graft.ext.Dedup.corpus2(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val truth = SparkEntry.queries("dedup_groups")(spark, sf)
+      .join(lens, Seq("doc_id"))
+      .groupBy(col("keeper_id").as("component_id"))
+      .agg(max(col("n_chars")).as("max_chars"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = SparkEntry.queries("dedup_keep_longest")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == truth.keySet)
+    val members = SparkEntry.queries("dedup_groups")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    rows.foreach { r =>
+      val (maxChars, n) = truth(r.getLong(0))
+      assert(members((r.getLong(0), r.getLong(1))), s"keep_id not a member: $r")
+      assert(r.getLong(2) == maxChars, s"not the longest member: $r")
+      assert(r.getLong(3) == n, s"member count wrong: $r")
+    }
+  }
+
+  test("dedup_fuzzy_edit verifies LSH candidates by relative edit distance") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew strong potions near the old stone bridge at dawn"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("wizards", "wizzards")),   // 1 edit, shingles mostly shared
+      (3L, "entirely unrelated vocabulary zebra umbrella cactus violin " +
+        "granite meadow lantern harbor crystal thunder velvet marble quartz")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.fuzzyEditOf(docs).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      s"expected exactly the typo pair, got ${out.mkString(", ")}")
+    val r = out.head
+    assert(r.getLong(2) == 1L)                        // lev(wizards, wizzards)
+    assert(r.getLong(3) == base.length.toLong)
+    assert(r.getLong(4) == base.length.toLong + 1)
+    // corpus query: every injected ' zqxj' twin is a 5-edit near-dup
+    val pairs = SparkEntry.queries("dedup_fuzzy_edit")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val twins = (0L until 500L by 5).map(i => (i, i + 100000))
+    val missed = twins.filterNot(pairs.contains)
+    assert(missed.isEmpty, s"missed twins: ${missed.take(5)}")
+    twins.foreach(t => assert(pairs(t) == 5L, s"twin $t lev ${pairs(t)} != 5"))
+  }
+
   test("skew_join equals the plain unsalted join and shards each hot key R ways") {
     val df = SparkEntry.queries("skew_join")(spark, sf)
     val ev = graft.model.Tables.events(spark, sf)
