@@ -911,4 +911,84 @@ object Dedup {
                 - sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END), 0)) AS BIGINT)
            AS agreement_ppm
        FROM m ORDER BY n_ngram"""
+
+  // ---- Content-defined chunking (CDC) sub-document dedup -----------
+
+  private val CDC_W = 8    // boundary window (chars)
+  private val CDC_D = 32   // boundary divisor → ~32-char expected chunks
+
+  /** Content-defined chunking dedup — sub-document granularity, the
+    * level below [[dedupExact]] (whole doc) and [[lshPairsOf]]
+    * (near-dup doc). A boundary falls after position i whenever the
+    * hash of the trailing [[CDC_W]]-char window divides [[CDC_D]] —
+    * so boundaries are CONTENT-defined and re-synchronize after an
+    * insertion/deletion, which is the whole point: two documents
+    * sharing a long run of text produce identical chunks for the
+    * shared run no matter where it sits (a fixed-size splitter loses
+    * alignment after the first edit). Classic rungs not needed at
+    * this corpus: min/max chunk clamps, and a true rolling (Rabin)
+    * hash instead of the per-position window hash — both noted for
+    * the 100 TB path; the per-row cost is O(len) either way and the
+    * map stays narrow and embarrassingly parallel.
+    *
+    * Per source: chunk count, distinct-chunk count (duplicated-chunk
+    * mass = n_chunks − n_distinct), and an order-independent checksum
+    * of all chunk hashes (per-chunk hash bounded < 2^30 so the BIGINT
+    * sum can never overflow — the set-valued-result convention).
+    *
+    * Scale shape: one narrow projection computes boundary positions
+    * (lineage-fenced — the bounds array is referenced three times by
+    * the slicer and CollapseProject would inline the per-position md5
+    * pipeline once per reference), one explode, one (source) groupBy
+    * with a single distinct-agg expand. */
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val n = length(col("text"))
+    val bpos = when(n >= CDC_W,
+        filter(sequence(lit(CDC_W), n),
+          i => Hashing.phash(col("text").substr(i - (CDC_W - 1), lit(CDC_W)), "cdc_")
+            % CDC_D === 0))
+      .otherwise(array().cast("array<int>"))
+    val bounds = concat(array(lit(0)), bpos, array(n))
+    val chunks = transform(sequence(lit(1), size(col("bounds")) - 1),
+      i => col("text").substr(element_at(col("bounds"), i) + 1,
+        element_at(col("bounds"), i + 1) - element_at(col("bounds"), i)))
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("source"), col("text"), bounds.as("bounds"))
+      .transform(graft.util.Fence.lineage)
+      .select(col("source"), explode_outer(chunks).as("chunk"))
+      .filter(col("chunk").isNotNull && length(col("chunk")) > 0)
+      .select(col("source"), Hashing.phash(col("chunk"), "cdck_").as("ch"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        countDistinct(col("ch")).cast("long").as("n_distinct_chunks"),
+        sum(pmod(col("ch"), lit(1073741789L))).cast("long").as("chunk_checksum"))
+      .withColumn("n_dup_chunks",
+        (col("n_chunks") - col("n_distinct_chunks")).cast("long"))
+      .orderBy(col("source"))
+  }
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(Tables.documents(spark, dir).select(col("source"), col("text")))
+
+  val cdcChunksSql: String =
+    s"""WITH d AS (SELECT source, text, len(text) AS n FROM documents),
+       b AS (SELECT source, text,
+         list_concat(list_concat([0],
+           list_filter(generate_series($CDC_W, n),
+             i -> ${Hashing.phashSql(s"substr(text, i - ${CDC_W - 1}, $CDC_W)", "cdc_")} % $CDC_D = 0)),
+           [n]) AS bounds
+         FROM d),
+       c AS (SELECT source,
+         list_transform(generate_series(1, len(bounds) - 1),
+           i -> substr(text, bounds[i] + 1, bounds[i + 1] - bounds[i])) AS chunks
+         FROM b),
+       e AS (SELECT source, unnest(chunks) AS chunk FROM c),
+       f AS (SELECT source, ${Hashing.phashSql("chunk", "cdck_")} AS ch
+         FROM e WHERE len(chunk) > 0)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct_chunks,
+         CAST(sum(ch % 1073741789) AS BIGINT) AS chunk_checksum,
+         CAST(count(*) - count(DISTINCT ch) AS BIGINT) AS n_dup_chunks
+       FROM f GROUP BY source ORDER BY source"""
 }

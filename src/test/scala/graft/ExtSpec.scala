@@ -688,6 +688,31 @@ class ExtSpec extends AnyFunSuite {
     twins.foreach(t => assert(pairs(t) == 5L, s"twin $t lev ${pairs(t)} != 5"))
   }
 
+  test("cdc_chunks boundaries re-synchronize after an insertion") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew strong potions near the old stone bridge at dawn and " +
+      "the river runs cold beneath the willow trees every single morning"
+    // same shared run, shifted by an insertion — content-defined
+    // boundaries must align on the shared suffix, so the two docs
+    // duplicate most chunks; a fixed-size splitter would share none
+    val docs = Seq(
+      ("a", shared),
+      ("a", "PREFIX INSERTED HERE " + shared)
+    ).toDF("source", "text")
+    val r = graft.ext.Dedup.cdcChunksOf(docs).head()
+    val (n, nd, dup) = (r.getLong(1), r.getLong(2), r.getLong(4))
+    assert(n == nd + dup)
+    assert(dup >= (n - dup) / 2 - 2,
+      s"boundaries failed to re-sync: $n chunks, only $dup duplicated")
+    // and the corpus query balances per source
+    SparkEntry.queries("cdc_chunks")(spark, sf).collect().foreach { row =>
+      assert(row.getLong(1) >= row.getLong(2))
+      assert(row.getLong(4) == row.getLong(1) - row.getLong(2))
+      assert(row.getLong(1) > 0)
+    }
+  }
+
   test("skew_join equals the plain unsalted join and shards each hot key R ways") {
     val df = SparkEntry.queries("skew_join")(spark, sf)
     val ev = graft.model.Tables.events(spark, sf)
