@@ -149,4 +149,80 @@ object Retrieval {
          FROM scored)
        SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, score_ppm
        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
+
+  // ---- Inverted-index build ----------------------------------------
+
+  private val POSTINGS = 8    // impact-ordered posting cap per term
+  private val TERMS    = 100  // emitted dictionary rows
+
+  /** Inverted-index build — the retrieval artifact [[bm25Topk]]
+    * implies but never materializes: per term, the document frequency,
+    * collection frequency, and an IMPACT-ORDERED capped posting list
+    * (top-[[POSTINGS]] docs by tf, ties to the lower doc_id — the
+    * static index-pruning layout an impact-sorted index serves top-k
+    * from without walking full postings). The emitted dictionary is
+    * the [[TERMS]] highest-cf terms — a bounded report, not the full
+    * index; the full-index write is the same plan minus the final
+    * TakeOrdered.
+    *
+    * Scale shape: one explode, then TWO aggregates off ONE fenced
+    * occurrence frame — (doc,term) tf with map-side combine, then (a)
+    * the term-keyed df/cf rollup and (b) the posting head via a
+    * row_number rank filter that compiles to WindowGroupLimit
+    * (per-partition heads per term — a stopword's million-doc posting
+    * list never collects anywhere; only [[POSTINGS]] rows per term
+    * survive to the collect_list, which is why the groupBy collect is
+    * safe). One term-keyed equi-join stitches dictionary and heads.
+    * The posting string is rank-concatenated in an explicitly total
+    * order, so it is deterministic cross-engine without the
+    * set-checksum fallback. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode_outer(toks(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      // referenced by BOTH the dictionary rollup and the posting-head
+      // window — materialize the explode+combine once
+      .transform(graft.util.Fence.lineage)
+    val dict = occ.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"),
+        sum(col("tf")).cast("long").as("cf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("doc_id"))
+    val heads = occ.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= POSTINGS)
+      .groupBy(col("term"))
+      .agg(concat_ws("|", transform(
+        array_sort(collect_list(struct(col("rk"),
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("tf").cast("string")).as("p")))),
+        s => s.getField("p"))).as("postings"))
+    dict.join(heads, Seq("term"))
+      .orderBy(col("cf").desc, col("term"))
+      .limit(TERMS)
+  }
+
+  val invertedIndexSql: String =
+    s"""WITH o AS (
+         SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents),
+       occ AS (SELECT term, doc_id, count(*) AS tf FROM o GROUP BY term, doc_id),
+       dict AS (
+         SELECT term, CAST(count(*) AS BIGINT) AS df,
+                CAST(sum(tf) AS BIGINT) AS cf
+         FROM occ GROUP BY term),
+       r AS (
+         SELECT term, doc_id, tf,
+           row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rk
+         FROM occ),
+       h AS (
+         SELECT term,
+           string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                      '|' ORDER BY rk) AS postings
+         FROM r WHERE rk <= $POSTINGS GROUP BY term)
+       SELECT d.term, d.df, d.cf, h.postings
+       FROM dict d JOIN h USING (term)
+       ORDER BY cf DESC, term LIMIT $TERMS"""
 }

@@ -713,6 +713,23 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("inverted_index postings are impact-ordered and balance df/cf") {
+    val rows = SparkEntry.queries("inverted_index")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cfs = rows.map(_.getLong(2))
+    assert(cfs.zip(cfs.tail).forall { case (a, b) => a >= b }, "not cf-ordered")
+    rows.foreach { r =>
+      val (df, cf, postings) = (r.getLong(1), r.getLong(2), r.getString(3))
+      val tfs = postings.split('|').map(_.split(':') match {
+        case Array(_, tf) => tf.toLong
+      })
+      assert(tfs.length == math.min(df, 8L), s"posting cap wrong for ${r.getString(0)}")
+      assert(tfs.zip(tfs.tail).forall { case (a, b) => a >= b },
+        s"postings not impact-ordered for ${r.getString(0)}")
+      assert(cf >= df && cf >= tfs.sum, s"df/cf inconsistent for ${r.getString(0)}")
+    }
+  }
+
   test("skew_join equals the plain unsalted join and shards each hot key R ways") {
     val df = SparkEntry.queries("skew_join")(spark, sf)
     val ev = graft.model.Tables.events(spark, sf)

@@ -214,6 +214,16 @@ class PlanSpec extends AnyFunSuite {
       "the explode pipeline would run once per consumer")
   }
 
+  test("inverted_index prunes posting heads via WindowGroupLimit pre-shuffle") {
+    val p = planOf("inverted_index")
+    val hits = "WindowGroupLimit".r.findAllIn(p).size
+    // partial + final: a stopword's full posting list must never ride
+    // the window exchange — only POSTINGS rows per term may survive
+    assert(hits >= 2, s"expected partial+final WindowGroupLimit, found $hits")
+    assert(p.contains("TakeOrderedAndProject"), "dictionary cap is a global sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("winnow_fingerprint is a pure narrow map — no joins at any scale") {
     val p = planOf("winnow_fingerprint")
     assert(!p.toLowerCase.contains("join"), "a join appeared in a per-row map op")
