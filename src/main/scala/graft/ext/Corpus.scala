@@ -394,6 +394,70 @@ object Corpus {
            (n_strata * nullif(n_tokens, 0))) AS BIGINT)) AS weight_ppm
        FROM g CROSS JOIN tot ORDER BY source, lang"""
 
+  /** Temperature-smoothed sampling mixture, α = 0.5 — the standard
+    * multi-source rebalancing rule (sample stratum i with probability
+    * p_i^α / Σ p_j^α): low-resource strata are boosted, high-resource
+    * strata damped, without [[corpusMixture]]'s hard uniform cap.
+    * α = 0.5 makes the power a SQRT, the one libm-adjacent function
+    * that IS bit-stable cross-engine (IEEE 754 requires sqrt to be
+    * correctly rounded — unlike ln/exp/pow, which is why a general-α
+    * variant cannot be oracle-checked; see the module scaladoc).
+    * Each stratum's sqrt is floored to integer MILLI-units first, so
+    * the denominator Σ√ is an exact integer sum — no summation-order
+    * drift. The ppm numerators stay below 2^53, exact in a double;
+    * the 100 TB rung is the same query with BIGINT `DIV`.
+    *
+    * Scale shape: one (source, lang) groupBy, a 1-row total broadcast
+    * back via cross join — identical to [[corpusMixture]]. */
+  def mixtureAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"), col("lang"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+      .select(col("source"), col("lang"), col("n_tokens"),
+        floor(sqrt(col("n_tokens").cast("double")) * 1000.0 + 0.5)
+          .cast("long").as("sqrt_milli"))
+    val tot = g.agg(sum(col("sqrt_milli")).as("tot_ms"),
+      sum(col("n_tokens")).as("tot_tokens"))
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_tokens").cast("long").as("n_tokens"),
+        col("sqrt_milli"),
+        floor(col("n_tokens") * 1000000.0 / nullif(col("tot_tokens"), lit(0L)))
+          .cast("long").as("natural_ppm"),
+        floor(col("sqrt_milli") * 1000000.0 / nullif(col("tot_ms"), lit(0L)))
+          .cast("long").as("alpha_ppm"))
+      .withColumn("boost_ppm",
+        floor(col("alpha_ppm") * 1000000.0 / nullif(col("natural_ppm"), lit(0L)))
+          .cast("long"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val mixtureAlphaSql: String =
+    s"""WITH g AS (
+         SELECT source, lang,
+           CAST(sum(len(${toksSql("text")})) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY source, lang),
+       s AS (
+         SELECT source, lang, n_tokens,
+           CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)
+             AS sqrt_milli
+         FROM g),
+       tot AS (
+         SELECT CAST(sum(sqrt_milli) AS BIGINT) AS tot_ms,
+           CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM s)
+       SELECT source, lang, n_tokens, sqrt_milli,
+         CAST(floor(n_tokens * 1000000.0 / nullif(tot_tokens, 0)) AS BIGINT)
+           AS natural_ppm,
+         CAST(floor(sqrt_milli * 1000000.0 / nullif(tot_ms, 0)) AS BIGINT)
+           AS alpha_ppm,
+         CAST(floor(CAST(floor(sqrt_milli * 1000000.0 / nullif(tot_ms, 0)) AS BIGINT)
+           * 1000000.0 /
+           nullif(CAST(floor(n_tokens * 1000000.0 / nullif(tot_tokens, 0)) AS BIGINT), 0))
+           AS BIGINT) AS boost_ppm
+       FROM s CROSS JOIN tot ORDER BY source, lang"""
+
   /** Curriculum bucketing: every document ntile'd into 4 difficulty
     * tiers by its [[TextAnalysis.textStats]] quality score (ties
     * split by doc_id — the total order the oracle rules require even

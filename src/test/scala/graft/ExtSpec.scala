@@ -713,6 +713,26 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture_alpha boosts low-resource strata and damps high-resource ones") {
+    val rows = SparkEntry.queries("mixture_alpha")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // α-weights form a distribution (ppm sums to ~1e6 modulo flooring)
+    val alphaSum = rows.map(_.getLong(5)).sum
+    assert(alphaSum > 1000000L - rows.length && alphaSum <= 1000000L,
+      s"alpha_ppm sum $alphaSum")
+    rows.foreach { r =>
+      val (nat, alpha, boost) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      // α = 0.5 smoothing: under-represented strata gain, over-represented lose
+      if (alpha > nat) assert(boost >= 1000000L)
+      if (alpha < nat) assert(boost < 1000000L)
+    }
+    // the smoothing must be monotone: more tokens, never a smaller weight
+    val byTok = rows.sortBy(_.getLong(2))
+    byTok.map(_.getLong(5)).zip(byTok.tail.map(_.getLong(5))).foreach {
+      case (a, b) => assert(a <= b, "alpha weight not monotone in stratum size")
+    }
+  }
+
   test("inverted_index postings are impact-ordered and balance df/cf") {
     val rows = SparkEntry.queries("inverted_index")(spark, sf).collect()
     assert(rows.nonEmpty)
