@@ -362,4 +362,79 @@ object Quality {
        FROM scored WHERE cmin > 0 AND inter * 10 >= cmin * $CONT_NUM
        ORDER BY id1, id2"""
   }
+
+  // ---- Adaptive per-source length gate ------------------------------
+
+  /** Per-source adaptive quality gate: keep documents whose token
+    * count lies within the source's own [p5, p95] band. Every corpus
+    * mixes sources with wildly different length profiles, so a global
+    * cutoff either guts the short-form source or keeps the long-form
+    * source's junk — the production rule derives cutoffs PER SOURCE,
+    * from the data, in-query (no driver-side probe; the CLAUDE.md
+    * convention). The discrete percentile is exact integer logic:
+    * p5 = min length whose running count clears n/20
+    * (`cum*20 >= n` — cross-multiplication, no doubles, no engine
+    * percentile function whose interpolation differs cross-engine).
+    *
+    * Scale shape: one narrow tokenize map, then everything runs on
+    * the (source, n_tok) HISTOGRAM — the window sorts per-source
+    * distinct lengths, not rows (the value_quantiles trick), the
+    * cutoff agg collapses it to one row per source, and the kept-mass
+    * rollup is a second tiny agg over the same histogram. The raw
+    * corpus is scanned exactly once. */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_tok"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val h = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"), size(toks(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"), col("n_tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
+      // referenced by the cutoff agg AND the kept-mass rollup
+      .transform(graft.util.Fence.lineage)
+    val cuts = h.groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        min(when(col("cum") * 20 >= col("n"), col("n_tok"))).as("lo_tok"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("n_tok"))).as("hi_tok"))
+    h.join(broadcast(cuts), Seq("source"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).cast("long").as("n_docs"),
+        max(col("lo_tok")).cast("long").as("lo_tok"),
+        max(col("hi_tok")).cast("long").as("hi_tok"),
+        sum(when(col("n_tok").between(col("lo_tok"), col("hi_tok")), col("c"))
+          .otherwise(0L)).cast("long").as("n_kept"))
+      .withColumn("n_dropped", (col("n_docs") - col("n_kept")).cast("long"))
+      .orderBy(col("source"))
+  }
+
+  val qualityGateSql: String =
+    s"""WITH d AS (
+         SELECT source, CAST(len(${toksSql("text")}) AS BIGINT) AS n_tok
+         FROM documents),
+       h AS (
+         SELECT source, n_tok, count(*) AS c FROM d GROUP BY source, n_tok),
+       r AS (
+         SELECT source, n_tok, c,
+           sum(c) OVER (PARTITION BY source ORDER BY n_tok
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY source) AS n
+         FROM h),
+       cuts AS (
+         SELECT source, max(n) AS n_docs,
+           min(CASE WHEN cum * 20 >= n THEN n_tok END) AS lo_tok,
+           min(CASE WHEN cum * 20 >= n * 19 THEN n_tok END) AS hi_tok
+         FROM r GROUP BY source)
+       SELECT r.source, CAST(max(ct.n_docs) AS BIGINT) AS n_docs,
+         CAST(max(ct.lo_tok) AS BIGINT) AS lo_tok,
+         CAST(max(ct.hi_tok) AS BIGINT) AS hi_tok,
+         CAST(sum(CASE WHEN r.n_tok BETWEEN ct.lo_tok AND ct.hi_tok
+           THEN r.c ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(max(ct.n_docs) - sum(CASE WHEN r.n_tok BETWEEN ct.lo_tok AND ct.hi_tok
+           THEN r.c ELSE 0 END) AS BIGINT) AS n_dropped
+       FROM r JOIN cuts ct USING (source)
+       GROUP BY r.source ORDER BY r.source"""
 }

@@ -733,6 +733,21 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("quality_gate keeps the central >=90% band per source") {
+    val rows = SparkEntry.queries("quality_gate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lo, hi, kept, dropped) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(lo <= hi, s"${r.getString(0)}: inverted cutoffs")
+      assert(kept + dropped == n, s"${r.getString(0)}: gate loses documents")
+      // discrete [p5,p95] keeps at least the central 90% mass
+      assert(kept * 10 >= n * 9, s"${r.getString(0)}: kept only $kept of $n")
+      assert(kept < n || n < 20,
+        s"${r.getString(0)}: gate kept everything in a 20+ doc source")
+    }
+  }
+
   test("inverted_index postings are impact-ordered and balance df/cf") {
     val rows = SparkEntry.queries("inverted_index")(spark, sf).collect()
     assert(rows.nonEmpty)
