@@ -203,4 +203,123 @@ object Tpch {
          WHERE l_shipdate >= TIMESTAMP '1996-03-01'
            AND l_shipdate < TIMESTAMP '1996-04-01')
        ORDER BY promo_pct"""
+
+  /** TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    * lost to returns in one quarter. The classic shape: the quarter
+    * filter prunes orders at the scan, the R-flag filter prunes
+    * lineitem at the scan, the fact shuffles once on orderkey, the
+    * customer⋈nation dimension arm broadcasts (customer grows with SF
+    * but the post-join per-customer rollup is what bounds the top-k;
+    * the dim join itself stays on custkey). TakeOrderedAndProject
+    * caps the output — no global sort. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val cn = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(Exact.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        Exact.pround2(col("c_acctbal")).as("c_acctbal"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnedItemsSql: String =
+    s"""SELECT c_custkey, c_name, n_name,
+         ${Exact.pround2Sql("c_acctbal")} AS c_acctbal,
+         ${Exact.moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1996-04-01'
+         AND l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, n_name, ${Exact.pround2Sql("c_acctbal")}
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  /** TPC-H Q18 (large-volume customers): orders whose total quantity
+    * clears 250 units, with their customer. The IN-subquery of the
+    * spec is decorrelated Spark-first: ONE lineitem aggregate keyed on
+    * orderkey, filtered, then equi-joined to orders⋈customer — a
+    * semi-join by construction (the aggregate side is already
+    * distinct on the key). Quantities are integral in this schema, so
+    * the sum is an exact BIGINT — no double drift. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 250L)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), Exact.pround2(col("o_totalprice")).as("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val q18LargeOrdersSql: String =
+    s"""WITH big AS (
+         SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+         FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+       SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+         ${Exact.pround2Sql("o_totalprice")} AS o_totalprice, total_qty
+       FROM big
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       ORDER BY o_totalprice DESC, o_orderkey"""
+
+  /** TPC-H Q19 (discounted revenue), adapted to the test part dims:
+    * revenue from three disjunctive brand/size/quantity bands. The
+    * OR-of-ANDs predicate straddles the join (part attrs AND lineitem
+    * attrs), so it cannot push to either scan whole — but each
+    * disjunct's single-side conjuncts CAN and do (Catalyst extracts
+    * `l_quantity <= 36` and the brand IN-list to the scans). The part
+    * side is hint-free like q14: AQE broadcasts at test scale, shuffle
+    * join at TPC-H scale. */
+  def q19DiscountRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val band = (brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === brand &&
+      col("p_size").between(szLo, szHi) &&
+      col("l_quantity") >= qLo && col("l_quantity") <= qHi
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(band("Brand#1", 1, 15, 1, 11) ||
+              band("Brand#7", 10, 30, 10, 20) ||
+              band("Brand#15", 20, 50, 20, 36))
+      .agg(Exact.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).cast("long").as("n_items"))
+  }
+
+  val q19DiscountRevenueSql: String =
+    s"""SELECT ${Exact.moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         CAST(count(*) AS BIGINT) AS n_items
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+              AND l_quantity >= 1 AND l_quantity <= 11)
+          OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30
+              AND l_quantity >= 10 AND l_quantity <= 20)
+          OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50
+              AND l_quantity >= 20 AND l_quantity <= 36)"""
 }

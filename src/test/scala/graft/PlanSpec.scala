@@ -224,6 +224,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q19's disjunctive predicate pushes per-side conjuncts to both scans") {
+    val p = planOf("q19_discount_revenue")
+    // the OR-of-ANDs straddles the join, but each side's extractable
+    // OR must reach its parquet scan — losing this re-reads the full
+    // fact table at 100 TB
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), Or("),
+      "lineitem scan lost the extracted quantity-band OR filter")
+    assert(p.contains("EqualTo(p_brand,Brand#1)"),
+      "part scan lost the extracted brand/size OR filter")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q10 caps output via TakeOrderedAndProject, nation broadcast") {
+    val p = planOf("q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 fell back to a global sort")
+    assert(p.contains("BroadcastExchange"), "nation dim not broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("winnow_fingerprint is a pure narrow map — no joins at any scale") {
     val p = planOf("winnow_fingerprint")
     assert(!p.toLowerCase.contains("join"), "a join appeared in a per-row map op")
