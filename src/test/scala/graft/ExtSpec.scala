@@ -733,6 +733,30 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank_links computes the exact integer recurrence on a symmetric graph") {
+    import spark.implicits._
+    // ids 0..9, M=10: each probe map i -> (7i + c) % 10 is a bijection
+    // (gcd(7,10)=1), so in-degree = out-degree = 3 everywhere and the
+    // rank vector stays uniform — the scalar recurrence predicts every
+    // node's rank exactly, pinning the integer floor-division semantics
+    val docs = (0L until 10L).toDF("doc_id")
+    var expect = 1000000L
+    for (_ <- 1 to 5) expect = 150000L + (85L * (3L * (expect / 3L))) / 100L
+    val rows = graft.ext.Graph.pagerankOf(docs).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 3L, s"out_degree ${r.getLong(1)} != 3")
+      assert(r.getLong(2) == expect, s"rank ${r.getLong(2)} != $expect")
+    }
+    // corpus query: ordered, teleport floor respected, degrees in range
+    val top = SparkEntry.queries("pagerank_links")(spark, sf).collect()
+    assert(top.length == 20)
+    val ranks = top.map(_.getLong(2))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    assert(ranks.forall(_ >= 150000L))
+    assert(top.map(_.getLong(1)).forall(d => d >= 0L && d <= 3L))
+  }
+
   test("quality_gate keeps the central >=90% band per source") {
     val rows = SparkEntry.queries("quality_gate")(spark, sf).collect()
     assert(rows.nonEmpty)
