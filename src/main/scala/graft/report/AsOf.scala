@@ -151,4 +151,157 @@ object AsOf {
          ${Exact.moneySumSql("coalesce(rate_in_force, 0.0)")} AS sum_rate
        FROM f
        GROUP BY event_type ORDER BY event_type"""
+
+  // ---- direction = nearest -----------------------------------------
+
+  /** As-of join, `nearest` direction (pandas merge_asof's third
+    * mode, completing the family: [[asofJoinRates]] is `backward`;
+    * `forward` falls out of this one's forward arm): each event
+    * matches the rate change with the smallest |Δt|, equidistant ties
+    * preferring the backward candidate (the rate already in force),
+    * within a side the (ts, event_id) total order.
+    *
+    * Same coarse-bucket shape as backward — nothing O(N) broadcasts:
+    * the in-bucket sorted arrays serve BOTH directions (last ≤ ts /
+    * first > ts against one array), and the carry table doubles: the
+    * backward carry holds the rate in force at each bucket's END, the
+    * FORWARD carry the next rate at each bucket's START (the same
+    * #types × #buckets frame under a mirrored window — still
+    * timeline-bounded, still broadcastable). Δt compares in integer
+    * epoch seconds (`floor` applied on the oracle side to mirror
+    * Spark's truncating unix_timestamp — the double→long convention). */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame =
+    asofNearestW(spark, dir, W)
+
+  private[graft] def asofNearestW(spark: SparkSession, dir: String, W: Long): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+    val rates = ev.filter(col("event_id") % 97 === 0)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / W).cast("long").as("bucket"),
+        col("ts"), col("event_id"), col("value").as("rate"))
+    val arr = rates.groupBy(col("event_type"), col("bucket"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("rate")))).as("ra"))
+    val span = rates.groupBy(col("event_type"))
+      .agg(min(col("bucket")).as("minb"), max(col("bucket")).as("maxb"))
+    val dense = span.select(col("event_type"),
+      explode(sequence(col("minb"), col("maxb"))).as("bucket"))
+    val ends = arr.select(col("event_type"), col("bucket"),
+      element_at(col("ra"), -1).as("lr"), element_at(col("ra"), 1).as("fr"))
+    val wB = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carries = dense.join(ends, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket").as("cb"),
+        last(col("lr"), ignoreNulls = true).over(wB).as("bs"),
+        first(col("fr"), ignoreNulls = true).over(wF).as("fs"))
+    val evb = ev.select(col("event_type"), col("ts"),
+      floor(unix_timestamp(col("ts")) / W).cast("long").as("bucket"))
+    val withC = evb
+      .join(arr, Seq("event_type", "bucket"), "left")
+      .join(broadcast(span), Seq("event_type"), "left")
+      // backward carry looks at the PREVIOUS bucket's end (clamped down
+      // to maxb); forward carry at the NEXT bucket's start (clamped up
+      // to minb — an event before all rates still sees the first rate;
+      // past maxb the lookup naturally misses → no forward candidate)
+      .withColumn("cbb",
+        when(col("maxb").isNull || col("bucket") - 1 < col("maxb"),
+          col("bucket") - 1).otherwise(col("maxb")))
+      .withColumn("cbf",
+        when(col("minb").isNull || col("bucket") + 1 > col("minb"),
+          col("bucket") + 1).otherwise(col("minb")))
+      .join(broadcast(carries.select(col("event_type"), col("cb").as("cbb"),
+        col("bs"))), Seq("event_type", "cbb"), "left")
+      .join(broadcast(carries.select(col("event_type"), col("cb").as("cbf"),
+        col("fs"))), Seq("event_type", "cbf"), "left")
+      .withColumn("back", coalesce(
+        try_element_at(filter(col("ra"), r => r("ts") <= col("ts")), lit(-1)),
+        col("bs")))
+      .withColumn("fwd", coalesce(
+        try_element_at(filter(col("ra"), r => r("ts") > col("ts")), lit(1)),
+        col("fs")))
+    val db = unix_timestamp(col("ts")) - unix_timestamp(col("back")("ts"))
+    val df_ = unix_timestamp(col("fwd")("ts")) - unix_timestamp(col("ts"))
+    val nearest = when(col("back").isNotNull &&
+        (col("fwd").isNull || db <= df_), col("back"))
+      .otherwise(col("fwd"))
+    withC
+      .withColumn("nr", nearest)
+      .withColumn("dt_s",
+        when(col("nr").isNull, lit(null).cast("long")).otherwise(
+          abs(unix_timestamp(col("nr")("ts")) - unix_timestamp(col("ts")))
+            .cast("long")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("nr")).as("n_with_rate"),
+        Exact.moneySum(coalesce(col("nr")("rate"), lit(0.0))).as("sum_rate"),
+        sum(coalesce(col("dt_s"), lit(0L))).cast("long").as("sum_dt_s"))
+      .orderBy(col("event_type"))
+  }
+
+  val asofNearestSql: String = {
+    // Spark's unix_timestamp truncates to whole seconds; mirror with
+    // floor(epoch(..)) before the BIGINT cast (double→long convention)
+    def es(x: String) = s"CAST(floor(epoch($x)) AS BIGINT)"
+    s"""WITH src AS (
+         SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+         FROM events),
+       rates AS (
+         SELECT event_type, CAST(floor(epoch(ts) / $W) AS BIGINT) AS bucket,
+                ts, event_id, value AS rate
+         FROM src WHERE event_id % 97 = 0),
+       arr AS (
+         SELECT event_type, bucket,
+           list(struct_pack(ts := ts, event_id := event_id, rate := rate)
+                ORDER BY ts, event_id) AS ra
+         FROM rates GROUP BY event_type, bucket),
+       span AS (
+         SELECT event_type, min(bucket) AS minb, max(bucket) AS maxb
+         FROM rates GROUP BY event_type),
+       dense AS (
+         SELECT s.event_type, unnest(generate_series(s.minb, s.maxb)) AS bucket
+         FROM span s),
+       ends AS (SELECT event_type, bucket, ra[-1] AS lr, ra[1] AS fr FROM arr),
+       carries AS (
+         SELECT d.event_type, d.bucket AS cb,
+           last_value(e.lr IGNORE NULLS) OVER (
+             PARTITION BY d.event_type ORDER BY d.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bs,
+           first_value(e.fr IGNORE NULLS) OVER (
+             PARTITION BY d.event_type ORDER BY d.bucket
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fs
+         FROM dense d LEFT JOIN ends e
+           ON d.event_type = e.event_type AND d.bucket = e.bucket),
+       evb AS (
+         SELECT event_type, ts,
+                CAST(floor(epoch(ts) / $W) AS BIGINT) AS bucket
+         FROM src),
+       j AS (
+         SELECT e.event_type, e.ts,
+           coalesce((list_filter(a.ra, r -> r.ts <= e.ts))[-1], cb.bs) AS back,
+           coalesce((list_filter(a.ra, r -> r.ts > e.ts))[1], cf.fs) AS fwd
+         FROM evb e
+         LEFT JOIN arr a ON e.event_type = a.event_type AND e.bucket = a.bucket
+         LEFT JOIN span s ON e.event_type = s.event_type
+         LEFT JOIN carries cb ON e.event_type = cb.event_type
+           AND cb.cb = (CASE WHEN s.maxb IS NULL OR e.bucket - 1 < s.maxb
+                        THEN e.bucket - 1 ELSE s.maxb END)
+         LEFT JOIN carries cf ON e.event_type = cf.event_type
+           AND cf.cb = (CASE WHEN s.minb IS NULL OR e.bucket + 1 > s.minb
+                        THEN e.bucket + 1 ELSE s.minb END)),
+       n AS (
+         SELECT event_type, ts,
+           CASE WHEN back IS NOT NULL AND (fwd IS NULL OR
+                  ${es("ts")} - ${es("back.ts")} <= ${es("fwd.ts")} - ${es("ts")})
+                THEN back ELSE fwd END AS nr
+         FROM j)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(nr) AS BIGINT) AS n_with_rate,
+         ${Exact.moneySumSql("coalesce(nr.rate, 0.0)")} AS sum_rate,
+         CAST(sum(coalesce(abs(${es("nr.ts")} - ${es("ts")}), 0)) AS BIGINT)
+           AS sum_dt_s
+       FROM n GROUP BY event_type ORDER BY event_type"""
+  }
 }

@@ -66,6 +66,25 @@ class ReportSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of nearest is bucket-width invariant and never farther than backward") {
+    import graft.report.AsOf
+    import org.apache.spark.sql.functions._
+    val base = AsOf.asofNearestW(spark, sf, 3600L).collect().map(_.toSeq).toSeq
+    for (w <- Seq(60L, 86400L, 7L * 86400L)) {
+      val alt = AsOf.asofNearestW(spark, sf, w).collect().map(_.toSeq).toSeq
+      assert(alt == base, s"asof_nearest result changed at bucket width $w")
+    }
+    // nearest must cover at least every event backward covers (a
+    // backward candidate is always a nearest candidate), and the
+    // naive per-event check: nearest |dt| <= backward dt everywhere
+    val b = SparkEntry.queries("asof_join_rates")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    SparkEntry.queries("asof_nearest")(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) >= b(r.getString(0)),
+        s"${r.getString(0)}: nearest covers fewer events than backward")
+    }
+  }
+
   test("interval_join matches the naive theta-join on window count and membership") {
     import org.apache.spark.sql.functions._
     val bucketed = SparkEntry.queries("interval_join")(spark, sf)
