@@ -290,10 +290,18 @@ object Dedup {
     cand
       .join(t.select(col("doc_id").as("id1"), col("text").as("t1")), Seq("id1"))
       .join(t.select(col("doc_id").as("id2"), col("text").as("t2")), Seq("id2"))
-      .select(col("id1"), col("id2"),
-        levenshtein(col("t1"), col("t2")).cast("long").as("lev"),
+      .select(col("id1"), col("id2"), col("t1"), col("t2"),
         length(col("t1")).cast("long").as("len1"),
         length(col("t2")).cast("long").as("len2"))
+      // length pre-gate: lev >= |len1 - len2|, so a length gap above
+      // the threshold can never pass — prunes those candidates for the
+      // price of two lengths, BEFORE anyone pays the O(n·m) DP (the
+      // result is provably unchanged; at sf1 this is most of the cost)
+      .filter(abs(col("len1") - col("len2")) * 5 <=
+        greatest(col("len1"), col("len2")))
+      .select(col("id1"), col("id2"),
+        levenshtein(col("t1"), col("t2")).cast("long").as("lev"),
+        col("len1"), col("len2"))
       .transform(graft.util.Fence.lineage)
       .filter(col("lev") * 5 <= greatest(col("len1"), col("len2")))
       .orderBy(col("id1"), col("id2"))
@@ -312,7 +320,8 @@ object Dedup {
        FROM cand c
        JOIN corpus a ON a.doc_id = c.id1
        JOIN corpus b ON b.doc_id = c.id2
-       WHERE levenshtein(a.text, b.text) * 5 <= greatest(len(a.text), len(b.text))
+       WHERE abs(len(a.text) - len(b.text)) * 5 <= greatest(len(a.text), len(b.text))
+         AND levenshtein(a.text, b.text) * 5 <= greatest(len(a.text), len(b.text))
        ORDER BY id1, id2"""
 
   // ---- Connected-components dedup groups ---------------------------

@@ -88,6 +88,8 @@ object ScaleTrial2 {
     val (epN, etN) = trial(f"dedup_embed   ${mult}%2dx", graft.ext.Similarity.dedupEmbeddingOf(ecorpus(mult)))
     val (cp1, ct1) = semTrial("dedup_semantic 1x", graft.ext.Similarity.dedupSemanticOf(ecorpus(1)))
     val (cpN, ctN) = semTrial(f"dedup_semantic${mult}%2dx", graft.ext.Similarity.dedupSemanticOf(ecorpus(mult)))
+    val (fp1, ft1) = trial("fuzzy_edit     1x", Dedup.fuzzyEditOf(corpus(1)))
+    val (fpN, ftN) = trial(f"fuzzy_edit    ${mult}%2dx", Dedup.fuzzyEditOf(corpus(mult)))
     println(f"SCALE2 simhash: ${mult}x corpus -> ${spN.toDouble / math.max(sp1, 1)}%.1fx pairs, " +
       f"${stN / st1}%.1fx time (linear target ~${mult}x, quadratic ~${mult * mult}x)")
     println(f"SCALE2 ngram:   ${mult}x corpus -> ${npN.toDouble / math.max(np1, 1)}%.1fx pairs, " +
@@ -97,6 +99,8 @@ object ScaleTrial2 {
     println(f"SCALE2 semantic:${mult}x corpus -> ${cpN.toDouble / math.max(cp1, 1)}%.1fx candidates, " +
       f"${ctN / ct1}%.1fx time (C=sqrt(N) theory ~${math.pow(mult, 1.5)}%.1fx, " +
       f"fixed-C quadratic ~${mult * mult}x)")
+    println(f"SCALE2 fuzzy:   ${mult}x corpus -> ${fpN.toDouble / math.max(fp1, 1)}%.1fx pairs, " +
+      f"${ftN / ft1}%.1fx time (linear target ~${mult}x, quadratic ~${mult * mult}x)")
     spark.stop()
   }
 }
