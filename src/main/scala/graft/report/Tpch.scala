@@ -322,4 +322,31 @@ object Tpch {
               AND l_quantity >= 10 AND l_quantity <= 20)
           OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50
               AND l_quantity >= 20 AND l_quantity <= 36)"""
+
+  /** TPC-H Q13 (customer distribution): the two-level aggregate —
+    * orders per customer (outer join keeps the zero-order customers;
+    * `Windows.customerOrderCounts` is the first level alone), then
+    * the histogram of those counts. The second groupBy runs on the
+    * ~|distinct counts| frame, so the only real shuffle is the first
+    * custkey-keyed one. */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).cast("long").as("custdist"))
+      .select(col("c_count").cast("long").as("c_count"), col("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13CustdistSql: String =
+    """SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+       FROM (
+         SELECT c_custkey, count(o_orderkey) AS c_count
+         FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey)
+       GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
 }
