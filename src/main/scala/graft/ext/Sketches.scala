@@ -95,6 +95,89 @@ object Sketches {
        FROM exact e JOIN sketch s ON e.source = s.source
        ORDER BY e.source"""
 
+  /** Sketch MERGEABILITY — the property that makes a sketch a
+    * distributed-systems object rather than a statistic: bucket-min
+    * sketches built independently per source (the shape partial
+    * sketches arrive in from executors, days, or shards) merge by a
+    * plain bucket-wise MIN, and the merged sketch is IDENTICAL to the
+    * one built over the union directly (min is associative and
+    * commutative). This query builds both, proves the equality as a
+    * result column, and scores the merged estimate against the exact
+    * global cardinality. At 100 TB this is the whole point: per-shard
+    * sketches are tiny (P longs), ship to one place, and reaggregate
+    * losslessly — the raw shingle stream never re-shuffles.
+    *
+    * Scale shape: one distinct-(source, h) pass (shared, fenced — it
+    * feeds the per-source sketch, the direct sketch, and the exact
+    * count), then everything downstream runs on ≤ sources × P rows. */
+  def sketchUnion(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("t", toks(col("text")))
+      .select(col("source"), explode_outer(
+        when(size(col("t")) >= 3,
+          transform(sequence(lit(1), size(col("t")) - 2),
+            i => Hashing.phash(concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1), element_at(col("t"), i + 2)), "kmv_")))
+          .otherwise(array().cast("array<long>"))).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("source"), col("h"))
+      .distinct()
+      .transform(graft.util.Fence.lineage)
+    val perSource = pairs
+      .groupBy(col("source"), (col("h") % P).as("b"))
+      .agg(min(col("h")).as("mn"))
+      .transform(graft.util.Fence.lineage)
+    def est(df: DataFrame): DataFrame = df.agg(
+      floor(lit(P.toDouble) * lit(P.toDouble) *
+        (lit(M.toDouble) / sum(col("mn").cast("decimal(28,0)")).cast("double")))
+        .cast("long").as("est"))
+    val merged = est(perSource.groupBy(col("b")).agg(min(col("mn")).as("mn")))
+      .withColumnRenamed("est", "n_est_merged")
+    val direct = est(pairs.groupBy((col("h") % P).as("b")).agg(min(col("h")).as("mn")))
+      .withColumnRenamed("est", "n_est_direct")
+    val nSrc = perSource.select(col("source")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_sources"))
+    val exact = pairs.select(col("h")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+    nSrc.crossJoin(exact).crossJoin(merged).crossJoin(direct)
+      .select(col("n_sources"), col("n_exact"),
+        col("n_est_direct"), col("n_est_merged"),
+        when(col("n_est_merged") === col("n_est_direct"), 1L).otherwise(0L)
+          .as("merge_lossless"),
+        pr4(abs(col("n_est_merged").cast("double") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double")).as("rel_err"))
+      .orderBy(col("n_exact"))
+  }
+
+  val sketchUnionSql: String = {
+    val estOf = (from: String) =>
+      s"CAST(floor(CAST($P AS DOUBLE) * CAST($P AS DOUBLE) * (CAST($M AS DOUBLE) / (SELECT CAST(sum(mn) AS DOUBLE) FROM $from))) AS BIGINT)"
+    s"""WITH pairs AS (
+         SELECT DISTINCT source, unnest(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t) - 2),
+                       i -> ${Hashing.phashSql("concat_ws(' ', t[i], t[i + 1], t[i + 2])", "kmv_")})
+                ELSE [] END) AS h
+         FROM (SELECT source, ${toksSql("text")} AS t FROM documents)),
+       persrc AS (
+         SELECT source, h % $P AS b, min(h) AS mn FROM pairs GROUP BY source, h % $P),
+       mergedsk AS (SELECT b, min(mn) AS mn FROM persrc GROUP BY b),
+       directsk AS (SELECT h % $P AS b, min(h) AS mn FROM pairs GROUP BY h % $P),
+       scalars AS (
+         SELECT
+           (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM persrc) AS n_sources,
+           (SELECT CAST(count(DISTINCT h) AS BIGINT) FROM pairs) AS n_exact,
+           ${estOf("directsk")} AS n_est_direct,
+           ${estOf("mergedsk")} AS n_est_merged)
+       SELECT n_sources, n_exact, n_est_direct, n_est_merged,
+         CAST(CASE WHEN n_est_merged = n_est_direct THEN 1 ELSE 0 END AS BIGINT)
+           AS merge_lossless,
+         ${pr4Sql("abs(CAST(n_est_merged AS DOUBLE) - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)")}
+           AS rel_err
+       FROM scalars ORDER BY n_exact"""
+  }
+
   /** Symmetric int8 max-abs quantization of the embedding column over
     * the EXACT milli-quantized integer base ([[Similarity.quant]] —
     * the same portability device the ANN family uses): per vector,

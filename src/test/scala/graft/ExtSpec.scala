@@ -733,6 +733,14 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch_union merge is lossless and the estimate lands near exact") {
+    val r = SparkEntry.queries("sketch_union")(spark, sf).head()
+    assert(r.getLong(4) == 1L, "merged sketch differs from the direct sketch")
+    assert(r.getLong(0) > 1L, "mergeability untested: fewer than 2 sources")
+    assert(r.getDouble(5) < 0.25,
+      s"estimate off by ${r.getDouble(5)} relative (exact ${r.getLong(1)}, merged ${r.getLong(3)})")
+  }
+
   test("pagerank_links computes the exact integer recurrence on a symmetric graph") {
     import spark.implicits._
     // ids 0..9, M=10: each probe map i -> (7i + c) % 10 is a bijection
