@@ -129,4 +129,86 @@ object Intervals {
        WINDOW w AS (PARTITION BY user_id ORDER BY es
                     RANGE BETWEEN ${7L * 86400 - 1} PRECEDING AND CURRENT ROW)
        ORDER BY event_id"""
+
+  // ---- Time-series resampling (gap-fill + carry-forward) -----------
+
+  /** Hourly resample of the event stream, per type: every hour in the
+    * type's observed span gets a row — hours with no events are
+    * FILLED (n_events = 0) and carry the last observed reading
+    * forward (LOCF, the standard sensor/metric resampling rule; hours
+    * before a type's first reading stay NULL and are flagged). The
+    * densify + carry machinery [[graft.report.AsOf]] uses internally,
+    * surfaced as the user-facing operator.
+    *
+    * Scale shape: raw events aggregate ONCE on (type, hour) — the
+    * only data-sized shuffle; the "last reading in hour" resolves via
+    * a rank-1 filter that compiles to WindowGroupLimit (per-partition
+    * heads, no whole-hour rows ride the window exchange). The dense
+    * hour grid and the carry-forward window both run on the
+    * #types × #hours frame — timeline-bounded, NOT data-bounded.
+    * Readings carry as exact integer cents. */
+  def resampleHourly(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600).cast("long").as("hb"),
+        col("ts"), col("event_id"), Exact.cents(col("value")).as("cents"))
+    val wLast = Window.partitionBy(col("event_type"), col("hb"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val hourly = src
+      .withColumn("rk", row_number().over(wLast))
+      .withColumn("n_events",
+        count(lit(1)).over(Window.partitionBy(col("event_type"), col("hb"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("hb"), col("n_events"),
+        col("cents").as("last_cents"))
+    val dense = src.groupBy(col("event_type"))
+      .agg(min(col("hb")).as("minh"), max(col("hb")).as("maxh"))
+      .select(col("event_type"),
+        explode(sequence(col("minh"), col("maxh"))).as("hb"))
+    val wCarry = Window.partitionBy(col("event_type")).orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(hourly, Seq("event_type", "hb"), "left")
+      .withColumn("carried_cents",
+        last(col("last_cents"), ignoreNulls = true).over(wCarry))
+      .select(col("event_type"), (col("hb") * 3600).as("hour_epoch"),
+        coalesce(col("n_events"), lit(0L)).cast("long").as("n_events"),
+        col("carried_cents").cast("long").as("carried_cents"),
+        when(col("n_events").isNull, 1L).otherwise(0L).as("is_gap"))
+      .orderBy(col("event_type"), col("hour_epoch"))
+  }
+
+  val resampleHourlySql: String =
+    s"""WITH src AS (
+         SELECT event_type,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hb,
+           CAST(ts AS TIMESTAMP) AS ts, event_id,
+           ${Exact.centsSql("value")} AS cents
+         FROM events),
+       r AS (
+         SELECT event_type, hb, cents,
+           row_number() OVER (PARTITION BY event_type, hb
+             ORDER BY ts DESC, event_id DESC) AS rk,
+           count(*) OVER (PARTITION BY event_type, hb) AS n_events
+         FROM src),
+       hourly AS (
+         SELECT event_type, hb, n_events, cents AS last_cents
+         FROM r WHERE rk = 1),
+       span AS (
+         SELECT event_type, min(hb) AS minh, max(hb) AS maxh
+         FROM src GROUP BY event_type),
+       dense AS (
+         SELECT s.event_type, unnest(generate_series(s.minh, s.maxh)) AS hb
+         FROM span s),
+       f AS (
+         SELECT d.event_type, d.hb, h.n_events, h.last_cents,
+           last_value(h.last_cents IGNORE NULLS) OVER (
+             PARTITION BY d.event_type ORDER BY d.hb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_cents
+         FROM dense d LEFT JOIN hourly h
+           ON d.event_type = h.event_type AND d.hb = h.hb)
+       SELECT event_type, CAST(hb * 3600 AS BIGINT) AS hour_epoch,
+         CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+         CAST(carried_cents AS BIGINT) AS carried_cents,
+         CAST(CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+       FROM f ORDER BY event_type, hour_epoch"""
 }

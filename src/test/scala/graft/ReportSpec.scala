@@ -85,6 +85,30 @@ class ReportSpec extends AnyFunSuite {
     }
   }
 
+  test("resample_hourly fills every hour, conserves events, carries readings") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("resample_hourly")(spark, sf).collect()
+    val byType = rows.groupBy(_.getString(0))
+    val totals = graft.model.Tables.events(spark, sf)
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.foreach { case (t, rs) =>
+      // contiguous hour grid
+      val hrs = rs.map(_.getLong(1)).sorted
+      assert(hrs.zip(hrs.tail).forall { case (a, b) => b - a == 3600L },
+        s"$t: hour grid has holes or duplicates")
+      // every event lands in exactly one hour row
+      assert(rs.map(_.getLong(2)).sum == totals(t), s"$t: event count not conserved")
+      var lastSeen: Option[Long] = None
+      rs.sortBy(_.getLong(1)).foreach { r =>
+        val (n, carried, gap) = (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))
+        assert((n == 0L) == (gap == 1L), s"$t: gap flag disagrees with count")
+        if (n == 0L) assert(carried == lastSeen, s"$t: gap hour lost the carried reading")
+        else { assert(carried.isDefined); lastSeen = carried }
+      }
+    }
+  }
+
   test("interval_join matches the naive theta-join on window count and membership") {
     import org.apache.spark.sql.functions._
     val bucketed = SparkEntry.queries("interval_join")(spark, sf)
