@@ -368,4 +368,30 @@ object StreamEtl {
       .agg(count(lit(1)).as("n"), sum(col("bytes_sent")).as("bytes"))
       .select(col("window.start").as("window_start"), col("status_code"),
         col("n"), col("bytes"))
+
+  private[graft] val CM_ROWS = 4
+  private[graft] val CM_COLS = 2048
+
+  /** The streamed key's Count-Min cell set — shared by the stream and
+    * its batch twin so StreamSpec's parity assertion is structural. */
+  private[graft] def cmCells(k: org.apache.spark.sql.Column) =
+    array((0 until CM_ROWS).map(r => struct(lit(r).as("r"),
+      (graft.util.Hashing.phash(k, s"scm${r}_") % CM_COLS).as("c"))): _*)
+
+  /** Streaming Count-Min sketch over asset names — the frequency
+    * sketch maintained INCREMENTALLY on the live feed (the streaming
+    * mirror of the batch `heavy_hitters_cm` operator). Each arriving
+    * line lands in [[CM_ROWS]] cells; the streaming aggregation's
+    * keyed state is the cell grid itself, so state is bounded at
+    * [[CM_ROWS]]·[[CM_COLS]] rows FOREVER — no watermark needed, no
+    * growth with stream length: the defining property of a sketch as
+    * streaming state. Counts accumulate across restarts/rotations via
+    * the checkpoint, and any key's frequency estimate is min over its
+    * cells, never an undercount — queryable mid-stream without
+    * stopping ingestion. */
+  def cmSketchStream(spark: SparkSession, inputGlob: String): DataFrame =
+    parseLines(spark.readStream.text(inputGlob))
+      .select(explode(cmCells(col("name"))).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
 }

@@ -572,4 +572,57 @@ class StreamSpec extends AnyFunSuite {
     StreamEtl.jdbcIngest(spark, s"$in/*", cp, url, "access_stream").awaitTermination()
     assert(tableCount() == 500, "batch replay duplicated rows in the JDBC sink")
   }
+
+  test("cmSketchStream grid equals the batch sketch and accumulates across restarts") {
+    val base = Files.createTempDirectory("graft_cm").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    val lines = Style5.renderedLines(spark, sf).cache()
+    lines.filter(col("event_id") < 800).select("line")
+      .coalesce(1).write.mode("overwrite").text(s"$in/f1")
+
+    def runOnce(): Map[(Int, Long), Long] = {
+      var last: Map[(Int, Long), Long] = Map.empty
+      val q = StreamEtl.cmSketchStream(spark, s"$in/*").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val m = b.collect()
+            .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+          if (m.nonEmpty) last = m; ()
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); last
+    }
+    def batchGrid(glob: String): Map[(Int, Long), Long] =
+      StreamEtl.parseLines(spark.read.text(glob))
+        .select(explode(StreamEtl.cmCells(col("name"))).as("rc"))
+        .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val g1 = runOnce()
+    assert(g1 == batchGrid(s"$in/f1"), "streamed grid differs from the batch sketch")
+    assert(g1.size <= StreamEtl.CM_ROWS * StreamEtl.CM_COLS)
+
+    // rotation + restart: state must ACCUMULATE (old file not re-read,
+    // new file folded into the checkpointed cell counts)
+    lines.filter(col("event_id") >= 800 && col("event_id") < 1500).select("line")
+      .coalesce(1).write.mode("overwrite").text(s"$in/f2")
+    val g2 = runOnce()
+    assert(g2 == batchGrid(s"$in/*"), "post-restart grid != batch sketch of both files")
+
+    // the CM guarantee holds when querying the streamed state: a key's
+    // min-over-cells estimate never undercounts its true frequency
+    val byName = StreamEtl.parseLines(spark.read.text(s"$in/*"))
+      .groupBy(col("name")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val probe = byName.maxBy(_._2)
+    val cells = StreamEtl.parseLines(spark.read.text(s"$in/*"))
+      .filter(col("name") === probe._1).limit(1)
+      .select(explode(StreamEtl.cmCells(col("name"))).as("rc"))
+      .collect().map(r => (r.getStruct(0).getInt(0), r.getStruct(0).getLong(1)))
+    val est = cells.map(g2.getOrElse(_, 0L)).min
+    assert(est >= probe._2, s"CM undercounted ${probe._1}: $est < ${probe._2}")
+  }
 }
