@@ -348,6 +348,131 @@ object Corpus {
        FROM (SELECT unnest(list_distinct(${toksSql("text")})) AS token FROM documents)
        GROUP BY token ORDER BY df DESC, token LIMIT 20"""
 
+  // ---------------------------------------------------------------
+  // Output sharding & vocabulary coverage
+  // ---------------------------------------------------------------
+
+  private val SHARDS = 16
+
+  /** Output-shard balance report — the skew check a training run
+    * performs before writing its dataset: every document is assigned
+    * a shard by CONTENT hash (reproducible placement independent of
+    * input order or id assignment), and each shard reports its
+    * doc/token/byte load plus the ppm of the ideal uniform share
+    * (1,000,000 = perfectly balanced). A shard far above 1e6 means a
+    * straggling data-loader worker at train time — caught here, not
+    * there.
+    *
+    * Scale shape: one narrow map (hash + counts), one groupBy on the
+    * [[SHARDS]]-row key space (map-side combined — the shuffle
+    * carries ≤ SHARDS rows per partition at any corpus size), totals
+    * broadcast back as a 1-row cross join. */
+  def shardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(pmod(Hashing.phash(col("text"), "shard_"), lit(SHARDS.toLong))
+          .as("shard"),
+        size(toks(col("text"))).cast("long").as("n_tok"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_bytes")).as("n_bytes"))
+    val tot = d.agg(sum(col("n_tokens")).as("tot_tokens"))
+    d.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        floor(col("n_tokens") * lit(SHARDS.toLong) * 1000000.0 /
+          nullif(col("tot_tokens"), lit(0L))).cast("long").as("load_ppm"))
+      .orderBy(col("shard"))
+  }
+
+  val shardPlanSql: String =
+    s"""WITH d AS (
+         SELECT ${Hashing.phashSql("text", "shard_")} % $SHARDS AS shard,
+           CAST(len(${toksSql("text")}) AS BIGINT) AS n_tok,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+         FROM documents),
+       g AS (
+         SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+         FROM d GROUP BY shard),
+       tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM g)
+       SELECT shard, n_docs, n_tokens, n_bytes,
+         CAST(floor(n_tokens * $SHARDS * 1000000.0 / nullif(tot_tokens, 0))
+           AS BIGINT) AS load_ppm
+       FROM g CROSS JOIN tot ORDER BY shard"""
+
+  private val COVERAGE_PPM = Seq(500000L, 900000L, 990000L, 999000L)
+
+  /** Vocabulary coverage curve — the tokenizer-design question "how
+    * many vocabulary entries cover p% of all token OCCURRENCES":
+    * rank the vocab by frequency, accumulate, and report the smallest
+    * vocab size clearing each coverage target (50/90/99/99.9%), with
+    * the exact integer cross-multiplication `cum · 1e6 ≥ total · p`
+    * deciding the threshold — no percent arithmetic in doubles.
+    *
+    * Scale shape: the corpus collapses to the vocab histogram first
+    * (one token-keyed groupBy); the ranking window and cumulative sum
+    * then run over the VOCAB — bounded by distinct tokens, not
+    * occurrences. The window is deliberately unpartitioned (the curve
+    * is global); at a 10⁷-entry real vocab that is one executor
+    * sorting 10⁷ (count, token) pairs — fine, and the alternative
+    * (two-phase range partitioning) is noted here for the rung where
+    * it is not. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val hist = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode_outer(toks(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("token"))))
+      // referenced once per coverage target plus the total — fence so
+      // the explode + histogram + global window materialize once
+      .transform(graft.util.Fence.lineage)
+    val tot = hist.agg(max(col("cum")).as("total"))
+    val targets = COVERAGE_PPM.map { p =>
+      hist.crossJoin(broadcast(tot))
+        .filter(col("cum") * 1000000L >= col("total") * p)
+        .agg(min(struct(col("rank"), col("cum"))).as("b"))
+        .crossJoin(broadcast(tot))
+        .select(lit(p).as("coverage_ppm"), col("b.rank").cast("long").as("vocab_size"),
+          col("b.cum").cast("long").as("cum_tokens"),
+          col("total").cast("long").as("total_tokens"))
+    }
+    targets.reduce(_.unionAll(_)).orderBy(col("coverage_ppm"))
+  }
+
+  val vocabCoverageSql: String = {
+    val rows = COVERAGE_PPM.map { p =>
+      s"""SELECT $p AS coverage_ppm,
+         (SELECT CAST(min(rank) AS BIGINT) FROM r CROSS JOIN tot
+           WHERE cum * 1000000 >= total * $p) AS vocab_size,
+         (SELECT CAST(min(cum) AS BIGINT) FROM r CROSS JOIN tot
+           WHERE cum * 1000000 >= total * $p) AS cum_tokens,
+         (SELECT CAST(total AS BIGINT) FROM tot) AS total_tokens"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH h AS (
+         SELECT token, count(*) AS n
+         FROM (SELECT unnest(${toksSql("text")}) AS token FROM documents)
+         GROUP BY token),
+       r AS (
+         SELECT token, n,
+           sum(n) OVER (ORDER BY n DESC, token
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           row_number() OVER (ORDER BY n DESC, token) AS rank
+         FROM h),
+       tot AS (SELECT max(cum) AS total FROM r)
+       $rows
+       ORDER BY coverage_ppm"""
+  }
+
   /** Training-mixture report: per (source, lang) stratum, its doc and
     * token counts, its share of the corpus token budget, and the
     * up/down-sampling weight that would flatten the mixture to a

@@ -733,6 +733,30 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("shard_plan conserves the corpus and reports near-uniform loads") {
+    val rows = SparkEntry.queries("shard_plan")(spark, sf).collect()
+    assert(rows.length == 16)
+    val nDocs = graft.model.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "sharding lost documents")
+    val loads = rows.map(_.getLong(4))
+    assert(loads.forall(_ > 0L))
+    // Σ load_ppm = 16e6 modulo the 16 floors
+    assert(math.abs(loads.sum - 16000000L) <= 16L)
+  }
+
+  test("vocab_coverage thresholds are minimal and monotone") {
+    val rows = SparkEntry.queries("vocab_coverage")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(500000L, 900000L, 990000L, 999000L))
+    val total = rows.head.getLong(3)
+    rows.foreach { r =>
+      assert(r.getLong(2) * 1000000L >= total * r.getLong(0), "target not cleared")
+      assert(r.getLong(1) >= 1L && r.getLong(2) <= total)
+    }
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a <= b },
+      "higher coverage needs fewer vocab entries?")
+  }
+
   test("sketch_union merge is lossless and the estimate lands near exact") {
     val r = SparkEntry.queries("sketch_union")(spark, sf).head()
     assert(r.getLong(4) == 1L, "merged sketch differs from the direct sketch")
