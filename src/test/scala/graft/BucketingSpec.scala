@@ -42,4 +42,40 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("directory-partitioned writes prune partitions at the scan") {
+    // the other write-layout lever: partitionBy at write time means a
+    // type-filtered read opens ONLY that type's directory — at 100 TB
+    // the difference between scanning one partition and the corpus
+    val base = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.model.Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_type").parquet(base)
+    val q = spark.read.parquet(base)
+      .filter(col("event_type") === "click")
+      .agg(count(lit(1)).as("n"))
+    val n = q.head().getLong(0)
+    val expected = graft.model.Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(n == expected)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(plan).isDefined,
+      s"event_type filter did not become a partition filter:\n$plan")
+    // pruning must happen at the FILE level, not as a row filter: the
+    // executed scan (unwrapped from AQE) reads strictly fewer files
+    // than the directory holds
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = finalPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val allFiles = spark.read.parquet(base).inputFiles.length
+    assert(allFiles >= 2, "partitioned write produced a single file — test is vacuous")
+    assert(scan.metrics("numFiles").value < allFiles,
+      s"scan read all $allFiles files — no pruning")
+  }
 }
