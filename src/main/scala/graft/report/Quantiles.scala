@@ -70,4 +70,95 @@ object Quantiles {
          $qs
        FROM cum GROUP BY event_type ORDER BY event_type"""
   }
+
+  // ---- Robust outliers: median absolute deviation -------------------
+
+  /** Robust per-type outlier detection: median + MAD (median absolute
+    * deviation) with the classic |x − med| > 3·MAD flag — the outlier
+    * gate that, unlike a mean/stddev z-score, is not itself dragged by
+    * the outliers it hunts. Both medians are the discrete
+    * lower-median (`cum·2 ≥ n` integer cross-multiplication) over
+    * exact integer cents, so the whole operator is integer arithmetic.
+    *
+    * Scale shape: the raw stream is scanned ONCE into the per-type
+    * cents histogram; the deviation histogram is derived FROM the
+    * value histogram (re-keying buckets by |b − med| and summing
+    * counts — no second pass over rows), and every window runs over
+    * histograms. Medians/MADs broadcast back as tiny per-type frames. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        graft.util.Exact.cents(col("value")).as("b"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      // referenced by the median pass, the deviation re-key, and the
+      // outlier rollup
+      .transform(graft.util.Fence.lineage)
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = h
+      .withColumn("cum", sum(col("c")).over(wv))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 2 >= col("n"), col("b"))).as("med"))
+    val dev = h.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"), abs(col("b") - col("med")).as("d"))
+      .agg(sum(col("c")).as("dc"))
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = dev
+      .withColumn("cum", sum(col("dc")).over(wd))
+      .withColumn("n", sum(col("dc")).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("d"))).as("mad"))
+    h.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).cast("long").as("n_events"),
+        max(col("med")).cast("long").as("median_cents"),
+        max(col("mad")).cast("long").as("mad_cents"),
+        sum(when(abs(col("b") - col("med")) > col("mad") * 3, col("c"))
+          .otherwise(0L)).cast("long").as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val madOutliersSql: String =
+    s"""WITH h AS (
+         SELECT event_type, ${graft.util.Exact.centsSql("value")} AS b,
+           count(*) AS c
+         FROM events WHERE value IS NOT NULL
+         GROUP BY event_type, ${graft.util.Exact.centsSql("value")}),
+       cumv AS (
+         SELECT event_type, b, c,
+           sum(c) OVER (PARTITION BY event_type ORDER BY b
+             ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+         FROM h),
+       med AS (
+         SELECT event_type, max(n) AS n,
+           min(CASE WHEN cum * 2 >= n THEN b END) AS med
+         FROM cumv GROUP BY event_type),
+       dev AS (
+         SELECT h.event_type, abs(h.b - m.med) AS d, sum(h.c) AS dc
+         FROM h JOIN med m USING (event_type)
+         GROUP BY h.event_type, abs(h.b - m.med)),
+       cumd AS (
+         SELECT event_type, d, dc,
+           sum(dc) OVER (PARTITION BY event_type ORDER BY d
+             ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(dc) OVER (PARTITION BY event_type) AS n
+         FROM dev),
+       mad AS (
+         SELECT event_type,
+           min(CASE WHEN cum * 2 >= n THEN d END) AS mad
+         FROM cumd GROUP BY event_type)
+       SELECT h.event_type, CAST(max(m.n) AS BIGINT) AS n_events,
+         CAST(max(m.med) AS BIGINT) AS median_cents,
+         CAST(max(a.mad) AS BIGINT) AS mad_cents,
+         CAST(sum(CASE WHEN abs(h.b - m.med) > a.mad * 3 THEN h.c ELSE 0 END)
+           AS BIGINT) AS n_outliers
+       FROM h JOIN med m USING (event_type) JOIN mad a USING (event_type)
+       GROUP BY h.event_type ORDER BY h.event_type"""
 }

@@ -85,6 +85,28 @@ class ReportSpec extends AnyFunSuite {
     }
   }
 
+  test("mad_outliers matches a naive median/MAD computation per type") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("mad_outliers")(spark, sf).collect()
+    val raw = graft.model.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def lowerMedian(xs: Array[Long]): Long = xs((xs.length - 1) / 2)
+    assert(rows.map(_.getString(0)).toSet == raw.keySet)
+    rows.foreach { r =>
+      val xs = raw(r.getString(0))
+      val med = lowerMedian(xs)
+      val mad = lowerMedian(xs.map(x => math.abs(x - med)).sorted)
+      assert(r.getLong(1) == xs.length)
+      assert(r.getLong(2) == med, s"${r.getString(0)}: median mismatch")
+      assert(r.getLong(3) == mad, s"${r.getString(0)}: MAD mismatch")
+      assert(r.getLong(4) == xs.count(x => math.abs(x - med) > 3 * mad),
+        s"${r.getString(0)}: outlier count mismatch")
+    }
+  }
+
   test("resample_hourly fills every hour, conserves events, carries readings") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("resample_hourly")(spark, sf).collect()
