@@ -349,4 +349,45 @@ object Tpch {
          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey)
        GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+  /** TPC-H Q15 (top supplier): quarterly revenue per supplier, then
+    * the supplier(s) achieving the maximum. The spec's view +
+    * correlated max is decorrelated Spark-first: ONE suppkey
+    * aggregate, its 1-row max broadcast back as a cross join, an
+    * equality filter (ties all surface, per the spec), then the
+    * supplier dim join. Revenue compares at exact DECIMAL cents —
+    * a double `=` on aggregated revenue would be a flaky gate. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev"))
+      .transform(graft.util.Fence.lineage)
+    val mx = rev.agg(max(col("rev")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev") === col("mx"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev"), 2).cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+         SELECT l_suppkey,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey),
+       mx AS (SELECT max(rev) AS mx FROM rev)
+       SELECT s_suppkey, s_name,
+         CAST(round(rev, 2) AS DOUBLE) AS total_revenue
+       FROM rev CROSS JOIN mx
+       JOIN supplier ON l_suppkey = s_suppkey
+       WHERE rev = mx
+       ORDER BY s_suppkey"""
 }
