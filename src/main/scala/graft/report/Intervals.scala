@@ -141,26 +141,24 @@ object Intervals {
     * surfaced as the user-facing operator.
     *
     * Scale shape: raw events aggregate ONCE on (type, hour) — the
-    * only data-sized shuffle; the "last reading in hour" resolves via
-    * a rank-1 filter that compiles to WindowGroupLimit (per-partition
-    * heads, no whole-hour rows ride the window exchange). The dense
-    * hour grid and the carry-forward window both run on the
-    * #types × #hours frame — timeline-bounded, NOT data-bounded.
-    * Readings carry as exact integer cents. */
+    * only data-sized shuffle, and a PARTIAL one (the count and the
+    * last-reading struct-max combine map-side, so no whole-hour row
+    * group ever rides the exchange — strictly better than a rank
+    * window). The dense hour grid and the carry-forward window both
+    * run on the #types × #hours frame — timeline-bounded, NOT
+    * data-bounded. Readings carry as exact integer cents; the last
+    * reading resolves by the (ts, event_id) total order. */
   def resampleHourly(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.events(spark, dir)
       .select(col("event_type"),
         floor(unix_timestamp(col("ts")) / 3600).cast("long").as("hb"),
         col("ts"), col("event_id"), Exact.cents(col("value")).as("cents"))
-    val wLast = Window.partitionBy(col("event_type"), col("hb"))
-      .orderBy(col("ts").desc, col("event_id").desc)
     val hourly = src
-      .withColumn("rk", row_number().over(wLast))
-      .withColumn("n_events",
-        count(lit(1)).over(Window.partitionBy(col("event_type"), col("hb"))))
-      .filter(col("rk") === 1)
+      .groupBy(col("event_type"), col("hb"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("ts"), col("event_id"), col("cents"))).as("b"))
       .select(col("event_type"), col("hb"), col("n_events"),
-        col("cents").as("last_cents"))
+        col("b")("cents").as("last_cents"))
     val dense = src.groupBy(col("event_type"))
       .agg(min(col("hb")).as("minh"), max(col("hb")).as("maxh"))
       .select(col("event_type"),
@@ -184,15 +182,11 @@ object Intervals {
            CAST(ts AS TIMESTAMP) AS ts, event_id,
            ${Exact.centsSql("value")} AS cents
          FROM events),
-       r AS (
-         SELECT event_type, hb, cents,
-           row_number() OVER (PARTITION BY event_type, hb
-             ORDER BY ts DESC, event_id DESC) AS rk,
-           count(*) OVER (PARTITION BY event_type, hb) AS n_events
-         FROM src),
        hourly AS (
-         SELECT event_type, hb, n_events, cents AS last_cents
-         FROM r WHERE rk = 1),
+         SELECT event_type, hb, count(*) AS n_events,
+           (max(struct_pack(ts := ts, event_id := event_id, cents := cents))).cents
+             AS last_cents
+         FROM src GROUP BY event_type, hb),
        span AS (
          SELECT event_type, min(hb) AS minh, max(hb) AS maxh
          FROM src GROUP BY event_type),

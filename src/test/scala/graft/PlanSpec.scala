@@ -243,6 +243,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("round-5 additions never degrade to cartesian products") {
+    // BroadcastNestedLoopJoin is tolerated ONLY as the physical form
+    // of a 1-row scalar/knob broadcast cross join (the in-query
+    // derived-knob convention); an unbroadcast cartesian never is
+    for (q <- Seq("pagerank_links", "resample_hourly", "mad_outliers",
+                  "sketch_union", "vocab_coverage", "shard_plan",
+                  "asof_nearest", "cdc_chunks", "dedup_fuzzy_edit",
+                  "quality_gate", "tokenize_bpe", "mixture_alpha")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan has a cartesian product")
+    }
+    // the one pair generator in the batch must not even nested-loop
+    assert(!planOf("dedup_fuzzy_edit").contains("BroadcastNestedLoopJoin"),
+      "fuzzy-edit candidates came from a nested-loop join")
+  }
+
+  test("resample_hourly aggregates hours partially — no raw-row window") {
+    val p = planOf("resample_hourly")
+    // the only Window must run over the dense hour grid (post-agg);
+    // the hourly rollup itself is a partial+final HashAggregate
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "hourly rollup lost its map-side partial aggregation")
+    assert("Window ".r.findAllIn(p).size <= 1,
+      "more than the carry window appeared — a raw-row window snuck in")
+  }
+
+  test("mad_outliers joins only broadcast per-type scalars") {
+    val p = planOf("mad_outliers")
+    assert(p.contains("BroadcastExchange"), "median/MAD frames not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a shuffle join appeared — the histogram rollups must broadcast")
+  }
+
   test("winnow_fingerprint is a pure narrow map — no joins at any scale") {
     val p = planOf("winnow_fingerprint")
     assert(!p.toLowerCase.contains("join"), "a join appeared in a per-row map op")
