@@ -295,6 +295,44 @@ object Windows {
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
        FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Log-to-state compaction (CDC "latest wins"): collapse the event
+    * log to each user's current state — the upsert-view every
+    * event-sourced store materializes. One partial aggregate does the
+    * whole thing: the latest row resolves as a struct-max over the
+    * (ts, event_id) total order (the CLAUDE.md argmax convention —
+    * map-side combining, so a user's history collapses to one row per
+    * partition before the shuffle; a row_number window would ship
+    * every event). */
+  def latestSnapshot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        graft.util.Exact.cents(coalesce(col("value"), lit(0.0))).as("cents"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("ts"), col("event_id"), col("event_type"), col("cents")))
+          .as("b"))
+      .select(col("user_id"), col("n_events").cast("long").as("n_events"),
+        unix_timestamp(col("b")("ts")).cast("long").as("last_epoch"),
+        col("b")("event_type").as("last_type"),
+        col("b")("cents").cast("long").as("last_cents"))
+      .orderBy(col("user_id"))
+
+  val latestSnapshotSql: String =
+    s"""WITH src AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+           ${graft.util.Exact.centsSql("coalesce(value, 0.0)")} AS cents
+         FROM events),
+       g AS (
+         SELECT user_id, count(*) AS n_events,
+           max(struct_pack(ts := ts, event_id := event_id,
+             event_type := event_type, cents := cents)) AS b
+         FROM src GROUP BY user_id)
+       SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+         CAST(floor(epoch(b.ts)) AS BIGINT) AS last_epoch,
+         b.event_type AS last_type,
+         CAST(b.cents AS BIGINT) AS last_cents
+       FROM g ORDER BY user_id"""
+
   /** ROLLUP over returnflag/linestatus — grouping-set capability
     * (absent in the reference; §2.6 extension). */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
