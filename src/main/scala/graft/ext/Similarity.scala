@@ -633,4 +633,65 @@ object Similarity {
        UNION ALL ${recallOfSql("lsh")}
        ORDER BY index_name, qid"""
   }
+
+  // ---- Label-centroid similarity matrix ----------------------------
+
+  /** Pairwise cosine similarity between LABEL CENTROIDS — the
+    * corpus-curation view of the embedding space (which strata are
+    * semantically close enough to cross-contaminate a held-out
+    * split, or to merge in a mixture). Cosine is scale-invariant, so
+    * the per-label SUM vector stands in for the mean exactly — no
+    * division ever happens on the vector side and the sums stay
+    * exact integers (milli-quant · group size · [[DIM]] dims keeps
+    * every dot far below 2^63; the overflow rung is a wider quant
+    * step). The cosine itself is the ANN family's portable formula:
+    * exact-long dots via the native [[graft.functions.LongDot]],
+    * IEEE sqrt/divide on identical operands, 6-dp floor.
+    *
+    * Scale shape: one (label, dim) partial-sum shuffle (same as a
+    * k-means update step), the per-label 64-long sum-vectors collect
+    * from ≤ labels × DIM rows, and the pair matrix is labels² — a
+    * bounded frame by construction (labels is a dimension, not data).
+    */
+  def centroidSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val sums = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("label"), posexplode_outer(quant(col("embedding")))
+        .as(Seq("dim", "v")))
+      .filter(col("v").isNotNull)
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("v")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("s")))),
+        x => x.getField("s")).as("sv"))
+      .transform(graft.util.Fence.lineage)
+    val a = sums.select(col("label").as("label1"), col("sv").as("sa"))
+    val b = sums.select(col("label").as("label2"), col("sv").as("sb"))
+    a.join(b, col("label1") < col("label2"))
+      .select(col("label1").cast("long").as("label1"),
+        col("label2").cast("long").as("label2"),
+        pr6(dot(col("sa"), col("sb")).cast("double") /
+          (sqrt(norm2(col("sa")).cast("double")) *
+           sqrt(norm2(col("sb")).cast("double")))).as("cosine"))
+      .orderBy(col("label1"), col("label2"))
+  }
+
+  val centroidSimilaritySql: String =
+    s"""WITH e AS (SELECT label, $quantSql AS q FROM embeddings),
+       x AS (
+         SELECT label, unnest(list_transform(generate_series(1, len(q)),
+           i -> struct_pack(dim := i, v := q[i]))) AS u
+         FROM e),
+       s AS (
+         SELECT label, u.dim AS dim, CAST(sum(u.v) AS BIGINT) AS sv
+         FROM x GROUP BY label, u.dim),
+       vecs AS (SELECT label, list(sv ORDER BY dim) AS sv FROM s GROUP BY label)
+       SELECT CAST(a.label AS BIGINT) AS label1, CAST(b.label AS BIGINT) AS label2,
+         floor(CAST(list_sum(list_transform(generate_series(1, $DIM),
+                 i -> a.sv[i] * b.sv[i])) AS DOUBLE) /
+               (sqrt(CAST(list_sum(list_transform(a.sv, x -> x * x)) AS DOUBLE)) *
+                sqrt(CAST(list_sum(list_transform(b.sv, x -> x * x)) AS DOUBLE)))
+               * 1000000 + 0.5) / 1000000 AS cosine
+       FROM vecs a JOIN vecs b ON a.label < b.label
+       ORDER BY label1, label2"""
 }
