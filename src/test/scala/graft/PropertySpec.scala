@@ -147,4 +147,28 @@ class PropertySpec extends AnyFunSuite {
     // offset captured but NOT applied — log-local time is canonical
     assert(r.getString(0) == "2002-03-15 13:45:59")
   }
+
+  test("cdc chunking re-synchronizes after random edits (property)") {
+    import spark.implicits._
+    // For ANY base text and ANY prefix edit, the two versions must
+    // share (almost) all chunks of the unchanged run: boundaries are
+    // content-defined, so alignment recovers within one chunk of the
+    // edit point. Generated cases, one Spark job for all of them.
+    val textGen = Gen.listOfN(60, word).map(_.mkString(" "))
+    val editGen = Gen.listOfN(4, word).map(_.mkString(" "))
+    val cases = (1 to 8).flatMap { i =>
+      val t = textGen.sample.getOrElse("fallback text only")
+      val e = editGen.sample.getOrElse("edit")
+      Seq((s"c$i", t), (s"c$i", e + " " + t))
+    }
+    val out = graft.ext.Dedup.cdcChunksOf(cases.toDF("source", "text")).collect()
+    out.foreach { r =>
+      val (n, dup) = (r.getLong(1), r.getLong(4))
+      // each version has ~n/2 chunks; all but the few around the edit
+      // must coincide, so the duplicated mass is ~n/2 minus slack
+      assert(dup * 2 >= n - 8,
+        s"${r.getString(0)}: only $dup of $n chunks re-synced — " +
+          "boundaries did not recover after the edit")
+    }
+  }
 }
