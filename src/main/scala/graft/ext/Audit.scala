@@ -122,4 +122,60 @@ object Audit {
       strCols.map(row(_, numeric = false))
     rows.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
+
+  // ---- Join-cardinality audit --------------------------------------
+
+  /** Join sizing audit — predict a join's output size from the two
+    * key HISTOGRAMS before paying for the join, then measure: the
+    * exact output cardinality of an equi-join is Σ over matching keys
+    * of c₁·c₂, so `predicted == actual` always (emitted as a flag
+    * the oracle pins), and the same histogram join yields the skew
+    * facts a planner wants — matching-key count and the worst
+    * per-key fanout (the row that decides whether the real join needs
+    * salting; compare `skew_join`).
+    *
+    * Scale shape: the histograms shuffle once each on the join key
+    * with map-side combine (far smaller than the join's own shuffle,
+    * which moves whole rows); their join and the rollup run on
+    * distinct-key frames. At 100 TB the exact histograms relax to
+    * samples — the prediction becomes an estimate, the query shape
+    * stays this one. The `actual` pass exists to certify the
+    * identity and would be dropped in production. */
+  def joinCardinalityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val h1 = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("c1"))
+    val h2 = Tables.orders(spark, dir)
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("c2"))
+    val pred = h1.join(h2, Seq("k"))
+      .agg(sum(col("c1") * col("c2")).cast("long").as("predicted_rows"),
+        count(lit(1)).cast("long").as("n_join_keys"),
+        max(col("c1") * col("c2")).cast("long").as("max_key_fanout"))
+    val actual = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).cast("long").as("actual_rows"))
+    pred.crossJoin(actual)
+      .select(col("predicted_rows"), col("actual_rows"),
+        when(col("predicted_rows") === col("actual_rows"), 1L).otherwise(0L)
+          .as("prediction_exact"),
+        col("n_join_keys"), col("max_key_fanout"))
+      .orderBy(col("predicted_rows"))
+  }
+
+  val joinCardinalityAuditSql: String =
+    """WITH h1 AS (SELECT l_orderkey AS k, count(*) AS c1 FROM lineitem GROUP BY l_orderkey),
+       h2 AS (SELECT o_orderkey AS k, count(*) AS c2 FROM orders GROUP BY o_orderkey),
+       pred AS (
+         SELECT CAST(sum(c1 * c2) AS BIGINT) AS predicted_rows,
+           CAST(count(*) AS BIGINT) AS n_join_keys,
+           CAST(max(c1 * c2) AS BIGINT) AS max_key_fanout
+         FROM h1 JOIN h2 USING (k)),
+       act AS (
+         SELECT CAST(count(*) AS BIGINT) AS actual_rows
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       SELECT predicted_rows, actual_rows,
+         CAST(CASE WHEN predicted_rows = actual_rows THEN 1 ELSE 0 END AS BIGINT)
+           AS prediction_exact,
+         n_join_keys, max_key_fanout
+       FROM pred CROSS JOIN act ORDER BY predicted_rows"""
 }
