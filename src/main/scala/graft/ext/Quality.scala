@@ -363,6 +363,77 @@ object Quality {
        ORDER BY id1, id2"""
   }
 
+  // ---- N-gram novelty curve ----------------------------------------
+
+  /** Per-document n-gram NOVELTY — the dataset-diversity signal a
+    * corpus-growth study plots: processing documents in doc_id order,
+    * what fraction of each document's distinct 8-gram shingles has
+    * never appeared in ANY earlier document? A corpus of fresh
+    * content holds a high curve; a crawl re-scraping itself decays
+    * toward zero — the aggregate complement to pairwise dedup (it
+    * sees *mass* turning stale, not who duplicates whom).
+    *
+    * First-occurrence is a groupBy, not a window: each shingle's
+    * min(doc_id) is its debut, and a document's novel count is the
+    * number of its shingles debuting in it. Integer novelty in ppm.
+    *
+    * Scale shape: one explode to DISTINCT (shingle-hash, doc) pairs,
+    * one shingle-keyed min-aggregate (map-side combined), one join
+    * back on the hash, one doc-keyed rollup — every shuffle keyed on
+    * hash or doc id, nothing quadratic, no ordering dependence beyond
+    * the debut min. Reported per SOURCE (p50-style per-doc rows would
+    * be fine too; the per-source rollup keeps the gate output small):
+    * docs, total distinct shingle slots, novel mass, novelty_ppm. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("t", toks(col("text")))
+      .select(col("source"), col("doc_id"), explode_outer(
+        when(size(col("t")) >= 8,
+          array_distinct(transform(sequence(lit(1), size(col("t")) - 7),
+            i => Hashing.phash(concat_ws(" ",
+              (0 until 8).map(o => element_at(col("t"), i + o)): _*), "nov_"))))
+          .otherwise(array().cast("array<long>"))).as("h"))
+      .filter(col("h").isNotNull)
+      .transform(graft.util.Fence.lineage)
+    val debut = pairs.groupBy(col("h")).agg(min(col("doc_id")).as("debut"))
+    pairs.join(debut, Seq("h"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("debut") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_shingles")).cast("long").as("n_shingles"),
+        sum(col("n_novel")).cast("long").as("n_novel"))
+      .withColumn("novelty_ppm",
+        floor(col("n_novel") * 1000000.0 / nullif(col("n_shingles"), lit(0L)))
+          .cast("long"))
+      .orderBy(col("source"))
+  }
+
+  val ngramNoveltySql: String = {
+    val gram = (1 to 8).map(o => s"t[i + ${o - 1}]").mkString("concat_ws(' ', ", ", ", ")")
+    s"""WITH p AS (
+         SELECT DISTINCT source, doc_id, unnest(
+           CASE WHEN len(t) >= 8
+                THEN list_distinct(list_transform(generate_series(1, len(t) - 7),
+                       i -> ${Hashing.phashSql(gram, "nov_")}))
+                ELSE [] END) AS h
+         FROM (SELECT source, doc_id, ${toksSql("text")} AS t FROM documents)),
+       debut AS (SELECT h, min(doc_id) AS debut FROM p GROUP BY h),
+       perdoc AS (
+         SELECT p.source, p.doc_id, count(*) AS n_shingles,
+           sum(CASE WHEN d.debut = p.doc_id THEN 1 ELSE 0 END) AS n_novel
+         FROM p JOIN debut d USING (h)
+         GROUP BY p.source, p.doc_id)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_shingles) AS BIGINT) AS n_shingles,
+         CAST(sum(n_novel) AS BIGINT) AS n_novel,
+         CAST(floor(sum(n_novel) * 1000000.0 / nullif(sum(n_shingles), 0))
+           AS BIGINT) AS novelty_ppm
+       FROM perdoc GROUP BY source ORDER BY source"""
+  }
+
   // ---- Adaptive per-source length gate ------------------------------
 
   /** Per-source adaptive quality gate: keep documents whose token

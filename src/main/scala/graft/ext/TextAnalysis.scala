@@ -289,6 +289,85 @@ object TextAnalysis {
        FROM f ORDER BY doc_id"""
   }
 
+  // ---- Windowed token co-occurrence --------------------------------
+
+  private val COOC_WIN  = 5    // max position distance within a doc
+  private val COOC_TOPK = 50
+
+  /** Windowed token CO-OCCURRENCE — collocation mining, the
+    * distributional-semantics primitive (PMI's integer-safe cousin):
+    * for every unordered token pair occurring within [[COOC_WIN]]
+    * positions, the co-count and both NEIGHBOR RATES
+    * `co/count(a)` in exact ppm (expected b-partners per occurrence
+    * of a — can exceed 1e6, since one occurrence has up to 2·WIN
+    * partners; it is a rate, not a probability). The classic PMI normalizes
+    * by p(a)p(b) — a T-squared factor that cannot stay in exact
+    * BIGINTs at corpus scale and would need logs besides; the
+    * conditional form ranks collocations just as well and stays pure
+    * integer.
+    *
+    * Scale shape: the pair generator is a per-row nested transform —
+    * at most [[COOC_WIN]] pairs per token position, LINEAR in corpus
+    * tokens, never vocab-squared (only observed pairs materialize).
+    * One (a, b)-keyed count with map-side combine, two vocab-bounded
+    * broadcast joins for the unigram counts, TakeOrderedAndProject
+    * head. */
+  def tokenCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val n = size(t)
+    val pairsCol = when(n >= 2, flatten(
+        transform(sequence(lit(1), n - 1), i =>
+          transform(sequence(i + 1, least(i + COOC_WIN, n)), j =>
+            struct(least(element_at(t, i), element_at(t, j)).as("a"),
+              greatest(element_at(t, i), element_at(t, j)).as("b"))))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val occ = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode_outer(pairsCol).as("p"))
+      .filter(col("p").isNotNull && col("p")("a") =!= col("p")("b"))
+      .groupBy(col("p")("a").as("tok_a"), col("p")("b").as("tok_b"))
+      .agg(count(lit(1)).as("n_co"))
+    val uni = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode_outer(toks(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    occ
+      .join(broadcast(uni.select(col("tok").as("tok_a"), col("n").as("n_a"))),
+        Seq("tok_a"))
+      .join(broadcast(uni.select(col("tok").as("tok_b"), col("n").as("n_b"))),
+        Seq("tok_b"))
+      .select(col("tok_a"), col("tok_b"), col("n_co").cast("long").as("n_co"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        floor(col("n_co") * 1000000.0 / col("n_a")).cast("long").as("b_per_a_ppm"),
+        floor(col("n_co") * 1000000.0 / col("n_b")).cast("long").as("a_per_b_ppm"))
+      .orderBy(col("n_co").desc, col("tok_a"), col("tok_b"))
+      .limit(COOC_TOPK)
+  }
+
+  val tokenCooccurrenceSql: String =
+    s"""WITH d AS (SELECT ${toksSql("text")} AS t FROM documents),
+       p AS (
+         SELECT unnest(flatten(
+           list_transform(generate_series(1, len(t) - 1), i ->
+             list_transform(generate_series(i + 1, least(i + $COOC_WIN, len(t))), j ->
+               struct_pack(a := least(t[i], t[j]), b := greatest(t[i], t[j])))))) AS p
+         FROM d WHERE len(t) >= 2),
+       occ AS (
+         SELECT p.a AS tok_a, p.b AS tok_b, count(*) AS n_co
+         FROM p WHERE p.a <> p.b GROUP BY p.a, p.b),
+       uni AS (
+         SELECT tok, count(*) AS n
+         FROM (SELECT unnest(t) AS tok FROM d) GROUP BY tok)
+       SELECT o.tok_a, o.tok_b, CAST(o.n_co AS BIGINT) AS n_co,
+         CAST(ua.n AS BIGINT) AS n_a, CAST(ub.n AS BIGINT) AS n_b,
+         CAST(floor(o.n_co * 1000000.0 / ua.n) AS BIGINT) AS b_per_a_ppm,
+         CAST(floor(o.n_co * 1000000.0 / ub.n) AS BIGINT) AS a_per_b_ppm
+       FROM occ o
+       JOIN uni ua ON ua.tok = o.tok_a
+       JOIN uni ub ON ub.tok = o.tok_b
+       ORDER BY n_co DESC, tok_a, tok_b LIMIT $COOC_TOPK"""
+
   // ---- Markup stripping (web-corpus main-text extraction) ----------
 
   /** HTML-strip pipeline over a deterministically synthesized page

@@ -236,4 +236,49 @@ class QualitySpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L),
       s"expected docs 1,2 (doc 3 has no query terms): ${out.mkString(",")}")
   }
+
+  test("ngram_novelty accounts for every distinct shingle exactly once") {
+    val rows = SparkEntry.queries("ngram_novelty")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"${r.getString(0)}: novel > total")
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+    }
+    // every distinct corpus shingle debuts in exactly one document, so
+    // the novel mass across all sources IS the distinct shingle count
+    import org.apache.spark.sql.functions._
+    val t = split(trim(col("text")), "\\s+")
+    val distinctShingles = graft.model.Tables.documents(spark, sf)
+      .select(explode_outer(when(size(t) >= 8,
+        transform(sequence(lit(1), size(t) - 7),
+          i => concat_ws(" ", (0 until 8).map(o => element_at(t, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("s")).distinct().count()
+    assert(rows.map(_.getLong(3)).sum == distinctShingles,
+      "novel mass does not equal the distinct shingle count")
+  }
+
+  test("token_cooccurrence counts a planted adjacent pair exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cooc").toString
+    // "alpha beta" adjacent 4 times; gamma never within 5 of alpha
+    val far = (1 to 10).map(i => s"pad$i").mkString(" ")
+    Seq((1L, s"alpha beta $far alpha beta", "en", "s", 9L),
+        (2L, s"alpha beta $far gamma", "en", "s", 9L),
+        (3L, s"beta alpha $far gamma", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("token_cooccurrence")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("alpha", "beta"))
+    assert(ab.getLong(2) == 4L, s"alpha-beta co-count: ${ab.getLong(2)}")
+    assert(ab.getLong(3) == 4L && ab.getLong(4) == 4L)   // 4 alphas, 4 betas
+    assert(ab.getLong(5) == 1000000L && ab.getLong(6) == 1000000L)
+    assert(!out.contains(("alpha", "gamma")), "distant pair leaked into the window")
+    // rate bound: each occurrence has at most 2*WIN partners
+    out.values.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) * 10 && r.getLong(2) <= r.getLong(4) * 10)
+    }
+  }
 }
