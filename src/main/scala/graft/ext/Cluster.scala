@@ -38,7 +38,7 @@ object Cluster {
 
   private val K = 8
   private val DIM = 64
-  private val SCALE = 1000L   // centroid micro-units per vector milli-unit
+  private[ext] val SCALE = 1000L   // centroid micro-units per vector milli-unit
 
   /** float vector → exact integer milli-quantized vector (same
     * construction as [[Similarity]]). */

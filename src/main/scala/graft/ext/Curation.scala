@@ -417,12 +417,16 @@ object Curation {
     val u = col("url")
     val lowered = concat(
       lower(regexp_extract(u, headPat, 0)), regexp_replace(u, headPat, ""))
+    // default ports strip while still scheme-matched (http:80 /
+    // https:443) — BEFORE the http→https upgrade, so a genuinely
+    // non-default https://host:80 is NOT collapsed with https://host
     val canon =
       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        regexp_replace(regexp_replace(regexp_replace(lowered,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(lowered,
+          "^(http://[^/:?#]*):80(([/?#].*)?)$", "$1$2"),
+          "^(https://[^/:?#]*):443(([/?#].*)?)$", "$1$2"),
           "^http://", "https://"),
           "^https://www\\.", "https://"),
-          "^(https://[^/:?#]*):(80|443)", "$1"),
           "#.*$", ""),
           "\\?.*$", ""),
           "([^:/])/{2,}", "$1/"),
@@ -465,10 +469,11 @@ object Curation {
          FROM u),
        c AS (SELECT source,
          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-           regexp_replace(regexp_replace(regexp_replace(lu,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(lu,
+             '^(http://[^/:?#]*):80(([/?#].*)?)$$', '\\1\\2', 'g'),
+             '^(https://[^/:?#]*):443(([/?#].*)?)$$', '\\1\\2', 'g'),
              '^http://', 'https://', 'g'),
              '^https://www\\.', 'https://', 'g'),
-             '^(https://[^/:?#]*):(80|443)', '\\1', 'g'),
              '#.*$$', '', 'g'),
              '\\?.*$$', '', 'g'),
              '([^:/])/{2,}', '\\1/', 'g'),

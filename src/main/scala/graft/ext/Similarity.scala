@@ -300,6 +300,8 @@ object Similarity {
     * vector to its NPROBE nearest cells, persist) and every query
     * then reads: `(vec_id, cluster, rk)` per (session, corpus),
     * MEMORY_AND_DISK like [[Dedup]]'s staged keeper table. Both
+    * (same immutable-corpus-per-session contract as Dedup's staged
+    * keeper table.)
     * [[knnIvfKmeans]] and [[annRecall]] consume it, so the train +
     * assign pipeline runs once per corpus, not once per query. */
   private val ivfIndexCache =
@@ -313,7 +315,7 @@ object Similarity {
         .orderBy(col("dist2"), col("cluster"))
       e.crossJoin(broadcast(cents))
         .withColumn("dist2", graft.functions.ScaledDistSq(
-          col("qv"), col("cent"), lit(1000L)))
+          col("qv"), col("cent"), lit(Cluster.SCALE)))
         .withColumn("rk", row_number().over(wAssign))
         .filter(col("rk") <= NPROBE)
         .select(col("vec_id"), col("cluster"), col("rk"))

@@ -312,24 +312,31 @@ object TextAnalysis {
     * One (a, b)-keyed count with map-side combine, two vocab-bounded
     * broadcast joins for the unigram counts, TakeOrderedAndProject
     * head. */
-  def tokenCooccurrence(spark: SparkSession, dir: String): DataFrame = {
-    val t = toks(col("text"))
+  private def pairsFrom(t: Column): Column = {
     val n = size(t)
-    val pairsCol = when(n >= 2, flatten(
+    when(n >= 2, flatten(
         transform(sequence(lit(1), n - 1), i =>
           transform(sequence(i + 1, least(i + COOC_WIN, n)), j =>
             struct(least(element_at(t, i), element_at(t, j)).as("a"),
               greatest(element_at(t, i), element_at(t, j)).as("b"))))))
       .otherwise(array().cast("array<struct<a:string,b:string>>"))
-    val occ = Tables.documents(spark, dir)
+  }
+
+  def tokenCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    // ONE scan + tokenize serves both rollups: the token-array frame
+    // is fenced and the pair explode and the unigram explode both read
+    // it (the qualityGate/invertedIndex single-scan discipline)
+    val d = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(explode_outer(pairsCol).as("p"))
+      .select(toks(col("text")).as("t"))
+      .transform(graft.util.Fence.lineage)
+    val occ = d
+      .select(explode_outer(pairsFrom(col("t"))).as("p"))
       .filter(col("p").isNotNull && col("p")("a") =!= col("p")("b"))
       .groupBy(col("p")("a").as("tok_a"), col("p")("b").as("tok_b"))
       .agg(count(lit(1)).as("n_co"))
-    val uni = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(explode_outer(toks(col("text"))).as("tok"))
+    val uni = d
+      .select(explode_outer(col("t")).as("tok"))
       .filter(col("tok").isNotNull)
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
     occ

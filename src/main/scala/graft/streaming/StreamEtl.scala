@@ -280,11 +280,25 @@ object StreamEtl {
           // creates it), so probe the catalog instead of swallowing
           // SQLExceptions — a transient DELETE failure during a REPLAY
           // must fail the batch, or the re-append would double rows.
+          // The probe must honor a schema-qualified dbtable: match on
+          // (schema, name), or a bare name would never match and the
+          // scrub would silently skip — exactly the double-append the
+          // probe exists to prevent.
+          val (schemaPart, namePart) = table.split("\\.") match {
+            case Array(s, t) => (Option(s), t)
+            // unqualified: scope to the CONNECTION's current schema
+            // (where the unqualified DELETE/append will act) — a
+            // same-named table in another schema must not count
+            case _ => (Option(conn.getSchema), table)
+          }
           val exists = {
             val rs = conn.getMetaData.getTables(null, null, null,
               Array("TABLE"))
-            try Iterator.continually(rs).takeWhile(_.next())
-              .exists(_.getString("TABLE_NAME").equalsIgnoreCase(table))
+            try Iterator.continually(rs).takeWhile(_.next()).exists { r =>
+              r.getString("TABLE_NAME").equalsIgnoreCase(namePart) &&
+                schemaPart.forall(s =>
+                  s.equalsIgnoreCase(r.getString("TABLE_SCHEM")))
+            }
             finally rs.close()
           }
           if (exists) {

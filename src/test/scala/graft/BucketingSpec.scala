@@ -49,7 +49,6 @@ class BucketingSpec extends AnyFunSuite {
     // the difference between scanning one partition and the corpus
     val base = java.nio.file.Files.createTempDirectory("graft_part").toString
     graft.model.Tables.events(spark, sf)
-      .withColumn("day", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("event_type").parquet(base)
     val q = spark.read.parquet(base)
       .filter(col("event_type") === "click")
