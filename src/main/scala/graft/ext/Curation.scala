@@ -332,7 +332,6 @@ object Curation {
         concat(lit("|"), substring(p, 1, 1), lit(" |"), substring(p, 2, 1), lit(" ")),
         concat(lit("|"), p, lit(" "))))
     Tables.documents(spark, dir)
-      .filter(col("doc_id") < 500)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"), col("text"))
       .crossJoin(broadcast(merges))
@@ -356,7 +355,7 @@ object Curation {
        d AS (
          SELECT doc_id, source, text,
            regexp_replace(text, '(\\S)', '|\\1 ', 'g') AS enc
-         FROM documents WHERE doc_id < 500),
+         FROM documents),
        t AS (
          SELECT doc_id, source, text,
            list_reduce(list_prepend(enc, ms),
