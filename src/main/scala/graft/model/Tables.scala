@@ -23,14 +23,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the
-    * legacy conf and rebuild a proper micros TimestampType column
-    * (integer `div` — a double division would lose precision above
-    * 2^53 ns). DuckDB reads the same column as TIMESTAMP_NS; oracle
-    * SQL casts it to micros TIMESTAMP for parity. Generated test
-    * dirs (graft.tools.Sf1Gen) already store micros TimestampType —
-    * pass those through untouched. */
+  /** `events.ts` arrives in three flavors depending on which tool
+    * wrote the parquet: TIMESTAMP(NANOS) (Spark 4 rejects it outright
+    * — [PARQUET_TYPE_ILLEGAL] — so read as raw nanos via the legacy
+    * conf and rebuild micros with integer `div`; a double division
+    * would lose precision above 2^53 ns), TIMESTAMP_NTZ (micros with
+    * isAdjustedToUTC=false — cast to TimestampType, value-preserving
+    * because every entrypoint pins spark.sql.session.timeZone=UTC),
+    * or plain micros TimestampType (pass through). DuckDB reads the
+    * same column natively; oracle SQL casts it to micros TIMESTAMP
+    * for parity. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
@@ -38,6 +40,10 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
