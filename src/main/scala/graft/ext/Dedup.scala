@@ -380,15 +380,28 @@ object Dedup {
     * every report from the staged table); locally the stage is a
     * MEMORY_AND_DISK persist — recomputable on block loss, unlike a
     * local checkpoint — and at cluster scale the same role is played
-    * by the staging parquet the job would write anyway. */
-  private val keeperCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    * by the staging parquet the job would write anyway.
+    *
+    * Lifecycle via [[graft.util.StagedCache]]: the corpus at `dir`
+    * must be immutable while staged — rewriting it in-session requires
+    * [[invalidateStaged]] first, and session teardown should call
+    * [[graft.util.Staged.clearSession]] so the persisted blocks are
+    * freed rather than accumulating across corpora. */
+  private val keeperCache = new graft.util.StagedCache
+
+  /** Drop the staged keeper table for `dir` (unpersisting its blocks)
+    * — required before re-running dedup over a rewritten corpus. */
+  def invalidateStaged(spark: SparkSession, dir: String): Unit =
+    keeperCache.invalidate(spark, dir)
+
+  private[graft] def stagedKeeperKeys: Set[(SparkSession, String)] =
+    keeperCache.stagedKeys
 
   private def keeperTable(spark: SparkSession, dir: String): DataFrame =
-    keeperCache.computeIfAbsent((spark, dir), { _ =>
+    keeperCache.getOrCompute(spark, dir) {
       keeperAssignment(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   private def keeperAssignment(spark: SparkSession, dir: String): DataFrame = {
     val docs = corpus2(spark, dir)

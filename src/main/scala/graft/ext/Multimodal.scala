@@ -134,9 +134,13 @@ object Multimodal {
     * (ASCII byte == char code, which is what lets the DuckDB oracle
     * reproduce the DECODED content without a decoder of its own).
     * Dimensions vary per row (w∈4..8, h∈3..6) so the header parse is
-    * load-bearing, not a constant. Precondition: text length ≥ 36
-    * (4·len must cover the 144-byte max pixel payload); the test
-    * corpora sit at ≥ 44.
+    * load-bearing, not a constant. Preconditions — pure-ASCII text
+    * (a multi-byte UTF-8 char would make the byte raster silently
+    * diverge from the oracle's per-CHAR arithmetic) and text length
+    * ≥ 36 (4·len must cover the 144-byte max pixel payload; the test
+    * corpora sit at ≥ 44) — are asserted IN-PLAN via a `raise_error`
+    * branch evaluated only on violating rows (the repo's
+    * dedupIncremental convention), not left as a scaladoc note.
     *
     * The blob is synthesized IN-PLAN (encode/concat/substr — all
     * codegen) — the kernel downstream sees only `(media_id, blob:
@@ -145,11 +149,18 @@ object Multimodal {
   def ppmMediaTable(spark: SparkSession, dir: String): DataFrame = {
     val w = (col("doc_id") % 5 + 4).cast("int")
     val h = (col("doc_id") % 4 + 3).cast("int")
+    val wellFormed =
+      col("text").isNotNull && length(col("text")) >= 36 &&
+        !col("text").rlike("[^\\x00-\\x7F]")
+    val text = when(wellFormed, col("text")).otherwise(
+      raise_error(concat(
+        lit("ppmMediaTable: text must be pure ASCII and >= 36 chars, doc_id="),
+        col("doc_id").cast("string"))))
     Tables.documents(spark, dir).select(
       col("doc_id").as("media_id"),
       encode(concat(
         lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"),
-        repeat(col("text"), 4).substr(lit(1), w * h * 3)), "UTF-8").as("blob"))
+        repeat(text, 4).substr(lit(1), w * h * 3)), "UTF-8").as("blob"))
   }
 
   /** Minimal binary P6 parser: magic, whitespace-separated

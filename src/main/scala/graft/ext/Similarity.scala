@@ -304,11 +304,18 @@ object Similarity {
     * keeper table.)
     * [[knnIvfKmeans]] and [[annRecall]] consume it, so the train +
     * assign pipeline runs once per corpus, not once per query. */
-  private val ivfIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val ivfIndexCache = new graft.util.StagedCache
+
+  /** Drop the staged IVF assignment for `dir` (unpersisting its
+    * blocks) — required before re-indexing a rewritten corpus. */
+  def invalidateStaged(spark: SparkSession, dir: String): Unit =
+    ivfIndexCache.invalidate(spark, dir)
+
+  private[graft] def stagedIvfKeys: Set[(SparkSession, String)] =
+    ivfIndexCache.stagedKeys
 
   private def kmeansIvfAssignment(spark: SparkSession, dir: String): DataFrame =
-    ivfIndexCache.computeIfAbsent((spark, dir), { _ =>
+    ivfIndexCache.getOrCompute(spark, dir) {
       val e = Cluster.quantized(spark, dir)
       val cents = Cluster.trainedCentroids(e)
       val wAssign = Window.partitionBy(col("vec_id"))
@@ -320,7 +327,7 @@ object Similarity {
         .filter(col("rk") <= NPROBE)
         .select(col("vec_id"), col("cluster"), col("rk"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   val knnIvfKmeansSql: String =
     s"""WITH ${Cluster.trainCtesSql},

@@ -285,14 +285,33 @@ object StreamEtl {
           // scrub would silently skip — exactly the double-append the
           // probe exists to prevent.
           val (schemaPart, namePart) = table.split("\\.") match {
-            case Array(s, t) => (Option(s), t)
+            case Array(s, t) => (Some(s), t)
             // unqualified: scope to the CONNECTION's current schema
             // (where the unqualified DELETE/append will act) — a
-            // same-named table in another schema must not count
-            case _ => (Option(conn.getSchema), table)
+            // same-named table in another schema must not count. A
+            // driver that reports NO current schema leaves that scope
+            // undefined; degrading to a name-only match across all
+            // schemas would be exactly the cross-schema false positive
+            // this probe exists to prevent, so fail loudly instead.
+            case _ =>
+              val cur = conn.getSchema
+              require(cur != null,
+                s"jdbcIngest: the JDBC driver for $url reports no " +
+                  "current schema, so an unqualified dbtable " +
+                  s"('$table') cannot be scoped for the replay scrub; " +
+                  "use a schema-qualified dbtable")
+              (Some(cur), table)
           }
-          val exists = {
-            val rs = conn.getMetaData.getTables(null, null, null,
+          // Narrowed catalog probe: pass the table name as the
+          // tableNamePattern instead of enumerating every table in the
+          // database per micro-batch. JDBC metadata patterns are
+          // case-SENSITIVE against the stored form and engines
+          // case-fold unquoted DDL identifiers differently (Derby →
+          // upper), so try the distinct case variants; the row filter
+          // stays equalsIgnoreCase because `_` in a pattern is a
+          // single-char wildcard and may over-match.
+          def probe(sp: String, np: String): Boolean = {
+            val rs = conn.getMetaData.getTables(null, sp, np,
               Array("TABLE"))
             try Iterator.continually(rs).takeWhile(_.next()).exists { r =>
               r.getString("TABLE_NAME").equalsIgnoreCase(namePart) &&
@@ -300,6 +319,15 @@ object StreamEtl {
                   s.equalsIgnoreCase(r.getString("TABLE_SCHEM")))
             }
             finally rs.close()
+          }
+          val exists = {
+            val schemaPats =
+              schemaPart.toSeq.flatMap(s =>
+                Seq(s, s.toUpperCase, s.toLowerCase).distinct)
+            val namePats =
+              Seq(namePart, namePart.toUpperCase, namePart.toLowerCase)
+                .distinct
+            schemaPats.exists(sp => namePats.exists(np => probe(sp, np)))
           }
           if (exists) {
             // Spark's JDBC writer passes the TABLE name through raw but
