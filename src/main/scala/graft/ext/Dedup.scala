@@ -643,14 +643,31 @@ object Dedup {
     * STREAMING kernel ([[graft.streaming.StreamEtl.nearDupStream]])
     * can hash an arriving document inside `flatMapGroupsWithState`
     * without a pre-aggregation stage. */
+  private val simMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   private[graft] def simhash64(text: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // Streaming hot path (one call per arriving document): the digest
+    // is thread-local, not per-call, and the two 60-bit words come
+    // straight from the digest bytes — hex chars [0,15) are bytes 0-6
+    // plus the high nibble of byte 7, chars [16,31) are bytes 8-14
+    // plus the high nibble of byte 15 — so no per-byte hex formatting
+    // or string parsing allocates per token.
+    val md = simMd.get()
     val votes = new Array[Int](SIMBITS)
     text.trim.split("\\s+").distinct.foreach { t =>
-      val hex = md.digest(("sim_" + t).getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
-      val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      val h2 = java.lang.Long.parseLong(hex.substring(16, 31), 16)
+      md.reset()
+      val d = md.digest(("sim_" + t).getBytes("UTF-8"))
+      var h1 = 0L
+      var k = 0
+      while (k < 7) { h1 = (h1 << 8) | (d(k) & 0xffL); k += 1 }
+      h1 = (h1 << 4) | ((d(7) >>> 4) & 0xfL)
+      var h2 = 0L
+      k = 8
+      while (k < 15) { h2 = (h2 << 8) | (d(k) & 0xffL); k += 1 }
+      h2 = (h2 << 4) | ((d(15) >>> 4) & 0xfL)
       var j = 0
       while (j < SIMBITS) {
         val h = if (j < 32) h1 else h2

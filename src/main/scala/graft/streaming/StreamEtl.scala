@@ -213,12 +213,33 @@ object StreamEtl {
     * parse (corpus feeds carry a quarantine lane upstream); re-arrived
     * doc_ids neither re-enter state nor match themselves. Within a
     * micro-batch, arrivals are ordered by doc_id so emissions are
-    * deterministic. For bounded state at crawl scale, age buckets out
-    * with a GroupStateTimeout and re-seed from the batch index. */
-  def nearDupStream(spark: SparkSession, inputGlob: String, maxHamming: Int = 3)
+    * deterministic.
+    *
+    * Bounded state at crawl scale — the lambda handoff: `stateTtlMs`
+    * ages quiet buckets out of the state store (ProcessingTimeTimeout;
+    * an evicted bucket's history is OWNED by the periodic batch index
+    * from then on — the batch `dedupIncremental` pass catches any
+    * cross-TTL duplicate the stream can no longer see), and
+    * `seedIndex` (a `(doc_id, simhash)` batch index) re-seeds every
+    * bucket's membership at query START via `initialState` — the
+    * redeploy recipe: stop the stream, compact state into the batch
+    * index, restart with a fresh checkpoint and the refreshed index.
+    * `initialState` is distributed (grouped like the stream itself),
+    * never collected to the driver.
+    *
+    * Trigger caveat: with a ProcessingTimeTimeout armed,
+    * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is
+    * unconditionally true, so a `Trigger.AvailableNow` query never
+    * self-terminates — it keeps scheduling timeout-processing batches
+    * forever. Run a TTL'd gate on a periodic trigger (the live-crawl
+    * shape) or drain with single-batch `Trigger.Once` runs; reserve
+    * AvailableNow for the untimed (`stateTtlMs = None`) variant. */
+  def nearDupStream(spark: SparkSession, inputGlob: String, maxHamming: Int = 3,
+                    stateTtlMs: Option[Long] = None,
+                    seedIndex: Option[org.apache.spark.sql.Dataset[(Long, Long)]] = None)
       : org.apache.spark.sql.Dataset[NearDupHit] = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val docs = spark.readStream.text(inputGlob)
       .as[String]
       .flatMap { line =>
@@ -227,32 +248,58 @@ object StreamEtl {
         else line.substring(0, i).toLongOption
           .map(id => (id, graft.ext.Dedup.simhash64(line.substring(i + 1))))
       }
-    val banded = docs.flatMap { case (id, sh) =>
+    def band(id: Long, sh: Long): Seq[(Int, Long, Long, Long)] =
       (0 until 4).map(b => (b, (sh >>> (16 * b)) & 0xffffL, id, sh))
-    }
-    banded
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[BandMembers, NearDupHit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case (_, rows, state) =>
-          val st = state.getOption.getOrElse(BandMembers(Array.empty, Array.empty))
-          val ids = scala.collection.mutable.ArrayBuffer(st.memberIds.toSeq: _*)
-          val hs = scala.collection.mutable.ArrayBuffer(st.memberSims.toSeq: _*)
-          val out = scala.collection.mutable.ArrayBuffer[NearDupHit]()
-          rows.toSeq.sortBy(_._3).foreach { case (b, _, id, sh) =>
-            if (!ids.contains(id)) {
-              var k = 0
-              while (k < ids.length) {
-                val d = java.lang.Long.bitCount(sh ^ hs(k))
-                if (d <= maxHamming) out += NearDupHit(b, id, ids(k), d)
-                k += 1
-              }
-              ids += id; hs += sh
+    val banded = docs.flatMap { case (id, sh) => band(id, sh) }
+
+    val kernel: ((Int, Long), Iterator[(Int, Long, Long, Long)],
+                 GroupState[BandMembers]) => Iterator[NearDupHit] = {
+      case (_, _, state) if state.hasTimedOut =>
+        // quiet bucket aged out: hand its history to the batch index
+        state.remove()
+        Iterator.empty
+      case (_, rows, state) =>
+        val st = state.getOption.getOrElse(BandMembers(Array.empty, Array.empty))
+        val ids = scala.collection.mutable.ArrayBuffer(st.memberIds.toSeq: _*)
+        val hs = scala.collection.mutable.ArrayBuffer(st.memberSims.toSeq: _*)
+        val out = scala.collection.mutable.ArrayBuffer[NearDupHit]()
+        rows.toSeq.sortBy(_._3).foreach { case (b, _, id, sh) =>
+          if (!ids.contains(id)) {
+            var k = 0
+            while (k < ids.length) {
+              val d = java.lang.Long.bitCount(sh ^ hs(k))
+              if (d <= maxHamming) out += NearDupHit(b, id, ids(k), d)
+              k += 1
             }
+            ids += id; hs += sh
           }
-          state.update(BandMembers(ids.toArray, hs.toArray))
-          out.iterator
-      }
+        }
+        state.update(BandMembers(ids.toArray, hs.toArray))
+        // update() clears any pending timeout — re-arm after every write
+        stateTtlMs.foreach(state.setTimeoutDuration)
+        out.iterator
+    }
+
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val grouped = banded.groupByKey(r => (r._1, r._2))
+    seedIndex match {
+      case Some(seed) =>
+        val init = seed
+          .flatMap { case (id, sh) => band(id, sh) }
+          .groupByKey(r => (r._1, r._2))
+          .mapGroups { (k: (Int, Long), rows: Iterator[(Int, Long, Long, Long)]) =>
+            val rs = rows.toArray.sortBy(_._3)
+            (k, BandMembers(rs.map(_._3), rs.map(_._4)))
+          }
+          .groupByKey(_._1).mapValues(_._2)
+        grouped.flatMapGroupsWithState[BandMembers, NearDupHit](
+          OutputMode.Append(), timeoutConf, init)(kernel)
+      case None =>
+        grouped.flatMapGroupsWithState[BandMembers, NearDupHit](
+          OutputMode.Append(), timeoutConf)(kernel)
+    }
   }
 
   /** Streaming → JDBC with exactly-once semantics — the reference's

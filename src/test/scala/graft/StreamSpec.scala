@@ -537,6 +537,82 @@ class StreamSpec extends AnyFunSuite {
     assert(keys.size == keys.distinct.size, "a hit emitted twice")
   }
 
+  test("nearDupStream state ages out under a TTL and re-seeds from a batch index") {
+    val base = Files.createTempDirectory("graft_neardup_ttl").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val twins = docs.filter(_._1 % 5 == 0)
+      .map { case (id, t) => (id + 100000, t + " zqxj") }
+
+    // Trigger.Once, not AvailableNow: under ProcessingTimeTimeout,
+    // FlatMapGroupsWithStateExec.shouldRunAnotherBatch is always true,
+    // so an AvailableNow query never self-terminates (it keeps
+    // scheduling timeout-processing batches). A single-batch drain per
+    // run is exactly the rotation cadence this test models anyway.
+    @annotation.nowarn("cat=deprecation")
+    def runOnce(cp: String,
+                seed: Option[org.apache.spark.sql.Dataset[(Long, Long)]])
+        : Seq[StreamEtl.NearDupHit] = {
+      val buf = new scala.collection.mutable.ArrayBuffer[StreamEtl.NearDupHit]()
+      val q = StreamEtl.nearDupStream(spark, s"$in/*",
+          stateTtlMs = Some(1L), seedIndex = seed)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamEtl.NearDupHit], _: Long) =>
+          buf.synchronized { buf ++= batch.collect() }; ()
+        }
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      q.awaitTermination()
+      buf.synchronized(buf.toSeq)
+    }
+
+    // run 1 (fresh checkpoint): the originals populate bucket state
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/f1"),
+      docs.map { case (id, t) => s"$id\t$t" }.mkString("", "\n", "\n"))
+    runOnce(s"$base/cp1", None)
+
+    // run 2, past the TTL: a lone unrelated doc triggers timeout
+    // processing — every quiet bucket (all of run 1's) is evicted
+    Thread.sleep(50)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/f2"),
+      "999999\tzzz yyy xxx www unrelated filler words only here\n")
+    runOnce(s"$base/cp1", None)
+
+    // run 3: twins arrive — their originals' buckets were aged out, so
+    // NO cross-file hit may emit (the batch index owns that history now)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/f3"),
+      twins.map { case (id, t) => s"$id\t$t" }.mkString("", "\n", "\n"))
+    val e3 = runOnce(s"$base/cp1", None)
+    val crossAfterEvict = e3.filter(h => h.doc_id >= 100000 && h.dup_of < 100000)
+    assert(crossAfterEvict.isEmpty,
+      s"aged-out state still matched: ${crossAfterEvict.take(3)}")
+
+    // redeploy recipe: fresh checkpoint + the batch index as initial
+    // state — the twins (all three files re-read) now DO match their
+    // seeded originals
+    import spark.implicits._
+    val seed = docs.map { case (id, t) => (id, graft.ext.Dedup.simhash64(t)) }
+      .toSeq.toDS()
+    val e4 = runOnce(s"$base/cp2", Some(seed))
+    val crossSeeded = e4.filter(h => h.doc_id >= 100000 && h.dup_of < 100000)
+    assert(crossSeeded.nonEmpty, "re-seeded index produced no twin matches")
+    // seeded members must not re-enter or self-match: no hit may name a
+    // seeded id as doc_id with dup_of equal to itself
+    assert(e4.forall(h => h.doc_id != h.dup_of), "self-match emitted")
+    // and every cross hit agrees with the hand-computed kernel distance
+    crossSeeded.foreach { h =>
+      val sh1 = graft.ext.Dedup.simhash64(
+        docs.find(_._1 == h.dup_of).get._2)
+      val sh2 = graft.ext.Dedup.simhash64(
+        twins.find(_._1 == h.doc_id).get._2)
+      assert(java.lang.Long.bitCount(sh1 ^ sh2) == h.hamming)
+    }
+  }
+
   test("jdbcIngest is exactly-once into JDBC across rotation AND batch replay") {
     val base = Files.createTempDirectory("graft_jdbc_stream").toString
     val in = s"$base/in"; val cp = s"$base/cp"
