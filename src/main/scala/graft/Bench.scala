@@ -31,20 +31,34 @@ object Bench {
     // three timed iterations, report the min: one stray GC pause or
     // page-cache miss otherwise dominates a ~1s query's number (and
     // min-of-2 provably wasn't enough — the r02 media_formats 4.7 s
-    // ghost survived it)
+    // ghost survived it). Iterations are ROUND-ROBIN across queries
+    // (all queries once, then all again), not back-to-back per query:
+    // a sustained external stall (compaction, co-located load) then
+    // poisons one sample of many queries instead of every sample of
+    // one — the r05 run recorded distinct_sketch at 11.03 s (18× its
+    // stable value) because all three back-to-back samples landed
+    // inside one stall window.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples =
+      scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
+    (1 to iters).foreach { _ =>
+      queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        samples(name) = t :: samples(name)
       }
+    }
+    val results = queries.map { case (name, _) =>
+      val ts = samples(name)
       // a failure must not masquerade as a fast run: -1 is the sentinel
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      name -> (if (ts.contains(-1.0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
