@@ -421,6 +421,37 @@ object Dedup {
     // symmetric edge list — replacing distinct + identity labels + a
     // full join-propagate round (two shuffles and two jobs) with a
     // single shuffle.
+    val labels = minLabelComponents(edges)
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("keeper_id"))
+  }
+
+  /** Min-label connected components over a SYMMETRIC `(id1, id2)`
+    * edge list → `(id, label)` for every edge-touched node, where
+    * `label` is the component's minimum id.
+    *
+    * Each round does two things: (1) one-hop MIN-LABEL PROPAGATION
+    * (each node takes the min of its own and its neighbors' labels —
+    * one join + one groupBy, both shuffling |V(edges)| rows), then
+    * (2) one POINTER-JUMPING step on the label forest (`id → label`
+    * composed with itself, so a node inherits its label's label —
+    * the large-star/path-doubling move of the published CC-in-
+    * MapReduce constructions). Propagation alone needs diameter
+    * rounds — a 30-hop near-dup chain would blow the iteration cap;
+    * with the jump the covered distance better-than-doubles per
+    * round, so convergence is O(log diameter) and the cap of 20
+    * rounds handles diameters past 2^20 — at which point the input
+    * is not a near-dup graph but a bug, and the loud `require` is
+    * the right answer (the oracle computes the true fixpoint, so a
+    * silent cap would hash-mismatch anyway).
+    *
+    * Labels are monotone non-increasing and every label is itself an
+    * edge-touched node of the same component, so the jump join is a
+    * self-join on the label frame; convergence (`no label moved this
+    * round`) reads off the same materializing count() that realizes
+    * the non-eager checkpoint — one action per round. */
+  private[graft] def minLabelComponents(edges: DataFrame): DataFrame = {
     var labels = edges.groupBy(col("id1").as("id"))
       .agg(min(col("id2")).as("mn"))
       .select(col("id"), least(col("id"), col("mn")).as("label"))
@@ -438,24 +469,28 @@ object Dedup {
         .unionAll(prop)
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"), min(col("prev0")).as("prev"))
+      // pointer jump: follow id → label → label's label. A label with
+      // no row of its own (the component min labels itself) keeps its
+      // value via the left join + coalesce.
+      val jumpTo = next.select(col("id").as("jid"), col("label").as("jlabel"))
+      val jumped = next.join(jumpTo, next("label") === jumpTo("jid"), "left")
+        .select(next("id"),
+          least(next("label"), coalesce(col("jlabel"), next("label")))
+            .as("label"),
+          col("prev"))
         .localCheckpoint(eager = false)
       // min-label is monotone non-increasing: any strict decrease
       // means another round is needed. count() (not isEmpty) both
       // answers that and fully materializes the non-eager checkpoint
       // in the SAME job — one action per iteration instead of an
       // eager-checkpoint job followed by a convergence job
-      converged = next.filter(col("label") < col("prev")).count() == 0L
-      labels = next.select(col("id"), col("label"))
+      converged = jumped.filter(col("label") < col("prev")).count() == 0L
+      labels = jumped.select(col("id"), col("label"))
       iter += 1
     }
-    // a >20-hop near-dup chain would exit unconverged with silently
-    // non-minimal keepers — fail loudly instead (the oracle computes
-    // the true fixpoint, so a silent cap would hash-mismatch anyway)
     require(converged,
       s"dedupGroups: label propagation did not converge in $iter iterations")
-    docs.select(col("doc_id"))
-      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("keeper_id"))
+    labels
   }
 
   val dedupGroupsSql: String =

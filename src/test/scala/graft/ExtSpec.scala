@@ -844,4 +844,43 @@ class ExtSpec extends AnyFunSuite {
     val joinLine = p.linesIterator.find(_.contains("ShuffledHashJoin")).getOrElse("")
     assert(joinLine.contains("salt"), s"join not keyed by salt: $joinLine")
   }
+
+  test("minLabelComponents converges on a 200-hop chain (path doubling)") {
+    // a 200-node path has diameter 200: one-hop propagation alone
+    // needs ~200 rounds and would blow the 20-iteration cap — the
+    // pointer-jumping step is what makes this converge
+    import spark.implicits._
+    val fwd = (0L until 200L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val edges = fwd.unionAll(
+      fwd.select(col("id2").as("id1"), col("id1").as("id2")))
+    val labels = graft.ext.Dedup.minLabelComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 201)
+    assert(labels.values.forall(_ == 0L),
+      s"chain did not collapse to component min: ${labels.filter(_._2 != 0L).take(5)}")
+  }
+
+  test("minLabelComponents matches a union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val raw = Seq.fill(300)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    raw.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = raw.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(v => v -> find(v)).toMap
+    val fwd = raw.toDF("id1", "id2")
+    val edges = fwd.unionAll(
+      fwd.select(col("id2").as("id1"), col("id1").as("id2")))
+    val got = graft.ext.Dedup.minLabelComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
 }
