@@ -845,6 +845,22 @@ class ExtSpec extends AnyFunSuite {
     assert(joinLine.contains("salt"), s"join not keyed by salt: $joinLine")
   }
 
+  test("hierarchical semantic assignment keeps dup-pair recall against the flat scan") {
+    val base = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    def dups(h: Boolean): Long =
+      graft.ext.Similarity.dedupSemanticOf(base, hierarchical = h)
+        .agg(sum(col("n_dup_pairs")).cast("long")).head().getLong(0)
+    val flat = dups(false)
+    val hier = dups(true)
+    assert(flat > 0, "fixture produced no semantic dups — vacuous")
+    // coarse mis-routing may drop a pair when twin and original land
+    // under different parents; the published rung tolerates a small
+    // recall loss for the N*sqrt(C) assignment — hold it above 80%
+    assert(hier >= (flat * 8) / 10,
+      s"hierarchical recall too low: $hier of $flat dup pairs")
+  }
+
   test("minLabelComponents converges on a 200-hop chain (path doubling)") {
     // a 200-node path has diameter 200: one-hop propagation alone
     // needs ~200 rounds and would blow the 20-iteration cap — the
