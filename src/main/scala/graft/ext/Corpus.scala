@@ -81,6 +81,53 @@ object Corpus {
        FROM flags GROUP BY source ORDER BY source"""
   }
 
+  /** Deterministic train/val/test SPLIT assignment — the
+    * content-hash split every training pipeline needs: a document's
+    * split is a pure function of its id (`phash(doc_id) % 1000` into
+    * 980/10/10 bands), so (a) growing the corpus NEVER reshuffles an
+    * existing document's split — no yesterday's-val-doc leaking into
+    * today's train set, the failure mode of any rand()/row_number
+    * split — and (b) every engine and every re-run agrees. The report
+    * is the per-(source, split) contract a pipeline records next to
+    * its manifest: doc count, token mass, and an order-independent
+    * membership checksum (sum of per-id hashes bounded < 2^30, the
+    * set-checksum convention) that a downstream consumer can verify
+    * its shard selection against.
+    *
+    * Scale shape: one narrow map (hash + tokenize) and one
+    * map-side-combined groupBy on the ~3·|sources| key domain —
+    * nothing global, nothing ordered. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+      .withColumn("n_tokens", size(toks(col("text"))).cast("long"))
+      .withColumn("h",
+        Hashing.phash(col("doc_id").cast("string"), "split_") % 1000)
+      .withColumn("split",
+        when(col("h") < 980, lit("train"))
+          .when(col("h") < 990, lit("val")).otherwise(lit("test")))
+      .groupBy(col("source"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(Hashing.phash(col("doc_id").cast("string"), "sck_") % 1073741824L)
+          .as("id_checksum"))
+      .orderBy(col("source"), col("split"))
+
+  val splitAssignSql: String =
+    s"""WITH d AS (
+         SELECT source,
+           len(${toksSql("text")}) AS n_tokens,
+           ${Hashing.phashSql("CAST(doc_id AS VARCHAR)", "split_")} % 1000 AS h,
+           ${Hashing.phashSql("CAST(doc_id AS VARCHAR)", "sck_")} % 1073741824 AS ck
+         FROM documents)
+       SELECT source,
+         CASE WHEN h < 980 THEN 'train' WHEN h < 990 THEN 'val' ELSE 'test' END AS split,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(ck) AS BIGINT) AS id_checksum
+       FROM d GROUP BY source, split ORDER BY source, split"""
+
   /** Deterministic stratified sampling: each source gets a quota in
     * [20, 80]% derived from a hash of its name, and a document is
     * kept iff `phash(doc_id) % 100 < quota` — reproducible on any

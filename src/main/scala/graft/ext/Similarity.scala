@@ -113,6 +113,77 @@ object Similarity {
        SELECT qid, rank, vec_id AS neighbor_id, cosine
        FROM ranked WHERE rank <= $TOPK ORDER BY qid, rank"""
 
+  private val HN_CEIL = 0.99   // at/above: a near-duplicate, NOT a negative
+  private val HN_FLOOR = 0.10  // below: uninformative easy negative
+
+  /** Hard-negative mining for retriever/embedding training — for
+    * each query vector, the top-k most-similar candidates INSIDE the
+    * band `[0.10, 0.99)`: above the floor so the negative is
+    * confusable (the pairs a contrastive loss learns most from),
+    * below the near-dup ceiling so a DUPLICATE of the query is never
+    * labeled a negative — the false-negative poisoning every mining
+    * recipe must guard against. The corpus carries the same injected
+    * twins as [[dedupEmbedding]] (cosine ≈ 0.9998), so the ceiling
+    * provably does that work: a plain kNN would rank the twin #1,
+    * and the result must not contain it (asserted in ExtSpec).
+    *
+    * Scale shape: the oracle-checkable core is the same bounded
+    * broadcast-queries × corpus scan as [[knnBruteforce]] (queries
+    * are a fixed panel); at corpus×corpus mining scale, route
+    * candidates through the staged IVF index
+    * ([[kmeansIvfAssignment]]) and apply the band inside the probed
+    * cells — the band is a per-pair filter, so it composes with any
+    * candidate generator unchanged. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val twins = base.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 1, x + lit(0.01f)).otherwise(x)).as("embedding"))
+    val e = base.unionAll(twins).withColumn("qv", quant(col("embedding")))
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("qv").as("qvec"))
+    val scored = e.select(col("vec_id"), col("qv").as("cvec"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", pr6(
+        dot(col("qvec"), col("cvec")).cast("double") /
+          (sqrt(norm2(col("qvec")).cast("double")) * sqrt(norm2(col("cvec")).cast("double")))))
+      .filter(col("cosine") >= HN_FLOOR && col("cosine") < HN_CEIL)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .select(col("qid"), col("rank"), col("vec_id").as("negative_id"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH base AS (
+         SELECT vec_id, embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 100000 AS vec_id,
+           list_transform(generate_series(1, $DIM),
+             i -> CASE WHEN i = 2 THEN embedding[i] + CAST(0.01 AS FLOAT) ELSE embedding[i] END) AS embedding
+         FROM embeddings WHERE vec_id % 7 = 0),
+       e AS (SELECT vec_id, $quantSql AS qv FROM base),
+       q AS (SELECT vec_id AS qid, qv AS qvec FROM e WHERE vec_id < $NQUERIES),
+       scored AS (
+         SELECT q.qid, e.vec_id,
+           floor(CAST(list_sum(list_transform(generate_series(1, $DIM), i -> qvec[i] * qv[i])) AS DOUBLE) /
+                 (sqrt(CAST(list_sum(list_transform(qvec, x -> x * x)) AS DOUBLE)) *
+                  sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cosine
+         FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+       banded AS (
+         SELECT qid, vec_id, cosine FROM scored
+         WHERE cosine >= $HN_FLOOR AND cosine < $HN_CEIL),
+       ranked AS (
+         SELECT qid, vec_id, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM banded)
+       SELECT qid, rank, vec_id AS negative_id, cosine
+       FROM ranked WHERE rank <= $TOPK ORDER BY qid, rank"""
+
   /** LSH bucket id: sign bit per hyperplane dot, packed. Fused
     * one-pass native form ([[graft.functions.HyperplaneBucket]]) —
     * parity with the composed per-plane `when(dot > 0, 1<<p)` sum it

@@ -861,6 +861,29 @@ class ExtSpec extends AnyFunSuite {
       s"hierarchical recall too low: $hier of $flat dup pairs")
   }
 
+  test("hard_negatives never labels a query's near-duplicate twin as a negative") {
+    val rows = SparkEntry.queries("hard_negatives")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val qid = r.getLong(0); val neg = r.getLong(2); val cos = r.getDouble(3)
+      assert(neg != qid + 100000,
+        s"query $qid's injected twin surfaced as a hard negative")
+      assert(cos >= 0.10 && cos < 0.99, s"cosine $cos outside the mining band")
+    }
+  }
+
+  test("split_assign is a stable partition of the corpus") {
+    val df = SparkEntry.queries("split_assign")(spark, sf)
+    val total = df.agg(sum(col("n_docs"))).head().getLong(0)
+    assert(total == graft.model.Tables.documents(spark, sf).count(),
+      "splits must partition the corpus exactly")
+    // hash-split stability: the same doc_id set must reproduce the
+    // same checksums on a second evaluation
+    val a = df.collect().toSeq
+    val b = SparkEntry.queries("split_assign")(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
   test("minLabelComponents converges on a 200-hop chain (path doubling)") {
     // a 200-node path has diameter 200: one-hop propagation alone
     // needs ~200 rounds and would blow the 20-iteration cap — the
