@@ -268,6 +268,65 @@ object Dedup {
        $lshPairsCtes
        SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2"""
 
+  /** Dedup THRESHOLD CALIBRATION sweep — the report a team reads
+    * before picking its near-dup cutoff: over ONE banded-LSH
+    * candidate set (recall floor 0.5, same generator as
+    * [[dedupMinhashLsh]]), the verified pair count and the
+    * would-be-dropped doc count (docs appearing as the higher id of a
+    * qualifying pair, the keep-lowest-id policy) at every threshold
+    * from 50% to 95%. Each threshold test is the same exact integer
+    * unfold as the operators use (`inter·(20000+200t−1) ≥
+    * (|A|+|B|)·(200t−1)` ⟺ rounded-jaccard ≥ t/100) — no double
+    * comparisons, so the sweep is bit-identical cross-engine and
+    * NEVER disagrees with what [[dedupMinhashLsh]] at that threshold
+    * would return.
+    *
+    * Scale shape: the candidate generation + verify runs ONCE (the
+    * expensive part, identical to the 0.5 dedup); the sweep itself
+    * is a 10-way literal explode of the verified (inter, sz) pair
+    * rows into a 10-key map-side-combined groupBy — linear in
+    * verified pairs, which the banding already bounds. */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir)
+    val cand = lshCandidatesOf(sig)
+    val sh = sig.select(col("doc_id"), col("hs").as("shd"))
+    val sized = cand
+      .join(sh.select(col("doc_id").as("id1"), col("shd").as("sh1")), Seq("id1"))
+      .join(sh.select(col("doc_id").as("id2"), col("shd").as("sh2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("inter"),
+        (size(col("sh1")) + size(col("sh2"))).cast("long").as("sz"))
+      .filter(col("inter") * 29999 >= col("sz") * 9999)
+    sized
+      .select(col("id2"), col("inter"), col("sz"),
+        explode(array((50L to 95L by 5L).map(lit): _*)).as("threshold_pct"))
+      .filter(col("inter") * (col("threshold_pct") * 200 + 19999) >=
+              col("sz") * (col("threshold_pct") * 200 - 1))
+      .groupBy(col("threshold_pct"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id2")).as("n_docs_dropped"))
+      .orderBy(col("threshold_pct"))
+  }
+
+  val dedupThresholdSweepSql: String =
+    s"""WITH $corpusSql,
+       $lshCandCtes,
+       sized AS (
+         SELECT c.id1, c.id2,
+           CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+           CAST(len(a.hs) + len(b.hs) AS BIGINT) AS sz
+         FROM cand c
+         JOIN hs a ON a.doc_id = c.id1
+         JOIN hs b ON b.doc_id = c.id2),
+       base AS (SELECT * FROM sized WHERE inter * 29999 >= sz * 9999),
+       t AS (SELECT CAST(unnest([50, 55, 60, 65, 70, 75, 80, 85, 90, 95]) AS BIGINT) AS threshold_pct)
+       SELECT threshold_pct,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT id2) AS BIGINT) AS n_docs_dropped
+       FROM base CROSS JOIN t
+       WHERE inter * (threshold_pct * 200 + 19999) >= sz * (threshold_pct * 200 - 1)
+       GROUP BY threshold_pct ORDER BY threshold_pct"""
+
   // ---- Edit-distance near-dup (LSH-blocked levenshtein) -------------
 
   /** Edit-distance near-dup pairs over an LSH-blocked candidate set —

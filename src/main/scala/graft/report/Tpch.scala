@@ -329,6 +329,60 @@ object Tpch {
     * the histogram of those counts. The second groupBy runs on the
     * ~|distinct counts| frame, so the only real shuffle is the first
     * custkey-keyed one. */
+  /** TPC-H Q17 (small-quantity-order revenue): average yearly revenue
+    * lost if small orders (quantity below 20% of the part's average)
+    * were no longer filled, for one brand. The textbook CORRELATED
+    * SCALAR SUBQUERY (`0.2 * avg(l_quantity) where l2.partkey =
+    * p_partkey`) decorrelated into one per-part aggregate joined back
+    * to the same pruned fact — the J4/report_metrics decorrelation
+    * applied to TPC-H's canonical example of it.
+    *
+    * Exactness: quantities are integral, so the threshold compare
+    * runs as BIGINTs — `qty < 0.2·S/C  ⟺  5·qty·C < S` — no double
+    * division anywhere near the filter; revenue is an exact decimal
+    * sum divided by 7 with portable rounding.
+    *
+    * Scale shape: the brand filter prunes `part` AT THE SCAN to a
+    * bounded dim that broadcasts; the pruned fact then shuffles ONCE
+    * on partkey for a whole-partition (unordered, so deterministic)
+    * window that carries (S, C) to every row — one fact scan, one
+    * exchange, against the self-join decorrelation's two scans and
+    * two exchanges. The final agg is a single global row. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#4").select(col("p_partkey"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"), col("l_extendedprice"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    l.withColumn("s_qty", sum(col("qty")).over(w))
+      .withColumn("n_li", count(lit(1)).over(w))
+      .filter(col("qty") * 5 * col("n_li") < col("s_qty"))
+      .agg(count(lit(1)).as("n_small"),
+        Exact.moneySum(col("l_extendedprice")).as("small_revenue"))
+      .withColumn("avg_yearly", Exact.pround2(col("small_revenue") / 7))
+      .orderBy(col("n_small"))
+  }
+
+  val q17SmallQtySql: String =
+    s"""WITH l AS (
+         SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'Brand#4'),
+       ww AS (
+         SELECT qty, l_extendedprice,
+           CAST(sum(qty) OVER (PARTITION BY l_partkey) AS BIGINT) AS s_qty,
+           count(*) OVER (PARTITION BY l_partkey) AS n_li
+         FROM l)
+       SELECT CAST(count(*) AS BIGINT) AS n_small,
+         ${Exact.moneySumSql("l_extendedprice")} AS small_revenue,
+         ${Exact.pround2Sql(
+           s"${Exact.moneySumSql("l_extendedprice")} / 7")} AS avg_yearly
+       FROM ww WHERE qty * 5 * n_li < s_qty
+       ORDER BY n_small"""
+
   def q13Custdist(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select(col("c_custkey"))
     val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey"))
