@@ -129,6 +129,54 @@ object TextAnalysis {
        FROM d ORDER BY doc_id"""
   }
 
+  /** Classifier EVALUATION for [[langId]] — the confusion matrix
+    * against the table's gold `lang` labels, the report every
+    * filtering pipeline publishes before trusting a heuristic gate:
+    * per (gold, predicted) cell its doc count and the gold class's
+    * recall in exact ppm (`n_cell / n_gold`, integer division — no
+    * doubles), plus a per-cell token mass so the reader sees how much
+    * CORPUS each confusion costs, not just how many docs.
+    *
+    * Scale shape: one narrow map (the same marker-scoring expressions
+    * as [[langId]]) into one map-side-combined groupBy whose key
+    * space is |langs|² — nothing global. */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    val scored = langId(spark, dir)
+      .select(col("doc_id"), col("labeled_lang"), col("pred_lang"))
+    val toksLen = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_toks"))
+    val cells = scored.join(toksLen, Seq("doc_id"))
+      .groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val golds = cells.groupBy(col("labeled_lang"))
+      .agg(sum(col("n_docs")).as("n_gold"))
+    cells.join(broadcast(golds), Seq("labeled_lang"))
+      .select(col("labeled_lang"), col("pred_lang"), col("n_docs"),
+        col("n_tokens"),
+        // `div`, not `/`: Spark's `/` on BIGINTs returns DOUBLE; the
+        // ppm must stay an exact integer division like DuckDB's `//`
+        expr("n_docs * 1000000 div n_gold").cast("long").as("recall_ppm"))
+      .orderBy(col("labeled_lang"), col("pred_lang"))
+  }
+
+  val langIdEvalSql: String =
+    s"""WITH li AS ($langIdSql),
+       tl AS (SELECT doc_id, CAST(len(${toksSql("text")}) AS BIGINT) AS n_toks
+              FROM documents),
+       cells AS (
+         SELECT labeled_lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         FROM li JOIN tl USING (doc_id)
+         GROUP BY labeled_lang, pred_lang),
+       golds AS (
+         SELECT labeled_lang, CAST(sum(n_docs) AS BIGINT) AS n_gold
+         FROM cells GROUP BY labeled_lang)
+       SELECT labeled_lang, pred_lang, n_docs, n_tokens,
+         CAST(n_docs * 1000000 // n_gold AS BIGINT) AS recall_ppm
+       FROM cells JOIN golds USING (labeled_lang)
+       ORDER BY labeled_lang, pred_lang"""
+
   /** Token counting per source: whitespace tokens vs a BPE-ish
     * regex tokenizer (letter runs / digit runs / single symbols) —
     * the cheap proxy for "how many tokens does this corpus cost". */
