@@ -178,4 +178,144 @@ object Audit {
            AS prediction_exact,
          n_join_keys, max_key_fanout
        FROM pred CROSS JOIN act ORDER BY predicted_rows"""
+
+  private val K_ANON = 5L
+
+  /** k-anonymity audit over the customer quasi-identifiers
+    * (mktsegment × nation) — the release gate a privacy review runs
+    * before a table with indirect identifiers ships into a training
+    * corpus: any equivalence class smaller than k re-identifies its
+    * members. Emits one row per class-size bucket plus the headline:
+    * how many classes (and customers) sit below k.
+    *
+    * Scale shape: one groupBy on the quasi-identifier tuple (map-side
+    * combined; the class-count frame is ≤ |segments|×|nations| rows),
+    * then a tiny second rollup by class size. Nothing row-scale
+    * survives the first aggregate. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).cast("long").as("n_customers"),
+        max(when(col("class_size") < K_ANON, 1L).otherwise(0L))
+          .as("below_k"))
+      .orderBy(col("class_size"))
+
+  val kAnonymitySql: String =
+    s"""WITH classes AS (
+         SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS class_size
+         FROM customer GROUP BY c_mktsegment, c_nationkey)
+       SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(sum(class_size) AS BIGINT) AS n_customers,
+         CAST(max(CASE WHEN class_size < $K_ANON THEN 1 ELSE 0 END) AS BIGINT)
+           AS below_k
+       FROM classes GROUP BY class_size ORDER BY class_size"""
+
+  /** Event-order audit: per event type, how many events arrive with a
+    * timestamp EARLIER than the previous event of the same user (in
+    * event_id = arrival order) — the out-of-orderness profile that
+    * sizes a streaming watermark (`withWatermark` delay = the p100/p99
+    * regression magnitude this reports). Emits per-type arrival
+    * counts, disorder counts, and the worst backward jump in
+    * milliseconds.
+    *
+    * Scale shape: one window keyed on user_id (high-cardinality
+    * partition key — shuffles once, no global sort), then a map-side
+    * combined rollup on event_type. The lag feeds arithmetic, so the
+    * window ORDER BY is total (event_id is unique per user) per the
+    * repo convention. */
+  def eventOrderAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("back_us",
+        when(col("prev_ts").isNotNull && col("ts") < col("prev_ts"),
+          unix_micros(col("prev_ts")) - unix_micros(col("ts")))
+          .otherwise(lit(null)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("back_us")).as("n_disordered"),
+        coalesce(max(col("back_us")), lit(0L)).cast("long").as("max_back_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventOrderAuditSql: String =
+    """WITH lagged AS (
+         SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+           lag(CAST(ts AS TIMESTAMP), 1) OVER (
+             PARTITION BY user_id ORDER BY event_id) AS prev_ts
+         FROM events),
+       marked AS (
+         SELECT event_type,
+           CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts THEN
+             CAST(epoch_us(prev_ts) - epoch_us(ts) AS BIGINT)
+           ELSE NULL END AS back_us
+         FROM lagged)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(back_us) AS BIGINT) AS n_disordered,
+         CAST(coalesce(max(back_us), 0) AS BIGINT) AS max_back_us
+       FROM marked GROUP BY event_type ORDER BY event_type"""
+
+  private val DRIFT_CUT = "1998-07-01"
+
+  /** Distribution-drift profile between two eras of the orders table
+    * (split at [[DRIFT_CUT]]) — the snapshot-to-snapshot comparison a
+    * pipeline runs before retraining on refreshed data: per priority
+    * class, the row share (exact integer ppm) and mean order value in
+    * each era, plus the absolute share shift. A large total shift
+    * means the upstream distribution moved and cached statistics /
+    * mixture weights are stale.
+    *
+    * Scale shape: ONE scan, one map-side-combined groupBy on the
+    * tiny priority key space with conditional partial aggregates per
+    * era; the era totals come back as a 1-row broadcast cross join.
+    * (Two separate era scans + a join would read the fact twice for
+    * no benefit — conditional aggregation is the one-pass form.) */
+  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cut = to_timestamp(lit(DRIFT_CUT))
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val byClass = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderdate") < cut, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("o_orderdate") >= cut, 1L).otherwise(0L)).as("n_b"),
+        graft.util.Exact.moneySum(when(col("o_orderdate") < cut,
+          col("o_totalprice")).otherwise(lit(0.0))).as("price_a"),
+        graft.util.Exact.moneySum(when(col("o_orderdate") >= cut,
+          col("o_totalprice")).otherwise(lit(0.0))).as("price_b"))
+    val tot = byClass.agg(sum(col("n_a")).cast("long").as("t_a"),
+      sum(col("n_b")).cast("long").as("t_b"))
+    byClass.crossJoin(broadcast(tot))
+      .select(col("o_orderpriority"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("price_a"), col("price_b"),
+        idiv(col("n_a") * 1000000L, col("t_a")).as("share_a_ppm"),
+        idiv(col("n_b") * 1000000L, col("t_b")).as("share_b_ppm"))
+      .withColumn("shift_ppm",
+        abs(col("share_a_ppm") - col("share_b_ppm")))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val profileDriftSql: String =
+    s"""WITH byclass AS (
+         SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$DRIFT_CUT' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '$DRIFT_CUT' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           ${graft.util.Exact.moneySumSql(
+             s"CASE WHEN o_orderdate < TIMESTAMP '$DRIFT_CUT' THEN o_totalprice ELSE 0.0 END")} AS price_a,
+           ${graft.util.Exact.moneySumSql(
+             s"CASE WHEN o_orderdate >= TIMESTAMP '$DRIFT_CUT' THEN o_totalprice ELSE 0.0 END")} AS price_b
+         FROM orders GROUP BY o_orderpriority),
+       tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a, CAST(sum(n_b) AS BIGINT) AS t_b FROM byclass)
+       SELECT o_orderpriority, n_a, n_b, price_a, price_b,
+         CAST((n_a * 1000000 - ((n_a * 1000000) % t_a)) / t_a AS BIGINT) AS share_a_ppm,
+         CAST((n_b * 1000000 - ((n_b * 1000000) % t_b)) / t_b AS BIGINT) AS share_b_ppm,
+         CAST(abs((n_a * 1000000 - ((n_a * 1000000) % t_a)) / t_a
+                - (n_b * 1000000 - ((n_b * 1000000) % t_b)) / t_b) AS BIGINT) AS shift_ppm
+       FROM byclass CROSS JOIN tot ORDER BY o_orderpriority"""
 }

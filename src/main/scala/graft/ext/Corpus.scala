@@ -395,6 +395,151 @@ object Corpus {
        FROM (SELECT unnest(list_distinct(${toksSql("text")})) AS token FROM documents)
        GROUP BY token ORDER BY df DESC, token LIMIT 20"""
 
+  /** Exact floor division on non-negative longs, portable (same
+    * construction as graft.ext.Graph.idiv: reduce the numerator to a
+    * multiple of the divisor, then the double division is exact). */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  private val IMP_TARGET = "src0"
+
+  /** Importance weights for domain-targeted data selection — the
+    * DSIR recipe (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling") with hashed-unigram features:
+    * each document scores by how much more frequent its tokens are in
+    * the TARGET domain (source = [[IMP_TARGET]]) than in the corpus
+    * at large; sampling ∝ weight tilts the corpus toward the target
+    * distribution. The published estimator is a log-likelihood ratio;
+    * log() is not bit-stable cross-engine, so the per-token feature
+    * here is the raw frequency ratio in exact integer ppm —
+    * floor(10⁶ · cnt_t(tok) · N_c / (cnt_c(tok) · N_t)) — and the
+    * document weight is the exact-integer mean over token occurrences
+    * (ppm > 10⁶ ⇔ more target-like; monotone in the likelihood
+    * ratio under a per-token view, which preserves the selection
+    * ORDER the resampler consumes). cnt_t·N_c stays < 2⁶² until the
+    * corpus passes ~10⁹ total target tokens × 10¹² corpus tokens —
+    * re-scale the ppm base before that point.
+    *
+    * Scale shape: one fenced explode feeding (a) the token-keyed
+    * stats aggregate and (b) the per-doc rollup after an equi-join
+    * back on token; corpus totals are a 1-row broadcast. Same
+    * two-shuffle shape as keyword_topk. */
+  def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        explode_outer(toks(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      .transform(graft.util.Fence.lineage)
+    val stats = occ.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt_c"),
+        sum(when(col("source") === IMP_TARGET, 1L).otherwise(0L)).as("cnt_t"))
+    val totals = stats.agg(sum(col("cnt_c")).cast("long").as("n_c"),
+      sum(col("cnt_t")).cast("long").as("n_t"))
+    occ.join(stats, Seq("token"))
+      .crossJoin(broadcast(totals))
+      .withColumn("ratio_ppm",
+        idiv(lit(1000000L) * col("cnt_t") * col("n_c"), col("cnt_c") * col("n_t")))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("ratio_ppm")).cast("long").as("sum_ppm"))
+      .withColumn("weight_ppm", idiv(col("sum_ppm"), col("n_tok")))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("weight_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val importanceWeightsSql: String =
+    s"""WITH occ AS (
+         SELECT doc_id, source, unnest(${toksSql("text")}) AS token FROM documents),
+       stats AS (
+         SELECT token, CAST(count(*) AS BIGINT) AS cnt_c,
+           CAST(sum(CASE WHEN source = '$IMP_TARGET' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+         FROM occ GROUP BY token),
+       totals AS (
+         SELECT CAST(sum(cnt_c) AS BIGINT) AS n_c, CAST(sum(cnt_t) AS BIGINT) AS n_t
+         FROM stats),
+       scored AS (
+         SELECT o.doc_id, o.source,
+           CAST((1000000 * s.cnt_t * t.n_c - ((1000000 * s.cnt_t * t.n_c) % (s.cnt_c * t.n_t)))
+                / (s.cnt_c * t.n_t) AS BIGINT) AS ratio_ppm
+         FROM occ o JOIN stats s USING (token) CROSS JOIN totals t)
+       SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST((sum(ratio_ppm) - (sum(ratio_ppm) % count(*))) / count(*) AS BIGINT) AS weight_ppm
+       FROM scored GROUP BY doc_id, source ORDER BY doc_id"""
+
+  private val ZIPF_K = 64 // head terms the power-law is fitted over
+
+  /** Zipf power-law fit over the token rank-frequency curve — the
+    * corpus-health diagnostic (a natural corpus has slope ≈ −1 in
+    * log-log space; template/boilerplate-heavy corpora flatten, spam
+    * floods steepen). Transcendental log() is not bit-stable across
+    * engines, so both axes use FLOOR-log2 computed exactly as
+    * `length(bin(x)) − 1` — pure integer string ops — and the
+    * least-squares slope over the [[ZIPF_K]] head points stays in
+    * integer arithmetic: slope = (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²),
+    * emitted as exact BIGINT numerator/denominator plus a portable
+    * floor()-rounded milli value.
+    *
+    * Scale shape: one explode + one token-keyed count (map-side
+    * combined), then TakeOrderedAndProject bounds the frame to
+    * [[ZIPF_K]] rows BEFORE the unpartitioned rank window — the
+    * global sort only ever sees K rows, so the single-partition
+    * window is safe at any corpus size. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val head = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode_outer(toks(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(ZIPF_K)
+    val pts = head
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("token"))).cast("long"))
+      .select(
+        (length(bin(col("rank"))) - 1).cast("long").as("x"),
+        (length(bin(col("freq"))) - 1).cast("long").as("y"))
+    pts.agg(
+        count(lit(1)).as("n_points"),
+        sum(col("x")).cast("long").as("sum_x"),
+        sum(col("y")).cast("long").as("sum_y"),
+        sum(col("x") * col("y")).cast("long").as("sum_xy"),
+        sum(col("x") * col("x")).cast("long").as("sum_xx"))
+      .select(col("n_points"), col("sum_x"), col("sum_y"),
+        (col("n_points") * col("sum_xy") - col("sum_x") * col("sum_y"))
+          .as("slope_num"),
+        (col("n_points") * col("sum_xx") - col("sum_x") * col("sum_x"))
+          .as("slope_den"))
+      .withColumn("slope_milli",
+        floor(lit(1000.0) * col("slope_num") / col("slope_den")).cast("long"))
+  }
+
+  val zipfFitSql: String =
+    s"""WITH freqs AS (
+         SELECT token, CAST(count(*) AS BIGINT) AS freq
+         FROM (SELECT unnest(${toksSql("text")}) AS token FROM documents)
+         GROUP BY token ORDER BY freq DESC, token LIMIT $ZIPF_K),
+       pts AS (
+         SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS x,
+                CAST(length(bin(freq)) - 1 AS BIGINT) AS y
+         FROM (SELECT freq,
+                 CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+               FROM freqs)),
+       s AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_xx
+         FROM pts)
+       SELECT n_points, sum_x, sum_y,
+         CAST(n_points * sum_xy - sum_x * sum_y AS BIGINT) AS slope_num,
+         CAST(n_points * sum_xx - sum_x * sum_x AS BIGINT) AS slope_den,
+         CAST(floor(1000.0 * (n_points * sum_xy - sum_x * sum_y)
+                    / (n_points * sum_xx - sum_x * sum_x)) AS BIGINT) AS slope_milli
+       FROM s"""
+
   // ---------------------------------------------------------------
   // Output sharding & vocabulary coverage
   // ---------------------------------------------------------------

@@ -327,6 +327,58 @@ object Dedup {
        WHERE inter * (threshold_pct * 200 + 19999) >= sz * (threshold_pct * 200 - 1)
        GROUP BY threshold_pct ORDER BY threshold_pct"""
 
+  // ---- Split-leakage audit ------------------------------------------
+
+  /** Train/val/test split-leakage audit — the composition check a
+    * training pipeline runs AFTER assigning splits and BEFORE
+    * training: near-duplicate pairs whose two members landed in
+    * DIFFERENT splits leak evaluation data into training (the
+    * benchmark-contamination failure mode at the near-dup level,
+    * where [[graft.ext.Corpus.decontaminate]] handles the exact
+    * n-gram level). Reuses the banded-LSH verified pairs of
+    * [[dedupMinhashLsh]] unchanged, assigns each member its split via
+    * the SAME content-independent hash rule as
+    * [[graft.ext.Corpus.splitAssign]] (a narrow map on the id — no
+    * join against a split table needed, which is the point of a
+    * deterministic split function), and rolls up pair counts per
+    * unordered split pair with a leak flag.
+    *
+    * Scale shape: identical to dedup_minhash_lsh (the dominant cost)
+    * plus one map-side-combined groupBy on a ≤6-row key space. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    def splitOf(id: Column): Column = {
+      val h = graft.util.Hashing.phash(id.cast("string"), "split_") % 1000
+      when(h < 980, lit("train")).when(h < 990, lit("val")).otherwise(lit("test"))
+    }
+    lshPairsOf(signatures(spark, dir))
+      .select(col("id1"), col("id2"),
+        splitOf(col("id1")).as("s1"), splitOf(col("id2")).as("s2"))
+      .select(least(col("s1"), col("s2")).as("split_a"),
+        greatest(col("s1"), col("s2")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+          .as("leaked"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  val splitLeakageSql: String = {
+    def splitOfSql(id: String): String = {
+      val h = s"(${graft.util.Hashing.phashSql(s"CAST($id AS VARCHAR)", "split_")} % 1000)"
+      s"CASE WHEN $h < 980 THEN 'train' WHEN $h < 990 THEN 'val' ELSE 'test' END"
+    }
+    s"""WITH $corpusSql,
+       $lshPairsCtes,
+       pairs AS (SELECT id1, id2 FROM j WHERE jaccard >= 0.5),
+       tagged AS (
+         SELECT least(${splitOfSql("id1")}, ${splitOfSql("id2")}) AS split_a,
+                greatest(${splitOfSql("id1")}, ${splitOfSql("id2")}) AS split_b
+         FROM pairs)
+       SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(max(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END) AS BIGINT) AS leaked
+       FROM tagged GROUP BY split_a, split_b ORDER BY split_a, split_b"""
+  }
+
   // ---- Edit-distance near-dup (LSH-blocked levenshtein) -------------
 
   /** Edit-distance near-dup pairs over an LSH-blocked candidate set —

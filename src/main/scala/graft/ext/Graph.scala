@@ -40,19 +40,24 @@ object Graph {
   private def idiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
 
+  /** The synthesized (src, dst) link set over a node frame — three
+    * affine out-links per node, kept only when the target id exists
+    * (dangling-probe drop — deterministic in both engines). Shared by
+    * [[pagerankOf]] and [[degreeDistribution]]. */
+  private def edgesOf(nodes: DataFrame): DataFrame = {
+    val m = nodes.agg(count(lit(1)).as("m"))
+    nodes.crossJoin(broadcast(m))
+      .select(col("id").as("src"),
+        explode(array((1 to 3).map(k =>
+          pmod(col("id") * 7 + k * 13, col("m"))): _*)).as("dst"))
+      .join(nodes.select(col("id").as("dst")), Seq("dst"))
+  }
+
   private[graft] def pagerankOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val nodes = docs.select(col("doc_id").as("id"))
       .repartition(spark.sparkContext.defaultParallelism)
-    val m = nodes.agg(count(lit(1)).as("m"))
-    // three affine out-links per node, kept only when the target id
-    // exists (dangling-probe drop — deterministic in both engines)
-    val probes = nodes.crossJoin(broadcast(m))
-      .select(col("id").as("src"),
-        explode(array((1 to 3).map(k =>
-          pmod(col("id") * 7 + k * 13, col("m"))): _*)).as("dst"))
-    val edges = probes
-      .join(nodes.select(col("id").as("dst")), Seq("dst"))
+    val edges = edgesOf(nodes)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edgesD = edges.join(deg, Seq("src"))
       .select(col("src"), col("dst"), col("deg"))
@@ -112,4 +117,61 @@ object Graph {
        LEFT JOIN deg d ON d.src = n.id
        ORDER BY rank_micro DESC, doc_id LIMIT $TOPK"""
   }
+
+  /** Degree-distribution profile of the link graph — the first plot
+    * a crawl-graph analysis draws (a web graph's in-degree tail is
+    * the power law [[pagerankLinks]] exploits; a missing tail means
+    * the synthesized/ingested edge set is broken). One row per degree
+    * value with the node counts holding that out- and in-degree,
+    * zero-degree nodes included (a node every probe dangled away
+    * from still counts in the 0 bucket — hence the left joins before
+    * the histograms).
+    *
+    * Scale shape: the edge build (one broadcast + one equi-join),
+    * two id-keyed count aggregates, two map-side-combined histogram
+    * rollups on the tiny degree key space, one full-outer stitch.
+    * Nothing wider than (id, long) ever shuffles. */
+  def degreeDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val edges = edgesOf(nodes).localCheckpoint(eager = false)
+    def hist(keyed: DataFrame, out: String): DataFrame =
+      nodes.join(keyed, Seq("id"), "left")
+        .select(coalesce(col("d"), lit(0L)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as(out))
+    val outH = hist(edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("d")), "n_out_nodes")
+    val inH = hist(edges.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("d")), "n_in_nodes")
+    outH.join(inH, Seq("degree"), "full_outer")
+      .select(col("degree"),
+        coalesce(col("n_out_nodes"), lit(0L)).as("n_out_nodes"),
+        coalesce(col("n_in_nodes"), lit(0L)).as("n_in_nodes"))
+      .orderBy(col("degree"))
+  }
+
+  val degreeDistributionSql: String =
+    """WITH nodes AS (SELECT doc_id AS id FROM documents),
+       m AS (SELECT count(*) AS m FROM nodes),
+       probes AS (
+         SELECT id AS src, unnest([(id * 7 + 13) % m.m,
+                                   (id * 7 + 26) % m.m,
+                                   (id * 7 + 39) % m.m]) AS dst
+         FROM nodes CROSS JOIN m),
+       edges AS (SELECT p.src, p.dst FROM probes p JOIN nodes t ON t.id = p.dst),
+       outd AS (
+         SELECT COALESCE(e.d, 0) AS degree, count(*) AS n_out_nodes
+         FROM nodes n LEFT JOIN (
+           SELECT src AS id, count(*) AS d FROM edges GROUP BY src) e USING (id)
+         GROUP BY 1),
+       ind AS (
+         SELECT COALESCE(e.d, 0) AS degree, count(*) AS n_in_nodes
+         FROM nodes n LEFT JOIN (
+           SELECT dst AS id, count(*) AS d FROM edges GROUP BY dst) e USING (id)
+         GROUP BY 1)
+       SELECT COALESCE(o.degree, i.degree) AS degree,
+         CAST(COALESCE(o.n_out_nodes, 0) AS BIGINT) AS n_out_nodes,
+         CAST(COALESCE(i.n_in_nodes, 0) AS BIGINT) AS n_in_nodes
+       FROM outd o FULL OUTER JOIN ind i ON o.degree = i.degree
+       ORDER BY degree"""
 }

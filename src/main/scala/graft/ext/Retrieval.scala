@@ -225,4 +225,102 @@ object Retrieval {
        SELECT d.term, d.df, d.cf, h.postings
        FROM dict d JOIN h USING (term)
        ORDER BY cf DESC, term LIMIT $TERMS"""
+
+  // ---- Boolean (conjunctive) search --------------------------------
+
+  /** Conjunctive boolean retrieval: documents containing ALL query
+    * terms, with per-term tfs — the postings-intersection operator a
+    * boolean search engine runs before ranking. The plan is the
+    * intersection shape, not a full-corpus rescan: the exploded
+    * occurrence stream is filtered to the query terms BEFORE the
+    * shuffle (so only matching postings move), then one groupBy(doc)
+    * counts distinct matched terms and keeps docs matching all
+    * |QUERY| — the k-way posting intersection as a count-threshold
+    * aggregate, the standard distributed formulation (smallest-list
+    * skipping is a single-node trick; the filter-then-count form is
+    * what parallelizes).
+    *
+    * Scale shape: one explode (outer, per the InferFiltersFromGenerate
+    * trap), one term-filtered shuffle keyed on doc_id, map-side
+    * combine on (doc, term). Query terms are a tiny IN-list pushed to
+    * the occurrence filter. */
+  def booleanSearch(spark: SparkSession, dir: String): DataFrame = {
+    val matched = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode_outer(toks(col("text"))).as("term"))
+      .filter(col("term").isNotNull && col("term").isInCollection(QUERY))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).cast("long").as("tf_sum"))
+      .filter(col("n_terms") === QUERY.size)
+    matched.join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("tf_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val booleanSearchSql: String = {
+    val inList = QUERY.map(q => s"'$q'").mkString(", ")
+    s"""WITH o AS (
+         SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents),
+       occ AS (
+         SELECT doc_id, term, count(*) AS tf FROM o
+         WHERE term IN ($inList) GROUP BY doc_id, term),
+       m AS (
+         SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS tf_sum
+         FROM occ GROUP BY doc_id HAVING count(*) = ${QUERY.size})
+       SELECT m.doc_id, d.source, m.tf_sum
+       FROM m JOIN documents d ON m.doc_id = d.doc_id
+       ORDER BY m.doc_id"""
+  }
+
+  // ---- Positional phrase search ------------------------------------
+
+  private val PHRASE = ("hash", "join")
+
+  /** Exact-phrase search: documents where the bigram
+    * `"${PHRASE._1} ${PHRASE._2}"` occurs at adjacent token
+    * positions — the positional-index query. Instead of materializing
+    * a positional index and self-joining postings on pos+1 (two
+    * shuffles), the adjacency test is a NARROW codegen map per
+    * document: count positions p with t[p]=w1 ∧ t[p+1]=w2 over the
+    * token array. Zero shuffles before the final top-k — the plan a
+    * 100 TB corpus scan wants, since phrase matching is
+    * embarrassingly per-document. The `size >= 2` guard keeps ANSI
+    * `element_at` in-bounds (sequence(1,0) would DESCEND in Spark and
+    * index 0 would throw).
+    *
+    * DuckDB twin walks the same positions via unnest(range) + 1-based
+    * list indexing — identical integer semantics. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (w1, w2) = PHRASE
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("t", toks(col("text")))
+      .withColumn("n_phrase",
+        when(size(col("t")) >= 2,
+          size(filter(sequence(lit(1), size(col("t")) - 1),
+            p => element_at(col("t"), p) === w1 &&
+                 element_at(col("t"), p + 1) === w2)))
+          .otherwise(0).cast("long"))
+    d.filter(col("n_phrase") > 0)
+      .select(col("doc_id"), col("lang"), col("n_phrase"))
+      .orderBy(col("n_phrase").desc, col("doc_id"))
+  }
+
+  val phraseSearchSql: String = {
+    val (w1, w2) = PHRASE
+    s"""WITH d AS (
+         SELECT doc_id, lang, ${toksSql("text")} AS t FROM documents),
+       pos AS (
+         SELECT doc_id, lang, unnest(range(1, len(t))) AS p, t
+         FROM d WHERE len(t) >= 2),
+       hits AS (
+         SELECT doc_id, lang, count(*) AS n_phrase FROM pos
+         WHERE t[p] = '$w1' AND t[p + 1] = '$w2'
+         GROUP BY doc_id, lang)
+       SELECT doc_id, lang, CAST(n_phrase AS BIGINT) AS n_phrase
+       FROM hits ORDER BY n_phrase DESC, doc_id"""
+  }
 }

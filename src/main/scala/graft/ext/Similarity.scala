@@ -825,4 +825,79 @@ object Similarity {
                * 1000000 + 0.5) / 1000000 AS cosine
        FROM vecs a JOIN vecs b ON a.label < b.label
        ORDER BY label1, label2"""
+
+  // ---- Product quantization ----------------------------------------
+
+  private val PQ_M      = 4   // subspaces
+  private val PQ_SUBDIM = DIM / PQ_M
+  private val PQ_CODES  = 16  // codewords per subspace → 4 bits/code
+
+  /** Product-quantization encoding (Jégou et al., PAMI 2011): split
+    * each vector into [[PQ_M]] subvectors, assign each to its nearest
+    * of [[PQ_CODES]] per-subspace codewords, emit the code word plus
+    * the exact integer reconstruction error. PQ compresses a 64-dim
+    * float vector to M·log2(K) = 16 bits — the memory layout an IVF-PQ
+    * index scans at 10⁹-vector scale (cells from [[knnIvfKmeans]],
+    * codes from here). Codewords are a deterministic corpus sample
+    * (the m-th subvector of vec_id < [[PQ_CODES]]) so the oracle
+    * rebuilds them exactly — [[knnIvf]]'s sampled-vs-trained note
+    * applies verbatim. Distances are exact integer arithmetic on the
+    * milli-quantized grid (d² = |a|² − 2a·b + |b|², each term a
+    * [[graft.functions.LongDot]]); the argmin is the cross-engine
+    * struct-min convention with the code id as tie-break.
+    *
+    * Scale shape: one ×[[PQ_M]] literal explode, one broadcast join
+    * against the 64-row codebook (×[[PQ_CODES]] fanout inside the
+    * map stage), then two map-side-combined aggregates keyed on
+    * (vec, m) and vec. Nothing shuffles wider than N·M rows of
+    * (id, two longs). */
+  def pqQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("qv", quant(col("embedding")))
+      .select(col("vec_id"), col("qv"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    def subs(df: DataFrame): DataFrame = df
+      .select(col("vec_id"),
+        explode(array((0 until PQ_M).map(m => lit(m)): _*)).as("m"),
+        col("qv"))
+      .select(col("vec_id"), col("m"),
+        slice(col("qv"), col("m") * PQ_SUBDIM + 1, lit(PQ_SUBDIM)).as("sv"))
+    val cb = subs(e.filter(col("vec_id") < PQ_CODES))
+      .select(col("m"), col("vec_id").as("code"), col("sv").as("cw"))
+    subs(e).join(broadcast(cb), Seq("m"))
+      .withColumn("d2",
+        dot(col("sv"), col("sv")) - lit(2L) * dot(col("sv"), col("cw")) +
+          dot(col("cw"), col("cw")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2").as("d"), col("code").as("c"))).as("best"))
+      .groupBy(col("vec_id"))
+      .agg(
+        concat_ws("|", transform(
+          array_sort(collect_list(struct(col("m"),
+            col("best.c").cast("string").as("cs")))),
+          s => s.getField("cs"))).as("pq_code"),
+        sum(col("best.d")).cast("long").as("err2"))
+      .orderBy(col("vec_id"))
+  }
+
+  val pqQuantizeSql: String = {
+    def dotSql(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, $PQ_SUBDIM), i -> $a[i] * $b[i])) AS BIGINT)"
+    s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+       ms AS (SELECT unnest(range(0, $PQ_M)) AS m),
+       sub AS (
+         SELECT vec_id, m, list_slice(qv, m * $PQ_SUBDIM + 1, m * $PQ_SUBDIM + $PQ_SUBDIM) AS sv
+         FROM e CROSS JOIN ms),
+       cb AS (SELECT m, vec_id AS code, sv AS cw FROM sub WHERE vec_id < $PQ_CODES),
+       best AS (
+         SELECT s.vec_id, s.m,
+           min(struct_pack(d := ${dotSql("s.sv", "s.sv")} - 2 * ${dotSql("s.sv", "c.cw")}
+                                + ${dotSql("c.cw", "c.cw")},
+                           c := c.code)) AS b
+         FROM sub s JOIN cb c USING (m) GROUP BY s.vec_id, s.m)
+       SELECT vec_id,
+         string_agg(CAST(b.c AS VARCHAR), '|' ORDER BY m) AS pq_code,
+         CAST(sum(b.d) AS BIGINT) AS err2
+       FROM best GROUP BY vec_id ORDER BY vec_id"""
+  }
 }

@@ -444,4 +444,170 @@ object Tpch {
        JOIN supplier ON l_suppkey = s_suppkey
        WHERE rev = mx
        ORDER BY s_suppkey"""
+
+  /** TPC-H Q7 (volume shipping): bilateral trade between two nations
+    * by ship year — supplier nation on one side, customer nation on
+    * the other, BOTH directions kept. The nation dimension joins
+    * broadcast twice under different role names (supp/cust); the
+    * fact shuffles once on orderkey for the orders join, and the
+    * 3-key groupBy is low-cardinality (2 directions × 2 years).
+    * Year extraction is an integer date part — deterministic in both
+    * engines (no libm). */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+    li.join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(Exact.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7VolumeShippingSql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS l_year,
+         ${Exact.moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1998-01-01'
+         AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year"""
+
+  /** TPC-H Q8 (national market share): of all PROMO-part revenue sold
+    * into EUROPE-region customers, the fraction supplied by NATION_1,
+    * per order year. The share division runs on two exact-decimal
+    * sums surfaced as identical doubles in both engines, then
+    * portable 4-dp rounding — the no-naive-`round(sum(double))`
+    * convention (see graft.util.Exact).
+    *
+    * Scale shape: part/customer-side filters prune at the scans, the
+    * two nation copies and region broadcast, the fact shuffles once
+    * per equi-join key chain, and the final groupBy has one row per
+    * year. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val nCust = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_nk"))
+    val nSupp = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_nk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+                  col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("cn_nk"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("sn_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        Exact.moneySum(when(col("supp_nation") === "NATION_1",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0))).as("nation_volume"),
+        Exact.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_volume"))
+      .withColumn("mkt_share",
+        Exact.pround4(col("nation_volume") / nullif(col("total_volume"), lit(0.0))))
+      .orderBy(col("o_year"))
+  }
+
+  val q8MarketShareSql: String =
+    s"""SELECT o_year, nation_volume, total_volume,
+         ${Exact.pround4Sql("nation_volume / nullif(total_volume, 0)")} AS mkt_share
+       FROM (
+         SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_year,
+           ${Exact.moneySumSql(
+             "CASE WHEN n2.n_name = 'NATION_1' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             AS nation_volume,
+           ${Exact.moneySumSql("l_extendedprice * (1 - l_discount)")} AS total_volume
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY o_year)
+       ORDER BY o_year"""
+
+  /** TPC-H Q22 (global sales opportunity), adapted to this schema's
+    * columns: customers in three target nations with above-average
+    * positive balances and NO orders in the trailing year — the
+    * "idle wealthy customer" report. c_phone's country code (absent
+    * here) becomes c_nationkey, and the bare NOT EXISTS becomes a
+    * dated one (this dense synthetic corpus gives every customer at
+    * least one lifetime order, so the literal predicate is vacuous).
+    * The average-positive-balance threshold is derived
+    * IN-QUERY (1-row agg, broadcast cross join — the no-driver-probe
+    * convention) from an exact decimal sum so both engines compare
+    * against the bit-identical double; the no-orders predicate is a
+    * left_anti join (never a correlated NOT EXISTS re-scan per row). */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq(1L, 2L, 3L)
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_nationkey").isin(nations: _*))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val thr = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    cust.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-08-01")))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntry"))
+      .agg(count(lit(1)).as("numcust"),
+        Exact.moneySum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("cntry"))
+  }
+
+  val q22IdleCustomersSql: String =
+    s"""WITH cust AS (
+         SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+         WHERE c_nationkey IN (1, 2, 3)),
+       thr AS (
+         SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_bal
+         FROM cust WHERE c_acctbal > 0),
+       idle AS (
+         SELECT c.* FROM cust c CROSS JOIN thr
+         WHERE c.c_acctbal > thr.avg_bal
+           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '2000-08-01'))
+       SELECT c_nationkey AS cntry, CAST(count(*) AS BIGINT) AS numcust,
+         ${Exact.moneySumSql("c_acctbal")} AS totacctbal
+       FROM idle GROUP BY cntry ORDER BY cntry"""
 }

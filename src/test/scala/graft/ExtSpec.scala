@@ -922,4 +922,160 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("split_leakage finds cross-split near-dup pairs and flags them") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("split_leakage")(spark, sf).collect()
+    assert(df.nonEmpty)
+    // flags are consistent with the key pair
+    df.foreach { r =>
+      val crossSplit = r.getString(0) != r.getString(1)
+      assert(r.getLong(3) == (if (crossSplit) 1L else 0L))
+      assert(r.getString(0) <= r.getString(1), "split pair must be ordered")
+    }
+    // total pair count equals the LSH dedup pair count (same generator)
+    val totalPairs = df.map(_.getLong(2)).sum
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).count()
+    assert(totalPairs == lsh)
+    // with a 98/1/1 split and ~200 twin pairs, at least one leak exists
+    assert(df.exists(r => r.getLong(3) == 1L))
+  }
+
+  test("pq_quantize codes are within range and codewords self-encode at zero error") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("pq_quantize")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == graft.model.Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val codes = r.getString(1).split("\\|")
+      assert(codes.length == 4)
+      assert(codes.forall(c => c.toInt >= 0 && c.toInt < 16))
+      assert(r.getLong(2) >= 0)
+    }
+    // a vector that IS a codebook row reconstructs itself exactly
+    val self = rows.filter(_.getLong(0) < 16)
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      assert(r.getLong(2) == 0L, s"codeword vec ${r.getLong(0)} has err2 ${r.getLong(2)}")
+      assert(r.getString(1) == s"${r.getLong(0)}|${r.getLong(0)}|${r.getLong(0)}|${r.getLong(0)}")
+    }
+    // non-codebook vectors generally cannot reconstruct exactly
+    assert(rows.filter(_.getLong(0) >= 16).count(_.getLong(2) > 0) > 0)
+  }
+
+  test("importance_weights score target-domain docs above the corpus mean") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("importance_weights")(spark, sf)
+    val byCat = df.groupBy(col("source") === "src0")
+      .agg(avg(col("weight_ppm"))).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the target stratum must score above non-target on average —
+    // that is the whole point of importance weighting
+    assert(byCat(true) > byCat(false),
+      s"target avg ${byCat(true)} !> rest ${byCat(false)}")
+    // weights are ppm-positive and finite
+    assert(df.filter(col("weight_ppm") <= 0).count() == 0)
+  }
+
+  test("degree_distribution conserves nodes on both axes and edges in-degree mass") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("degree_distribution")(spark, sf)
+    val n = graft.model.Tables.documents(spark, sf).count()
+    val sums = df.agg(sum(col("n_out_nodes")), sum(col("n_in_nodes")),
+      sum(col("degree") * col("n_out_nodes")),
+      sum(col("degree") * col("n_in_nodes"))).head()
+    assert(sums.getLong(0) == n, "every node appears in the out histogram")
+    assert(sums.getLong(1) == n, "every node appears in the in histogram")
+    // total out-degree mass == total in-degree mass == |edges|
+    assert(sums.getLong(2) == sums.getLong(3))
+    assert(sums.getLong(2) <= 3 * n, "at most 3 probes per node survive")
+  }
+
+  test("profile_drift shares sum to ~1e6 per era and shift is the abs gap") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("profile_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val sa = rows.map(_.getLong(5)).sum
+    val sb = rows.map(_.getLong(6)).sum
+    // floor-division ppm shares undershoot 1e6 by < #classes
+    assert(sa > 1000000L - rows.length && sa <= 1000000L)
+    assert(sb > 1000000L - rows.length && sb <= 1000000L)
+    rows.foreach { r =>
+      assert(r.getLong(7) == math.abs(r.getLong(5) - r.getLong(6)))
+      assert(r.getDouble(3) >= 0 && r.getDouble(4) >= 0)
+    }
+  }
+
+  test("boolean_search returns exactly the docs containing every query term") {
+    val got = SparkEntry.queries("boolean_search")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+    val naive = docs.filter { r =>
+      val t = r.getString(1).trim.split("\\s+").toSet
+      Set("hash", "join", "stream").subsetOf(t)
+    }.map(_.getLong(0)).toSet
+    assert(got == naive)
+  }
+
+  test("phrase_search counts exact adjacent-bigram occurrences") {
+    val got = SparkEntry.queries("phrase_search")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val naive = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().flatMap { r =>
+        val t = r.getString(1).trim.split("\\s+")
+        val n = t.sliding(2).count(p => p.length == 2 && p(0) == "hash" && p(1) == "join")
+        if (n > 0) Some(r.getLong(0) -> n.toLong) else None
+      }.toMap
+    assert(got == naive)
+  }
+
+  test("zipf_fit slope is negative and matches a naive floor-log2 regression") {
+    val row = SparkEntry.queries("zipf_fit")(spark, sf).head()
+    val (n, num, den, milli) =
+      (row.getLong(0), row.getLong(3), row.getLong(4), row.getLong(5))
+    assert(den > 0 && num < 0, "rank-frequency must slope downward")
+    assert(milli == math.floor(1000.0 * num / den).toLong)
+    // recompute the points naively from the corpus
+    val freqs = graft.model.Tables.documents(spark, sf)
+      .select("text").collect()
+      .flatMap(_.getString(0).trim.split("\\s+"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(64)
+    def l2(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val pts = freqs.zipWithIndex.map { case ((_, f), i) => (l2(i + 1L), l2(f)) }
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1.toLong * p._2).sum
+    val sxx = pts.map(p => p._1.toLong * p._1).sum
+    assert(n == pts.size)
+    assert(num == n * sxy - sx.toLong * sy)
+    assert(den == n * sxx - sx.toLong * sx)
+  }
+
+  test("k_anonymity buckets partition the customer table exactly") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("k_anonymity")(spark, sf)
+    val total = df.agg(sum(col("n_customers"))).head().getLong(0)
+    assert(total == graft.model.Tables.customer(spark, sf).count())
+    // below_k marks exactly the sizes under the threshold
+    assert(df.filter(col("class_size") < 5 && col("below_k") =!= 1L).count() == 0)
+    assert(df.filter(col("class_size") >= 5 && col("below_k") =!= 0L).count() == 0)
+  }
+
+  test("event_order_audit counts ts regressions in arrival order per user") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("event_order_audit")(spark, sf)
+    val totals = df.agg(sum(col("n_events")), sum(col("n_disordered"))).head()
+    assert(totals.getLong(0) == graft.model.Tables.events(spark, sf).count())
+    // naive recount over the whole (small) event table
+    val naive = graft.model.Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts").collect()
+      .groupBy(_.getLong(0)).values.map { evs =>
+        evs.sortBy(_.getLong(1)).map { r =>
+          val i = r.getTimestamp(2).toInstant
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }.sliding(2).count(p => p.length == 2 && p(1) < p(0)).toLong
+      }.sum
+    assert(totals.getLong(1) == naive)
+  }
 }

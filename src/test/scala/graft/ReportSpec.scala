@@ -214,4 +214,50 @@ class ReportSpec extends AnyFunSuite {
       .select(col("user_id")).distinct().count()
     assert(wk0.agg(sum(col("cohort_size"))).head().getLong(0) == users)
   }
+
+  test("q7 keeps both trade directions and only the two target nations") {
+    import org.apache.spark.sql.functions._
+    // sf0.001 has no NATION_1↔NATION_2 trade in the ship window; use sf0.01
+    val rows = SparkEntry.queries("q7_volume_shipping")(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    val dirs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dirs.subsetOf(Set(("NATION_1", "NATION_2"), ("NATION_2", "NATION_1"))))
+    assert(dirs.map(_.swap) == dirs, "a direction is missing its mirror")
+    assert(rows.forall(r => r.getLong(2) == 1996L || r.getLong(2) == 1997L))
+    assert(rows.forall(_.getDouble(3) > 0))
+  }
+
+  test("q8 market share is the nation/total quotient and stays in [0,1]") {
+    val rows = SparkEntry.queries("q8_market_share")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nat, tot, share) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(nat >= 0 && nat <= tot)
+      assert(share >= 0 && share <= 1)
+      assert(math.abs(share - math.floor(nat / tot * 10000 + 0.5) / 10000) < 1e-12)
+    }
+  }
+
+  test("q22 idle customers truly have no trailing-year orders and beat the avg") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("q22_idle_customers")(spark, d)
+    assert(out.count() > 0)
+    // recompute the threshold and the idle set naively
+    val cust = graft.model.Tables.customer(spark, d)
+      .filter(col("c_nationkey").isin(1L, 2L, 3L))
+    val avg = cust.filter(col("c_acctbal") > 0)
+      .agg(avg_("c_acctbal")).head().getDouble(0)
+    val recent = graft.model.Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("2000-08-01")))
+      .select(col("o_custkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    // (plain double avg vs the operator's decimal-derived avg: 2-dp
+    // balances sit far from the last-ULP boundary, so > agrees)
+    val naiveCount = cust.select(col("c_custkey"), col("c_acctbal")).collect()
+      .count(r => r.getDouble(1) > avg && !recent.contains(r.getLong(0)))
+    assert(out.agg(sum(col("numcust"))).head().getLong(0) == naiveCount)
+  }
+
+  private def avg_(c: String) = org.apache.spark.sql.functions.avg(c)
 }
