@@ -318,4 +318,70 @@ object Audit {
          CAST(abs((n_a * 1000000 - ((n_a * 1000000) % t_a)) / t_a
                 - (n_b * 1000000 - ((n_b * 1000000) % t_b)) / t_b) AS BIGINT) AS shift_ppm
        FROM byclass CROSS JOIN tot ORDER BY o_orderpriority"""
+
+  /** Right-to-be-forgotten cascade audit — the pre-deletion impact
+    * report a GDPR/CCPA erasure run produces: for a deterministic
+    * forget set (every 13th event user — standing in for the
+    * uploaded deletion batch), the row counts that would be erased
+    * from each table in the foreign-key cascade user → customer →
+    * orders → lineitem → events. The deletion itself is these four
+    * anti-joins materialized; auditing first is how a pipeline
+    * reviews blast radius before an irreversible write.
+    *
+    * Scale shape: the forget set (bounded: a deletion batch) and the
+    * affected order keys (bounded: its orders) broadcast into semi
+    * joins — each fact table is scanned once, nothing joins
+    * fact-to-fact. At a larger deletion batch the broadcasts become
+    * shuffle semi-joins; the per-table single-scan shape holds. */
+  def forgetAudit(spark: SparkSession, dir: String): DataFrame = {
+    val forget = Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(13)) === 0)
+    val ords = Tables.orders(spark, dir)
+      .join(broadcast(forget), col("o_custkey") === col("user_id"), "left_semi")
+      .select(col("o_orderkey"))
+    def audit(name: String, df: DataFrame, hit: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows")).crossJoin(
+        broadcast(hit.agg(count(lit(1)).as("n_forgotten"))))
+        .select(lit(name).as("table_name"), col("n_rows"), col("n_forgotten"))
+    val cust = Tables.customer(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    audit("customer", cust,
+        cust.join(broadcast(forget), col("c_custkey") === col("user_id"), "left_semi"))
+      .unionAll(audit("events", ev,
+        ev.join(broadcast(forget.withColumnRenamed("user_id", "fid")),
+          col("user_id") === col("fid"), "left_semi")))
+      .unionAll(audit("lineitem", li,
+        li.join(ords, col("l_orderkey") === col("o_orderkey"), "left_semi")))
+      .unionAll(audit("orders", Tables.orders(spark, dir), ords))
+      .orderBy(col("table_name"))
+  }
+
+  val forgetAuditSql: String =
+    """WITH forget AS (
+         SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0),
+       ords AS (
+         SELECT o_orderkey FROM orders
+         WHERE o_custkey IN (SELECT user_id FROM forget))
+       SELECT 'customer' AS table_name,
+         CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_rows,
+         CAST((SELECT count(*) FROM customer
+               WHERE c_custkey IN (SELECT user_id FROM forget)) AS BIGINT) AS n_forgotten
+       UNION ALL
+       SELECT 'events',
+         CAST((SELECT count(*) FROM events) AS BIGINT),
+         CAST((SELECT count(*) FROM events
+               WHERE user_id IN (SELECT user_id FROM forget)) AS BIGINT)
+       UNION ALL
+       SELECT 'lineitem',
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem
+               WHERE l_orderkey IN (SELECT o_orderkey FROM ords)) AS BIGINT)
+       UNION ALL
+       SELECT 'orders',
+         CAST((SELECT count(*) FROM orders) AS BIGINT),
+         CAST((SELECT count(*) FROM orders
+               WHERE o_custkey IN (SELECT user_id FROM forget)) AS BIGINT)
+       ORDER BY table_name"""
 }

@@ -424,8 +424,12 @@ object Corpus {
     * stats aggregate and (b) the per-doc rollup after an equi-join
     * back on token; corpus totals are a 1-row broadcast. Same
     * two-shuffle shape as keyword_topk. */
-  def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
-    val occ = Tables.documents(spark, dir)
+  def importanceWeights(spark: SparkSession, dir: String): DataFrame =
+    importanceWeightsOf(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  private[graft] def importanceWeightsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val occ = docs
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
         explode_outer(toks(col("text"))).as("token"))
@@ -445,11 +449,13 @@ object Corpus {
         sum(col("ratio_ppm")).cast("long").as("sum_ppm"))
       .withColumn("weight_ppm", idiv(col("sum_ppm"), col("n_tok")))
       .select(col("doc_id"), col("source"), col("n_tok"), col("weight_ppm"))
-      .orderBy(col("doc_id"))
   }
 
-  val importanceWeightsSql: String =
-    s"""WITH occ AS (
+  /** CTE chain ending in `weights(doc_id, source, n_tok, weight_ppm)`
+    * — the SQL twin of [[importanceWeightsOf]] over the `documents`
+    * table, shared with [[importanceResample]]. */
+  private val importanceWeightsSqlCte: String =
+    s"""occ AS (
          SELECT doc_id, source, unnest(${toksSql("text")}) AS token FROM documents),
        stats AS (
          SELECT token, CAST(count(*) AS BIGINT) AS cnt_c,
@@ -462,10 +468,58 @@ object Corpus {
          SELECT o.doc_id, o.source,
            CAST((1000000 * s.cnt_t * t.n_c - ((1000000 * s.cnt_t * t.n_c) % (s.cnt_c * t.n_t)))
                 / (s.cnt_c * t.n_t) AS BIGINT) AS ratio_ppm
-         FROM occ o JOIN stats s USING (token) CROSS JOIN totals t)
-       SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tok,
-         CAST((sum(ratio_ppm) - (sum(ratio_ppm) % count(*))) / count(*) AS BIGINT) AS weight_ppm
-       FROM scored GROUP BY doc_id, source ORDER BY doc_id"""
+         FROM occ o JOIN stats s USING (token) CROSS JOIN totals t),
+       weights AS (
+         SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST((sum(ratio_ppm) - (sum(ratio_ppm) % count(*))) / count(*) AS BIGINT) AS weight_ppm
+         FROM scored GROUP BY doc_id, source)"""
+
+  val importanceWeightsSql: String =
+    s"""WITH $importanceWeightsSqlCte
+       SELECT doc_id, source, n_tok, weight_ppm FROM weights ORDER BY doc_id"""
+
+  /** Importance RESAMPLING — the second half of the DSIR recipe:
+    * having scored every document ([[importanceWeights]]), keep each
+    * with probability min(1, weight) via a deterministic content-hash
+    * coin (`phash(doc_id) mod 10⁶ < weight_ppm`) — reproducible,
+    * shuffle-free sampling (the same hash-as-coin trick as
+    * sample_stratified) that tilts the kept corpus toward the target
+    * domain. Emits the per-source funnel: docs/tokens in, docs/tokens
+    * kept, and an order-independent kept-id checksum so the oracle
+    * certifies MEMBERSHIP, not just counts.
+    *
+    * Scale shape: importance weights' two shuffles, then a narrow
+    * hash-coin filter and a map-side-combined per-source rollup. */
+  def importanceResample(spark: SparkSession, dir: String): DataFrame =
+    importanceWeightsOf(Tables.documents(spark, dir))
+      .withColumn("keep",
+        pmod(Hashing.phash(col("doc_id").cast("string"), "res_"), lit(1000000L))
+          < least(col("weight_ppm"), lit(1000000L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).cast("long")
+          .as("kept_tokens"),
+        sum(when(col("keep"),
+          pmod(Hashing.phash(col("doc_id").cast("string"), "rck_"), lit(1073741789L)))
+          .otherwise(0L)).cast("long").as("kept_checksum"))
+      .orderBy(col("source"))
+
+  val importanceResampleSql: String =
+    s"""WITH $importanceWeightsSqlCte,
+       coin AS (
+         SELECT source, n_tok, weight_ppm,
+           (${Hashing.phashSql("CAST(doc_id AS VARCHAR)", "res_")} % 1000000)
+             < least(weight_ppm, 1000000) AS keep,
+           ${Hashing.phashSql("CAST(doc_id AS VARCHAR)", "rck_")} % 1073741789 AS ck
+         FROM weights)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+         CAST(sum(CASE WHEN keep THEN ck ELSE 0 END) AS BIGINT) AS kept_checksum
+       FROM coin GROUP BY source ORDER BY source"""
 
   private val ZIPF_K = 64 // head terms the power-law is fitted over
 

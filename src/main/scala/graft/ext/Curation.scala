@@ -485,4 +485,68 @@ object Curation {
          CAST(sum(n) - count(*) AS BIGINT) AS n_collapsed
        FROM g GROUP BY source ORDER BY source"""
   }
+
+  private val BLOCK_APEX  = Seq("src2.example.com", "src8.example.com")
+  private val BLOCK_HOSTS = Seq("ads.src5.example.com")
+
+  /** Domain-blocklist filter — the crawl-hygiene gate every web
+    * corpus applies before anything else (spam/SEO/adult domain
+    * lists): a document is dropped when its host's REGISTRABLE APEX
+    * is listed (apex entries block every subdomain) or its exact
+    * host is listed (surgical entries). Hosts are synthesized from
+    * (source, doc_id) like [[dedupUrl]]'s URLs; the operator under
+    * test is the match semantics and its scale shape: the suffix
+    * match is NOT a per-row scan over the list (`endswith` against
+    * every entry — a broadcast nested loop that dies at a 10⁶-entry
+    * blocklist) but an apex EXTRACTION (public-suffix-style regexp,
+    * narrow codegen) followed by set membership — at production list
+    * sizes the two IN-lists become broadcast equi-joins on the apex
+    * and host columns, the same plan shape.
+    *
+    * Emits the per-source funnel with a blocked-id checksum so the
+    * oracle certifies exactly WHICH docs were blocked. */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val host = concat(
+      when(pmod(id, lit(7)) === 0, "ads.")
+        .when(pmod(id, lit(11)) === 0, "cdn.").otherwise(""),
+      col("source"), lit(".example.com"))
+    val apex = regexp_extract(col("host"), "([^.]+\\.example\\.com)$", 1)
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"), host.as("host"))
+      .withColumn("blocked",
+        apex.isInCollection(BLOCK_APEX) || col("host").isInCollection(BLOCK_HOSTS))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
+        sum(when(!col("blocked"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("blocked"),
+          pmod(Hashing.phash(col("doc_id").cast("string"), "blk_"), lit(1073741789L)))
+          .otherwise(0L)).cast("long").as("blocked_checksum"))
+      .orderBy(col("source"))
+  }
+
+  val blocklistFilterSql: String = {
+    val apexList = BLOCK_APEX.map(a => s"'$a'").mkString(", ")
+    val hostList = BLOCK_HOSTS.map(h => s"'$h'").mkString(", ")
+    s"""WITH h AS (
+         SELECT doc_id, source,
+           (CASE WHEN doc_id % 7 = 0 THEN 'ads.'
+                 WHEN doc_id % 11 = 0 THEN 'cdn.' ELSE '' END)
+             || source || '.example.com' AS host
+         FROM documents),
+       m AS (
+         SELECT doc_id, source,
+           (regexp_extract(host, '([^.]+\\.example\\.com)$$', 1) IN ($apexList)
+            OR host IN ($hostList)) AS blocked
+         FROM h)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+         CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN blocked THEN
+           ${Hashing.phashSql("CAST(doc_id AS VARCHAR)", "blk_")} % 1073741789
+           ELSE 0 END) AS BIGINT) AS blocked_checksum
+       FROM m GROUP BY source ORDER BY source"""
+  }
 }

@@ -174,4 +174,80 @@ object Graph {
          CAST(COALESCE(i.n_in_nodes, 0) AS BIGINT) AS n_in_nodes
        FROM outd o FULL OUTER JOIN ind i ON o.degree = i.degree
        ORDER BY degree"""
+
+  /** Global triangle census of the link graph — triangle count,
+    * wedge count, and the global clustering coefficient (3·Δ/wedges,
+    * exact integer ppm): the graph-health number that separates a
+    * clustered web neighborhood from a random edge soup. Edges are
+    * first canonicalized (undirected u<v, self-loops and multi-edges
+    * dropped) — the synthesized probe set has both.
+    *
+    * Scale shape: the classic two-join enumeration on ORIENTED edges
+    * (u<v) — every triangle u<v<w is found exactly once via
+    * (u,v)⋈(v,w)⋈(u,w), so no post-dedup; both joins shuffle on a
+    * single node key. At web scale the standard refinement (orient by
+    * DEGREE then id, so high-degree hubs never fan out) drops in
+    * without changing the plan shape; wedges come from the degree
+    * frame alone — deg·(deg−1)/2 per node, never enumerated. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val und = edgesOf(nodes)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(
+      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.v") === col("e2.u"))
+      .join(und.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val edges1 = und.agg(count(lit(1)).as("n_edges"))
+    wedges.crossJoin(broadcast(tri)).crossJoin(broadcast(edges1))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          ((col("n_triangles") * 3000000L -
+            pmod(col("n_triangles") * 3000000L, col("n_wedges"))) / col("n_wedges"))
+            .cast("long")).otherwise(0L).as("global_cc_ppm"))
+  }
+
+  // probes unrolled as UNION ALL (not unnest): DuckDB 1.x hits an
+  // INTERNAL binder error ("Failed to bind column reference dst")
+  // when an unnest-derived CTE flows into the triple self-join —
+  // and an internal error invalidates the whole DuckDB session.
+  val triangleCountSql: String =
+    """WITH nodes AS (SELECT doc_id AS id FROM documents),
+       m AS (SELECT count(*) AS m FROM nodes),
+       probes AS (
+         SELECT id AS src, (id * 7 + 13) % m.m AS dst FROM nodes CROSS JOIN m
+         UNION ALL SELECT id, (id * 7 + 26) % m.m FROM nodes CROSS JOIN m
+         UNION ALL SELECT id, (id * 7 + 39) % m.m FROM nodes CROSS JOIN m),
+       edges AS (SELECT p.src, p.dst FROM probes p JOIN nodes t ON t.id = p.dst),
+       und AS (
+         SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         FROM edges WHERE src <> dst),
+       deg AS (
+         SELECT id, count(*) AS d FROM (
+           SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+         GROUP BY id),
+       w AS (
+         SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges,
+           CAST(count(*) AS BIGINT) AS n_nodes
+         FROM deg),
+       t AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         FROM und e1 JOIN und e2 ON e1.v = e2.u
+         JOIN und e3 ON e1.u = e3.u AND e2.v = e3.v),
+       ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+       SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         CAST(CASE WHEN n_wedges > 0 THEN
+           (n_triangles * 3000000 - ((n_triangles * 3000000) % n_wedges)) / n_wedges
+         ELSE 0 END AS BIGINT) AS global_cc_ppm
+       FROM w CROSS JOIN t CROSS JOIN ec"""
 }

@@ -428,4 +428,74 @@ object Windows {
        FROM events
        GROUP BY 1, 2
        ORDER BY user_id, day"""
+
+  /** Materialized-view rollup maintenance — the incremental-refresh
+    * pattern a 100 TB warehouse lives on: DAILY revenue partials are
+    * the persisted artifact, and the MONTHLY view is re-aggregated
+    * from partials (6,000× fewer rows than the fact) instead of
+    * rescanning lineitem. Works because the partial states are
+    * associative exact integers (per-row HALF_UP cents via
+    * [[graft.util.Exact.cents]], then BIGINT sums — a double sum
+    * would NOT re-aggregate exactly). The query emits both paths and
+    * certifies `rollup == direct` per month as a result column, the
+    * same in-result-certificate convention as join_cardinality.
+    *
+    * Scale shape: the direct path is one fact shuffle on the month
+    * key; the maintained path shuffles the fact once on day then
+    * rolls ~365 rows/year — at refresh time only NEW days pay the
+    * fact scan, which is the point. */
+  def rollupMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Exact
+    val li = Tables.lineitem(spark, dir)
+      .select((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("m"),
+        to_date(col("l_shipdate")).as("d"),
+        Exact.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("cents"))
+    val daily = li.groupBy(col("m"), col("d"))
+      .agg(sum(col("cents")).as("day_cents"), count(lit(1)).as("day_n"))
+    val fromDaily = daily.groupBy(col("m"))
+      .agg(sum(col("day_cents")).cast("long").as("rollup_cents"),
+        sum(col("day_n")).cast("long").as("rollup_n"),
+        count(lit(1)).as("n_days"))
+    val direct = li.groupBy(col("m"))
+      .agg(sum(col("cents")).cast("long").as("direct_cents"),
+        count(lit(1)).as("direct_n"))
+    fromDaily.join(direct, Seq("m"))
+      .select(col("m").as("month"), col("n_days"),
+        col("rollup_cents"), col("rollup_n"),
+        when(col("rollup_cents") === col("direct_cents") &&
+             col("rollup_n") === col("direct_n"), 1L).otherwise(0L)
+          .as("maintained_exact"))
+      .orderBy(col("month"))
+  }
+
+  val rollupMaintenanceSql: String = {
+    val cents = graft.util.Exact.centsSql("l_extendedprice * (1 - l_discount)")
+    """WITH li AS (
+         SELECT CAST(year(CAST(l_shipdate AS TIMESTAMP)) * 100
+                   + month(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS m,
+           CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE) AS d,
+           """ + cents + """ AS cents
+         FROM lineitem),
+       daily AS (
+         SELECT m, d, CAST(sum(cents) AS BIGINT) AS day_cents,
+           CAST(count(*) AS BIGINT) AS day_n
+         FROM li GROUP BY m, d),
+       fromdaily AS (
+         SELECT m, CAST(sum(day_cents) AS BIGINT) AS rollup_cents,
+           CAST(sum(day_n) AS BIGINT) AS rollup_n,
+           CAST(count(*) AS BIGINT) AS n_days
+         FROM daily GROUP BY m),
+       direct AS (
+         SELECT m, CAST(sum(cents) AS BIGINT) AS direct_cents,
+           CAST(count(*) AS BIGINT) AS direct_n
+         FROM li GROUP BY m)
+       SELECT f.m AS month, f.n_days, f.rollup_cents, f.rollup_n,
+         CAST(CASE WHEN f.rollup_cents = d.direct_cents
+                    AND f.rollup_n = d.direct_n THEN 1 ELSE 0 END AS BIGINT)
+           AS maintained_exact
+       FROM fromdaily f JOIN direct d ON f.m = d.m
+       ORDER BY month"""
+  }
 }

@@ -458,6 +458,26 @@ object StreamEtl {
       .select(col("window.start").as("window_start"), col("status_code"),
         col("n"), col("bytes"))
 
+  /** Streaming per-client SESSION windows (30-minute inactivity gap)
+    * — the stream analog of the batch `sessionize` query: state is
+    * one open session per active client, merged as events arrive and
+    * closed (append-mode emit) once the watermark passes the gap.
+    * `session_window` keeps the state bounded the way the batch
+    * gaps-and-islands window cannot: the store holds only OPEN
+    * sessions, and a closed session's state is dropped at emit —
+    * exactly the semantics `mapGroupsWithState` would hand-build,
+    * from the built-in operator (checkpointable, AQE-planned,
+    * restart-safe for free). */
+  def sessionWindows(spark: SparkSession, inputGlob: String): DataFrame =
+    parseLines(spark.readStream.text(inputGlob))
+      .withWatermark("datetime", "1 hour")
+      .groupBy(session_window(col("datetime"), "30 minutes"),
+        col("client_ip_address"))
+      .agg(count(lit(1)).as("n_req"), sum(col("bytes_sent")).as("bytes"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("client_ip_address"), col("n_req"), col("bytes"))
+
   private[graft] val CM_ROWS = 4
   private[graft] val CM_COLS = 2048
 

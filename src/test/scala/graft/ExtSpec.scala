@@ -1006,6 +1006,91 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("importance_resample keeps high-weight docs at a higher rate") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("importance_resample")(spark, sf).collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), "kept docs cannot exceed docs")
+      assert(r.getLong(4) <= r.getLong(2), "kept tokens cannot exceed tokens")
+    }
+    // the target source's keep-rate must beat the weakest source's
+    val rates = df.map(r => r.getString(0) ->
+      (r.getLong(3).toDouble / r.getLong(1))).toMap
+    assert(rates("src0") >= rates.values.min)
+    assert(rates("src0") > 0.5, s"target keep-rate ${rates("src0")} suspiciously low")
+  }
+
+  test("blocklist_filter blocks apex subdomains and exact hosts only") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("blocklist_filter")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { case (src, (n, blocked, kept)) =>
+      assert(blocked + kept == n)
+      if (src == "src2" || src == "src8") assert(blocked == n, s"$src: apex entry blocks ALL")
+      else if (src == "src5") {
+        assert(blocked > 0 && blocked < n, s"$src: only the ads. subdomain is listed")
+      } else assert(blocked == 0, s"$src must be untouched")
+    }
+    // recompute src5's blocked count: docs with doc_id % 7 == 0 (ads. prefix)
+    val src5 = graft.model.Tables.documents(spark, sf)
+      .filter(col("source") === "src5").select("doc_id").collect().map(_.getLong(0))
+    assert(rows("src5")._2 == src5.count(_ % 7 == 0))
+  }
+
+  test("rollup_maintenance certifies every month exact and conserves the fact") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("rollup_maintenance")(spark, sf)
+    assert(df.filter(col("maintained_exact") =!= 1L).count() == 0,
+      "a month's rollup-from-daily diverged from the direct aggregate")
+    val total = df.agg(sum(col("rollup_n"))).head().getLong(0)
+    assert(total == graft.model.Tables.lineitem(spark, sf).count())
+  }
+
+  test("triangle_count matches a naive in-memory census of the same graph") {
+    val row = SparkEntry.queries("triangle_count")(spark, sf).head()
+    val n = graft.model.Tables.documents(spark, sf).count()
+    // rebuild the probe graph naively
+    val edges = (0L until n).flatMap(i =>
+      Seq(1, 2, 3).map(k => (i, (i * 7 + k * 13) % n)))
+      .filter { case (u, v) => u != v }
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val tris = adj.toSeq.map { case (u, vs) =>
+      vs.toSeq.map(v =>
+        adj.getOrElse(v, Set.empty[Long]).count(w => edges.contains((u, w)))).sum
+    }.sum
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    assert(row.getLong(1) == edges.size, "edge count")
+    assert(row.getLong(2) == wedges, "wedge count")
+    assert(row.getLong(3) == tris, s"triangles: got ${row.getLong(3)}, naive $tris")
+  }
+
+  test("forget_audit cascade counts equal direct anti-join recomputation") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("forget_audit")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("customer", "events", "lineitem", "orders"))
+    val forget = graft.model.Tables.events(spark, sf)
+      .select("user_id").distinct().collect().map(_.getLong(0))
+      .filter(_ % 13 == 0).toSet
+    assert(forget.nonEmpty)
+    val ev = graft.model.Tables.events(spark, sf).select("user_id").collect()
+      .count(r => forget.contains(r.getLong(0)))
+    assert(rows("events")._2 == ev)
+    val ords = graft.model.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").collect()
+    val hitOrders = ords.filter(r => forget.contains(r.getLong(1)))
+      .map(_.getLong(0)).toSet
+    assert(rows("orders")._2 == hitOrders.size)
+    val li = graft.model.Tables.lineitem(spark, sf).select("l_orderkey").collect()
+      .count(r => hitOrders.contains(r.getLong(0)))
+    assert(rows("lineitem")._2 == li)
+    assert(rows("customer")._2 == forget.size) // every event user exists in customer
+  }
+
   test("boolean_search returns exactly the docs containing every query term") {
     val got = SparkEntry.queries("boolean_search")(spark, sf)
       .collect().map(_.getLong(0)).toSet

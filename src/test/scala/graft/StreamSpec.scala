@@ -270,6 +270,62 @@ class StreamSpec extends AnyFunSuite {
       "emitted windows diverged from the batch aggregation")
   }
 
+  test("sessionWindows closed sessions match the batch session_window " +
+       "aggregation across restarts") {
+    val base = Files.createTempDirectory("graft_sess").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    val data = Style5.renderedLines(spark, sf).filter(col("event_id") < 2000)
+    data.select("line").coalesce(1).write.mode("overwrite").text(s"$in/f1")
+
+    def runOnce(): Seq[(java.sql.Timestamp, java.sql.Timestamp, String, Long, Long)] = {
+      val buf = new scala.collection.mutable.ArrayBuffer[
+        (java.sql.Timestamp, java.sql.Timestamp, String, Long, Long)]()
+      val q = StreamEtl.sessionWindows(spark, s"$in/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= batch.collect().map(r =>
+              (r.getTimestamp(0), r.getTimestamp(1), r.getString(2),
+               r.getLong(3), r.getLong(4)))
+          }; ()
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      buf.synchronized(buf.toSeq)
+    }
+    val e1 = runOnce()
+    // sentinel far in the future closes every real session (same
+    // watermark-advance trick as the hourlyCounts test)
+    val sample = data.select("line").head().getString(0)
+    def sentinel(d: String) = sample.replaceFirst("\\[[^ ]+ ", s"[$d ")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/f2"), sentinel("01/Jan/2030:00:00:00") + "\n")
+    val e2 = runOnce()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/f3"), sentinel("02/Jan/2030:00:00:00") + "\n")
+    val e3 = runOnce()
+
+    val cutoff = java.sql.Timestamp.valueOf("2029-01-01 00:00:00")
+    val emitted = (e1 ++ e2 ++ e3).filter(_._1.before(cutoff))
+    assert(emitted.nonEmpty)
+    assert(emitted.size == emitted.toSet.size, "a session emitted twice")
+    // batch twin: the same session_window aggregation over the static file
+    val batch = StreamEtl.parseLines(spark.read.text(s"$in/f1"))
+      .groupBy(session_window(col("datetime"), "30 minutes"),
+        col("client_ip_address"))
+      .agg(count(lit(1)).as("n_req"), sum(col("bytes_sent")).as("bytes"))
+      .select(col("session_window.start"), col("session_window.end"),
+        col("client_ip_address"), col("n_req"), col("bytes"))
+      .collect().toSeq
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(emitted.toSet == batch.toSet,
+      "closed streaming sessions diverged from the batch session_window twin")
+  }
+
   test("enrichedStream joins the static asset catalog per micro-batch") {
     val base = Files.createTempDirectory("graft_enrich").toString
     val in = s"$base/in"; val out = s"$base/out"
