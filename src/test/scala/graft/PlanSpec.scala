@@ -259,6 +259,45 @@ class PlanSpec extends AnyFunSuite {
       "fuzzy-edit candidates came from a nested-loop join")
   }
 
+  test("round-6 additions never degrade to cartesian products") {
+    // same tolerance as the round-5 guard: BroadcastNestedLoopJoin
+    // only as a 1-row scalar broadcast cross join
+    for (q <- Seq("q7_volume_shipping", "q8_market_share", "q22_idle_customers",
+                  "boolean_search", "phrase_search", "zipf_fit",
+                  "k_anonymity", "event_order_audit", "split_leakage",
+                  "pq_quantize", "importance_weights", "importance_resample",
+                  "degree_distribution", "profile_drift", "blocklist_filter",
+                  "rollup_maintenance", "triangle_count", "forget_audit")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan has a cartesian product")
+    }
+    // the pair/path enumerators must not even nested-loop
+    for (q <- Seq("split_leakage", "triangle_count", "pq_quantize")) {
+      val p = planOf(q)
+      val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      // triangle_count carries two 1-row scalar cross joins (tri,
+      // edge counts); its triangle JOINS themselves must be hash/sort
+      assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+             p.contains("ShuffledHashJoin"), s"$q has no equi-join at all")
+      if (q != "triangle_count")
+        assert(bnl == 0, s"$q pair generation nested-loops ($bnl)")
+    }
+  }
+
+  test("phrase_search is a narrow per-doc map — no exchange before the sort") {
+    val p = planOf("phrase_search")
+    // one repartition (the single-split-table convention) and the
+    // final sort are the only exchanges; no join, no aggregate
+    assert(!p.contains("Join"), "phrase matching must not join")
+    assert(!p.contains("HashAggregate"), "phrase matching must not aggregate")
+  }
+
+  test("q22 anti-join builds the dated order side, threshold broadcast") {
+    val p = planOf("q22_idle_customers")
+    assert(p.contains("LeftAnti"), "no-orders predicate must be a left_anti join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("resample_hourly aggregates hours partially — no raw-row window") {
     val p = planOf("resample_hourly")
     // the only Window must run over the dense hour grid (post-agg);
