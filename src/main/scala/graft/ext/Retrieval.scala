@@ -287,9 +287,12 @@ object Retrieval {
     * document: count positions p with t[p]=w1 ∧ t[p+1]=w2 over the
     * token array. Zero shuffles before the final top-k — the plan a
     * 100 TB corpus scan wants, since phrase matching is
-    * embarrassingly per-document. The `size >= 2` guard keeps ANSI
-    * `element_at` in-bounds (sequence(1,0) would DESCEND in Spark and
-    * index 0 would throw).
+    * embarrassingly per-document. The adjacency count is the native
+    * codegen [[graft.functions.PairCount]] — one primitive loop per
+    * row; the composed `filter(sequence(…), element_at ∧ element_at)`
+    * it replaced is CodegenFallback (two interpreted calls per
+    * position) and measured 2.7 s at sf0.1 where the kernel is
+    * sub-second.
     *
     * DuckDB twin walks the same positions via unnest(range) + 1-based
     * list indexing — identical integer semantics. */
@@ -298,12 +301,7 @@ object Retrieval {
     val d = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("t", toks(col("text")))
-      .withColumn("n_phrase",
-        when(size(col("t")) >= 2,
-          size(filter(sequence(lit(1), size(col("t")) - 1),
-            p => element_at(col("t"), p) === w1 &&
-                 element_at(col("t"), p + 1) === w2)))
-          .otherwise(0).cast("long"))
+      .withColumn("n_phrase", graft.functions.PairCount(col("t"), w1, w2))
     d.filter(col("n_phrase") > 0)
       .select(col("doc_id"), col("lang"), col("n_phrase"))
       .orderBy(col("n_phrase").desc, col("doc_id"))

@@ -435,3 +435,89 @@ object HyperplaneBucket {
     GraftColumnBridge.column(HyperplaneBucket(
       GraftColumnBridge.expression(c), planes))
 }
+
+/** Adjacent-bigram counter over an `array<string>` token column —
+  * the inner loop of [[graft.ext.Retrieval.phraseSearch]].
+  *
+  * Replaces the composed
+  * `size(filter(sequence(1, n-1), p => t[p]=w1 && t[p+1]=w2))`
+  * (guarded by `when(n >= 2, …).otherwise(0)`): ArrayFilter is
+  * CodegenFallback, so the composed form allocates the position
+  * sequence and makes two interpreted element_at calls per position
+  * per row. This is one primitive loop with two UTF8String equals
+  * per position, inside whole-stage codegen.
+  *
+  * Parity with the composed form (asserted by FunctionsSpec):
+  * null input → null; fewer than two elements → 0; a null ELEMENT
+  * never matches but does not poison the count (the HOF predicate
+  * evaluates null there, and filter drops null-predicate rows). */
+case class PairCount(child: Expression, w1: String, w2: String)
+    extends UnaryExpression {
+
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pair_count requires array<string> input, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pair_count"
+
+  @transient private lazy val u1 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(w1)
+  @transient private lazy val u2 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(w2)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n - 1) {
+      if (!a.isNullAt(i) && !a.isNullAt(i + 1) &&
+          u1.equals(a.getUTF8String(i)) && u2.equals(a.getUTF8String(i + 1)))
+        acc += 1L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val r1 = ctx.addReferenceObj("pcW1", u1)
+    val r2 = ctx.addReferenceObj("pcW2", u2)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      long ${ev.value} = 0L;
+      if (!${ev.isNull}) {
+        final int $n = ${childGen.value}.numElements();
+        long $acc = 0L;
+        for (int $i = 0; $i < $n - 1; $i++) {
+          if (!${childGen.value}.isNullAt($i) && !${childGen.value}.isNullAt($i + 1)
+              && $r1.equals(${childGen.value}.getUTF8String($i))
+              && $r2.equals(${childGen.value}.getUTF8String($i + 1))) {
+            $acc++;
+          }
+        }
+        ${ev.value} = $acc;
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PairCount =
+    copy(child = newChild)
+}
+
+object PairCount {
+  /** Column-API entry point: `PairCount($"toks", "hash", "join")`. */
+  def apply(c: Column, w1: String, w2: String): Column =
+    GraftColumnBridge.column(PairCount(GraftColumnBridge.expression(c), w1, w2))
+}

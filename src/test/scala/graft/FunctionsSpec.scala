@@ -218,4 +218,51 @@ class FunctionsSpec extends AnyFunSuite {
     assert(projLine.contains("*("),
       s"projection fell out of whole-stage codegen: $projLine")
   }
+
+  test("PairCount matches the composed sequence/element_at form on edge cases") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PairCount
+    val cases = Seq(
+      Seq("hash", "join"),                       // exact pair
+      Seq("hash", "join", "hash", "join"),       // two pairs
+      Seq("hash", "hash", "join"),               // overlap prefix
+      Seq("hash"),                               // single token
+      Seq.empty[String],                         // empty
+      Seq("join", "hash"),                       // wrong order
+      Seq("a", "hash", "join", "b", "hash"),     // embedded
+      Seq("rehash", "join"))                     // no substring match
+    val df = spark.createDataFrame(
+      cases.zipWithIndex.map { case (t, i) => (i, t) })
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+        PairCount(col("t"), "hash", "join").as("native"),
+        when(size(col("t")) >= 2,
+          size(filter(sequence(lit(1), size(col("t")) - 1),
+            p => element_at(col("t"), p) === "hash" &&
+                 element_at(col("t"), p + 1) === "join")))
+          .otherwise(0).cast("long").as("composed"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"case ${r.getInt(0)}: native ${r.getLong(1)} != composed ${r.getLong(2)}")
+    }
+    // null input → null, null element never matches
+    val nulls = spark.sql(
+      "SELECT CAST(null AS ARRAY<STRING>) AS t " +
+      "UNION ALL SELECT array('hash', CAST(null AS STRING), 'join')")
+    val nv = nulls.select(PairCount(col("t"), "hash", "join")).collect()
+    assert(nv.exists(_.isNullAt(0)) && nv.exists(r => !r.isNullAt(0) && r.getLong(0) == 0))
+    // and the native form stays inside whole-stage codegen (a range
+    // source — the local relation above constant-folds the projection
+    // away, which itself exercises eval())
+    val rdf = spark.range(50)
+      .select(array(concat(lit("w"), col("id")), lit("hash"), lit("join")).as("t"))
+      .select(PairCount(col("t"), "hash", "join").as("n"))
+    assert(rdf.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) == 50L)
+    val p = rdf.queryExecution.executedPlan.toString
+    assert(p.contains("pair_count"), "fused expression absent from the plan")
+    val projLine2 = p.linesIterator.find(_.contains("pair_count")).getOrElse("")
+    assert(projLine2.contains("*("),
+      s"projection fell out of whole-stage codegen: $projLine2")
+  }
 }
