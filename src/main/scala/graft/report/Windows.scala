@@ -429,6 +429,45 @@ object Windows {
        GROUP BY 1, 2
        ORDER BY user_id, day"""
 
+  /** Customer balance deciles per market segment — the ntile window
+    * family (the one §2.6 ranking primitive the surface didn't yet
+    * exercise): decile assignment over a TOTAL order (acctbal,
+    * custkey — ties split deterministically, per the repo's window
+    * convention), rolled up to per-(segment, decile) counts and
+    * exact money bounds.
+    *
+    * Scale shape: the window partitions on c_mktsegment — a
+    * low-cardinality key, so each segment sorts within one task; at
+    * a 10⁹-customer table the decile boundaries would come from
+    * [[graft.report.Quantiles]]' histogram grid instead (documented
+    * trade — ntile is exact but single-task-per-segment). The rollup
+    * after it is map-side combined on ≤ segments×10 keys. */
+  def valueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("c_mktsegment"), col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        graft.util.Exact.pround2(min(col("c_acctbal"))).as("lo_bal"),
+        graft.util.Exact.pround2(max(col("c_acctbal"))).as("hi_bal"))
+      .orderBy(col("c_mktsegment"), col("decile"))
+  }
+
+  val valueDecilesSql: String =
+    s"""WITH d AS (
+         SELECT c_mktsegment, c_acctbal,
+           CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile
+         FROM customer)
+       SELECT c_mktsegment, decile, CAST(count(*) AS BIGINT) AS n_customers,
+         ${graft.util.Exact.pround2Sql("min(c_acctbal)")} AS lo_bal,
+         ${graft.util.Exact.pround2Sql("max(c_acctbal)")} AS hi_bal
+       FROM d GROUP BY c_mktsegment, decile
+       ORDER BY c_mktsegment, decile"""
+
   /** Materialized-view rollup maintenance — the incremental-refresh
     * pattern a 100 TB warehouse lives on: DAILY revenue partials are
     * the persisted artifact, and the MONTHLY view is re-aggregated

@@ -260,4 +260,24 @@ class ReportSpec extends AnyFunSuite {
   }
 
   private def avg_(c: String) = org.apache.spark.sql.functions.avg(c)
+
+  test("value_deciles partitions each segment into 10 ordered non-overlapping bands") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("value_deciles")(spark, sf).collect()
+    val bySeg = rows.groupBy(_.getString(0))
+    val custTotal = graft.model.Tables.customer(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == custTotal)
+    bySeg.foreach { case (seg, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      // deciles are balanced within 1 (ntile's defining property)
+      val ns = sorted.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"$seg unbalanced: ${ns.toSeq}")
+      // bands are ordered: each decile's hi <= next decile's... lo can tie
+      sorted.sliding(2).foreach { p =>
+        if (p.length == 2)
+          assert(p(0).getDouble(4) <= p(1).getDouble(3) + 0.01, s"$seg bands overlap")
+      }
+    }
+  }
 }
