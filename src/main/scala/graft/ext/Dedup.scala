@@ -127,8 +127,25 @@ object Dedup {
       // pipeline inlined (single-split-serial — the CLAUDE.md trap)
       .transform(graft.util.Fence.lineage)
 
+  /** Staged MinHash signature table — the "index build" artifact the
+    * whole LSH family consumes (pair mining, threshold calibration,
+    * split-leakage audit, fuzzy-edit blocking, the signature dump
+    * itself). Computed once per (session, corpus) and persisted via
+    * [[graft.util.StagedCache]] — five operators each re-deriving the
+    * shingle→hash→K-minima pipeline is exactly the repeated work a
+    * production pipeline avoids by writing the signature parquet
+    * once. Same immutable-corpus contract and lifecycle as the
+    * keeper table ([[keeperTable]]); [[invalidateStaged]] drops both. */
+  private val sigCache = new graft.util.StagedCache
+
   private def signatures(spark: SparkSession, dir: String): DataFrame =
-    signaturesOf(corpus(spark, dir))
+    sigCache.getOrCompute(spark, dir) {
+      signaturesOf(corpus(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private[graft] def stagedSigKeys: Set[(SparkSession, String)] =
+    sigCache.stagedKeys
 
   private val signaturesSql: String = {
     val mins = affine.map { case (a, b) =>
@@ -395,8 +412,11 @@ object Dedup {
     * reference (and push it into the join). Recall is bounded by the
     * LSH blocking — an edit-close pair with disjoint shingles is
     * invisible, the documented trade of every blocked fuzzy dedup. */
-  private[graft] def fuzzyEditOf(docs: DataFrame): DataFrame = {
-    val cand = lshCandidatesOf(signaturesOf(docs))
+  private[graft] def fuzzyEditOf(docs: DataFrame): DataFrame =
+    fuzzyEditFromSig(signaturesOf(docs), docs)
+
+  private def fuzzyEditFromSig(sig: DataFrame, docs: DataFrame): DataFrame = {
+    val cand = lshCandidatesOf(sig)
     val t = docs.select(col("doc_id"), col("text"))
     cand
       .join(t.select(col("doc_id").as("id1"), col("text").as("t1")), Seq("id1"))
@@ -419,7 +439,7 @@ object Dedup {
   }
 
   def dedupFuzzyEdit(spark: SparkSession, dir: String): DataFrame =
-    fuzzyEditOf(corpus(spark, dir))
+    fuzzyEditFromSig(signatures(spark, dir), corpus(spark, dir))
 
   val dedupFuzzyEditSql: String =
     s"""WITH $corpusSql,
@@ -502,8 +522,10 @@ object Dedup {
 
   /** Drop the staged keeper table for `dir` (unpersisting its blocks)
     * — required before re-running dedup over a rewritten corpus. */
-  def invalidateStaged(spark: SparkSession, dir: String): Unit =
+  def invalidateStaged(spark: SparkSession, dir: String): Unit = {
     keeperCache.invalidate(spark, dir)
+    sigCache.invalidate(spark, dir)
+  }
 
   private[graft] def stagedKeeperKeys: Set[(SparkSession, String)] =
     keeperCache.stagedKeys

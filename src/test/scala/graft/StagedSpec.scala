@@ -25,6 +25,18 @@ class StagedSpec extends AnyFunSuite {
     assert(a2 == a)
   }
 
+  test("staged signatures: shared by the LSH family, invalidate evicts cleanly") {
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).count()
+    assert(Dedup.stagedSigKeys.map(_._2).contains(sf))
+    // a second family member reuses the stage (no new key, same corpus)
+    SparkEntry.queries("dedup_threshold_sweep")(spark, sf).count()
+    assert(Dedup.stagedSigKeys.map(_._2).count(_ == sf) == 1)
+    Dedup.invalidateStaged(spark, sf)
+    assert(!Dedup.stagedSigKeys.map(_._2).contains(sf))
+    // recompute after invalidation is correct, not a dangling handle
+    assert(SparkEntry.queries("dedup_minhash_lsh")(spark, sf).count() == pairs)
+  }
+
   test("staged IVF index: invalidate evicts and recompute matches") {
     val r = SparkEntry.queries("knn_ivf_kmeans")(spark, sf).collect()
     assert(Similarity.stagedIvfKeys.map(_._2).contains(sf))
