@@ -900,4 +900,50 @@ object Similarity {
          CAST(sum(b.d) AS BIGINT) AS err2
        FROM best GROUP BY vec_id ORDER BY vec_id"""
   }
+
+  /** Embedding-norm audit: per label, the distribution of squared
+    * vector norms (n, min, max, exact sum, 4-dp mean in milli-unit²)
+    * plus the count of degenerate near-zero vectors — the first check
+    * before any cosine-based pipeline (a collapsed or un-normalized
+    * embedding batch shows up here before it silently poisons every
+    * similarity score downstream). Norms are exact integers on the
+    * shared milli-quantized grid ([[quant]]), so min/max/sum are
+    * bit-stable and the only division is the final mean.
+    *
+    * Scale shape: one narrow (label ⟕ norm2) projection — the native
+    * [[graft.functions.LongDot]] self-dot, one codegen loop per row —
+    * then a single label-keyed aggregate with map-side combine;
+    * nothing but (label, long) crosses the wire. */
+  def embeddingNorms(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("qv", quant(col("embedding")))
+      .select(col("label"), graft.functions.LongDot(col("qv"), col("qv")).as("n2"))
+    e.groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        min(col("n2")).cast("long").as("min_norm2"),
+        max(col("n2")).cast("long").as("max_norm2"),
+        sum(col("n2")).cast("long").as("sum_norm2"),
+        sum(when(col("n2") < 1000, 1).otherwise(0)).cast("long").as("n_degenerate"))
+      .withColumn("mean_norm2",
+        graft.util.Exact.pround4(col("sum_norm2").cast("double") / col("n_vecs")))
+      .orderBy(col("label"))
+  }
+
+  val embeddingNormsSql: String =
+    s"""WITH e AS (
+         SELECT label,
+           CAST(list_sum(list_transform($quantSql, x -> x * x)) AS BIGINT) AS n2
+         FROM embeddings),
+       g AS (
+         SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(n2) AS BIGINT) AS min_norm2,
+           CAST(max(n2) AS BIGINT) AS max_norm2,
+           CAST(sum(n2) AS BIGINT) AS sum_norm2,
+           CAST(sum(CASE WHEN n2 < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_degenerate
+         FROM e GROUP BY label)
+       SELECT label, n_vecs, min_norm2, max_norm2, sum_norm2, n_degenerate,
+         ${graft.util.Exact.pround4Sql("CAST(sum_norm2 AS DOUBLE) / n_vecs")}
+           AS mean_norm2
+       FROM g ORDER BY label"""
 }

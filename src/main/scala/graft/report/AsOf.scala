@@ -1,6 +1,6 @@
 package graft.report
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
@@ -173,7 +173,12 @@ object AsOf {
   def asofNearest(spark: SparkSession, dir: String): DataFrame =
     asofNearestW(spark, dir, W)
 
-  private[graft] def asofNearestW(spark: SparkSession, dir: String, W: Long): DataFrame = {
+  /** Shared candidate builder for the nearest/forward directions: one
+    * frame per event carrying BOTH the last rate at-or-before ts
+    * (`back`) and the first rate after ts (`fwd`) — the in-bucket
+    * arrays and both carry tables built once, consumed by whichever
+    * direction the caller aggregates. */
+  private def asofCandidatesW(spark: SparkSession, dir: String, W: Long): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("ts"), col("event_id"), col("value"))
     val rates = ev.filter(col("event_id") % 97 === 0)
@@ -222,13 +227,14 @@ object AsOf {
       .withColumn("fwd", coalesce(
         try_element_at(filter(col("ra"), r => r("ts") > col("ts")), lit(1)),
         col("fs")))
-    val db = unix_timestamp(col("ts")) - unix_timestamp(col("back")("ts"))
-    val df_ = unix_timestamp(col("fwd")("ts")) - unix_timestamp(col("ts"))
-    val nearest = when(col("back").isNotNull &&
-        (col("fwd").isNull || db <= df_), col("back"))
-      .otherwise(col("fwd"))
     withC
-      .withColumn("nr", nearest)
+  }
+
+  /** Per-direction aggregation over the candidate frame: pick the
+    * candidate, report coverage / exact rate mass / total |Δt|. */
+  private def asofAgg(withC: DataFrame, pick: Column): DataFrame =
+    withC
+      .withColumn("nr", pick)
       .withColumn("dt_s",
         when(col("nr").isNull, lit(null).cast("long")).otherwise(
           abs(unix_timestamp(col("nr")("ts")) - unix_timestamp(col("ts")))
@@ -239,12 +245,37 @@ object AsOf {
         Exact.moneySum(coalesce(col("nr")("rate"), lit(0.0))).as("sum_rate"),
         sum(coalesce(col("dt_s"), lit(0L))).cast("long").as("sum_dt_s"))
       .orderBy(col("event_type"))
+
+  private[graft] def asofNearestW(spark: SparkSession, dir: String, W: Long): DataFrame = {
+    val withC = asofCandidatesW(spark, dir, W)
+    val db = unix_timestamp(col("ts")) - unix_timestamp(col("back")("ts"))
+    val df_ = unix_timestamp(col("fwd")("ts")) - unix_timestamp(col("ts"))
+    val nearest = when(col("back").isNotNull &&
+        (col("fwd").isNull || db <= df_), col("back"))
+      .otherwise(col("fwd"))
+    asofAgg(withC, nearest)
   }
 
-  val asofNearestSql: String = {
-    // Spark's unix_timestamp truncates to whole seconds; mirror with
-    // floor(epoch(..)) before the BIGINT cast (double→long convention)
-    def es(x: String) = s"CAST(floor(epoch($x)) AS BIGINT)"
+  /** As-of join, FORWARD direction (merge_asof direction='forward',
+    * completing the backward/nearest/forward family): each event
+    * matches the FIRST rate change strictly after it — the
+    * "next-scheduled-price" / look-ahead-label join. Same coarse-
+    * bucket candidate machinery as nearest ([[asofCandidatesW]]);
+    * only the pick differs, so the plan shape and the at-scale
+    * argument are inherited verbatim. */
+  def asofForward(spark: SparkSession, dir: String): DataFrame =
+    asofForwardW(spark, dir, W)
+
+  private[graft] def asofForwardW(spark: SparkSession, dir: String, W: Long): DataFrame =
+    asofAgg(asofCandidatesW(spark, dir, W), col("fwd"))
+
+  // Spark's unix_timestamp truncates to whole seconds; mirror with
+  // floor(epoch(..)) before the BIGINT cast (double→long convention)
+  private def es(x: String) = s"CAST(floor(epoch($x)) AS BIGINT)"
+
+  /** Shared CTE prefix (through candidate selection `j`) for the
+    * nearest/forward oracle twins — mirrors [[asofCandidatesW]]. */
+  private val asofCandidatesSqlPrefix: String =
     s"""WITH src AS (
          SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
          FROM events),
@@ -290,18 +321,29 @@ object AsOf {
                         THEN e.bucket - 1 ELSE s.maxb END)
          LEFT JOIN carries cf ON e.event_type = cf.event_type
            AND cf.cb = (CASE WHEN s.minb IS NULL OR e.bucket + 1 > s.minb
-                        THEN e.bucket + 1 ELSE s.minb END)),
+                        THEN e.bucket + 1 ELSE s.minb END))"""
+
+  /** Shared aggregate tail over a CTE `n(event_type, ts, nr)`. */
+  private val asofAggSqlTail: String =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(nr) AS BIGINT) AS n_with_rate,
+         ${Exact.moneySumSql("coalesce(nr.rate, 0.0)")} AS sum_rate,
+         CAST(sum(coalesce(abs(${es("nr.ts")} - ${es("ts")}), 0)) AS BIGINT)
+           AS sum_dt_s
+       FROM n GROUP BY event_type ORDER BY event_type"""
+
+  val asofNearestSql: String =
+    s"""$asofCandidatesSqlPrefix,
        n AS (
          SELECT event_type, ts,
            CASE WHEN back IS NOT NULL AND (fwd IS NULL OR
                   ${es("ts")} - ${es("back.ts")} <= ${es("fwd.ts")} - ${es("ts")})
                 THEN back ELSE fwd END AS nr
          FROM j)
-       SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-         CAST(count(nr) AS BIGINT) AS n_with_rate,
-         ${Exact.moneySumSql("coalesce(nr.rate, 0.0)")} AS sum_rate,
-         CAST(sum(coalesce(abs(${es("nr.ts")} - ${es("ts")}), 0)) AS BIGINT)
-           AS sum_dt_s
-       FROM n GROUP BY event_type ORDER BY event_type"""
-  }
+       $asofAggSqlTail"""
+
+  val asofForwardSql: String =
+    s"""$asofCandidatesSqlPrefix,
+       n AS (SELECT event_type, ts, fwd AS nr FROM j)
+       $asofAggSqlTail"""
 }

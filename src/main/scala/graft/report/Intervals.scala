@@ -205,4 +205,129 @@ object Intervals {
          CAST(carried_cents AS BIGINT) AS carried_cents,
          CAST(CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
        FROM f ORDER BY event_type, hour_epoch"""
+
+  /** Trailing-24h rate anomaly detection: per (event_type, hour), is
+    * this hour's event count more than 2× the trailing-24h hourly
+    * mean — the alerting query a monitoring pipeline runs on every
+    * metric stream. The trailing frame is a RANGE over epoch seconds
+    * ending at the PREVIOUS hour (the current hour never smooths its
+    * own spike), and the flag only fires on a FULL 24-hour baseline
+    * (`trail_hours = 24`) so cold starts and gappy streams never
+    * false-positive. The compare is pure integer cross-multiplication
+    * (`n * 24 > 2 * trail_sum`) — no double division, no libm.
+    *
+    * Scale shape: one (type, hour) pre-aggregate with map-side
+    * combine collapses the stream to #types × #hours rows BEFORE the
+    * only window, which partitions on event_type and holds a ≤24-row
+    * frame; nothing row-scale is ever sorted. */
+  def rateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("eh"))
+      .groupBy(col("event_type"), col("eh"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("eh"))
+      .rangeBetween(-86400, -3600)
+    hourly
+      .withColumn("trail_sum", sum(col("n")).over(w))
+      .withColumn("trail_hours", count(lit(1)).over(w))
+      .select(col("event_type"), col("eh").as("hour_epoch"),
+        col("n").cast("long").as("n_events"),
+        coalesce(col("trail_sum"), lit(0L)).cast("long").as("trail_sum"),
+        col("trail_hours").cast("long").as("trail_hours"),
+        (col("trail_hours") === 24 &&
+          col("n") * 24 > col("trail_sum") * 2).cast("long").as("is_anomaly"))
+      .orderBy(col("event_type"), col("hour_epoch"))
+  }
+
+  val rateAnomalySql: String =
+    """WITH hourly AS (
+         SELECT event_type,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT) AS eh,
+           count(*) AS n
+         FROM events GROUP BY 1, 2),
+       f AS (
+         SELECT event_type, eh, n,
+           sum(n) OVER (PARTITION BY event_type ORDER BY eh
+             RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING) AS trail_sum,
+           count(*) OVER (PARTITION BY event_type ORDER BY eh
+             RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING) AS trail_hours
+         FROM hourly)
+       SELECT event_type, eh AS hour_epoch, CAST(n AS BIGINT) AS n_events,
+         CAST(coalesce(trail_sum, 0) AS BIGINT) AS trail_sum,
+         CAST(trail_hours AS BIGINT) AS trail_hours,
+         CAST(CASE WHEN trail_hours = 24 AND n * 24 > trail_sum * 2
+           THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+       FROM f ORDER BY event_type, hour_epoch"""
+
+  /** Interval UNION (coverage merge): per user, the total time covered
+    * by their (overlapping) activity windows and how many disjoint
+    * busy islands those windows merge into — the gaps-and-islands
+    * MERGE, where [[intervalJoin]] was the gaps-and-islands LOOKUP.
+    * Every `event_id % 7 == 0` event opens a window of 30/60/90/120
+    * minutes (`(1 + event_id % 4) * 1800 s` — deterministic, so the
+    * oracle rebuilds it exactly); windows of one user chain into an
+    * island while each starts no later than the running max end of
+    * its predecessors.
+    *
+    * Scale shape: ONE user-keyed window pass (running max-end lagged
+    * one row behind, over a TOTAL (start, event_id) order) marks
+    * island openings; a running sum over the same order numbers them;
+    * then two shrinking groupBys (user × island → user). All time
+    * arithmetic is integer epoch seconds. Nothing is quadratic in
+    * overlap depth — a 10⁶-interval user costs one sort, not 10¹²
+    * comparisons. */
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir)
+      .filter(col("event_id") % 7 === 0)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("s"),
+        (unix_timestamp(col("ts")) +
+          (lit(1) + col("event_id") % 4) * 1800).as("e"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+    val prevMax = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val islands = iv
+      .withColumn("pmax", max(col("e")).over(prevMax))
+      .withColumn("is_new",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
+      .withColumn("island", sum(col("is_new")).over(ord))
+      .groupBy(col("user_id"), col("island"))
+      .agg((max(col("e")) - min(col("s"))).as("covered"),
+        count(lit(1)).as("n_iv"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("covered")).cast("long").as("covered_s"),
+        count(lit(1)).cast("long").as("n_islands"),
+        sum(col("n_iv")).cast("long").as("n_intervals"))
+      .orderBy(col("user_id"))
+  }
+
+  val intervalUnionSql: String =
+    """WITH iv AS (
+         SELECT user_id, event_id,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+             + (1 + event_id % 4) * 1800 AS e
+         FROM events WHERE event_id % 7 = 0),
+       marked AS (
+         SELECT user_id, event_id, s, e,
+           max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         FROM iv),
+       flagged AS (
+         SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS is_new
+         FROM marked),
+       numbered AS (
+         SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id)
+           AS island
+         FROM flagged),
+       islands AS (
+         SELECT user_id, island, max(e) - min(s) AS covered, count(*) AS n_iv
+         FROM numbered GROUP BY user_id, island)
+       SELECT user_id, CAST(sum(covered) AS BIGINT) AS covered_s,
+         CAST(count(*) AS BIGINT) AS n_islands,
+         CAST(sum(n_iv) AS BIGINT) AS n_intervals
+       FROM islands GROUP BY user_id ORDER BY user_id"""
 }

@@ -610,4 +610,344 @@ object Tpch {
        SELECT c_nationkey AS cntry, CAST(count(*) AS BIGINT) AS numcust,
          ${Exact.moneySumSql("c_acctbal")} AS totacctbal
        FROM idle GROUP BY cntry ORDER BY cntry"""
+
+  /** TPC-H Q9 (product-type profit), adapted to the partsupp-less test
+    * schema: supply cost stands in as `p_retailprice * l_quantity`
+    * (the schema's only per-part cost basis). Profit per (supplier
+    * nation, order year) over parts whose name carries one token.
+    *
+    * Scale shape: the name LIKE prunes `part` at the scan to a
+    * broadcastable dim; `supplier`⋈`nation` is a second broadcast arm;
+    * the only big shuffle is lineitem⋈orders on orderkey, then a
+    * low-cardinality (nation × year) groupBy that partial-aggregates
+    * map-side. Exactness: the two money terms are summed as SEPARATE
+    * exact DECIMAL(18,4) sums and subtracted in decimal — a single
+    * double subtraction per row would re-order error across engines. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(round(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")) -
+        sum((col("p_retailprice") * col("l_quantity")).cast("decimal(18,4)")),
+        2).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9ProductProfitSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(round(
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) -
+           sum(CAST(p_retailprice * l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_profit
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN orders ON l_orderkey = o_orderkey
+       WHERE p_name LIKE '%red%'
+       GROUP BY n_name, year(o_orderdate) ORDER BY 1, 2 DESC"""
+
+  /** TPC-H Q11 (important stock), adapted: per-part supplied VALUE
+    * (revenue through one nation's suppliers) vs a fraction of that
+    * nation's total — the "parts worth tracking" report. The spec's
+    * correlated `HAVING > (SELECT sum(...) * fraction)` decorrelates
+    * into ONE partkey aggregate (fenced so it computes once), its
+    * 1-row total cross-join-broadcast back, and an EXACT-DECIMAL
+    * integer-multiplier compare (`value * 1000 > total`) — no double
+    * division, no driver probe (the q22/dedup_semantic convention).
+    *
+    * Scale shape: the nation filter prunes supplier to a broadcast
+    * dim; lineitem shuffles once on partkey; the total is a 1-row
+    * all-to-one agg over the already-aggregated ~|parts| frame. */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name") === "NATION_3").select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val pv = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("v"))
+      .transform(graft.util.Fence.lineage)
+    val total = pv.agg(sum(col("v")).as("total"))
+    pv.crossJoin(broadcast(total))
+      .filter(col("v") * 1000 > col("total"))
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("v"), 2).cast("double").as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  val q11ImportantPartsSql: String =
+    """WITH pv AS (
+         SELECT l_partkey,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS v
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_3'
+         GROUP BY l_partkey),
+       t AS (SELECT sum(v) AS total FROM pv)
+       SELECT l_partkey AS p_partkey, CAST(round(v, 2) AS DOUBLE) AS value
+       FROM pv CROSS JOIN t
+       WHERE v * 1000 > total
+       ORDER BY value DESC, p_partkey"""
+
+  /** TPC-H Q12 (shipping-mode priority), adapted to the shipmode-less
+    * schema: order-to-ship LATENCY BANDS stand in for ship modes —
+    * per band, how many critical (1-URGENT / 2-HIGH) vs other-priority
+    * lineitems shipped. The operational question (are urgent orders
+    * shipping late?) survives the adaptation intact.
+    *
+    * Scale shape: the two-year shipdate window pushes to the lineitem
+    * scan; the orderkey join is the one real shuffle; the band
+    * groupBy is 3 rows with map-side combine. `datediff` is integer
+    * day arithmetic — deterministic in both engines (dates here are
+    * midnight-aligned timestamps). */
+  def q12ShippingDelay(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("l_shipdate") <  to_timestamp(lit("1998-01-01")))
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_band",
+        when(delay <= 30, "a_0_30")
+          .when(delay <= 60, "b_31_60")
+          .otherwise("c_late"))
+      .groupBy(col("delay_band"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .otherwise(0)).cast("long").as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+          .otherwise(1)).cast("long").as("low_line_count"))
+      .orderBy(col("delay_band"))
+  }
+
+  val q12ShippingDelaySql: String =
+    """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN 'a_0_30'
+              WHEN datediff('day', o_orderdate, l_shipdate) <= 60 THEN 'b_31_60'
+              ELSE 'c_late' END AS delay_band,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate <  TIMESTAMP '1998-01-01'
+       GROUP BY delay_band ORDER BY delay_band"""
+
+  /** TPC-H Q16 (parts/supplier relationship), adapted: how many
+    * DISTINCT suppliers have actually shipped each (brand, type,
+    * size) — supply redundancy per part class, with one brand and one
+    * type family excluded and "complained-about" suppliers (negative
+    * account balance, standing in for the spec's comment scan)
+    * removed by a BROADCAST ANTI-JOIN before the count.
+    *
+    * Scale shape: part prunes at the scan and broadcasts; the
+    * distinct-supplier count is Spark's two-stage distinct aggregate
+    * — a (brand, type, size, suppkey) partial dedup map-side, then
+    * the group shuffle; nothing row-scale crosses the wire twice. */
+  def q16SupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#5" && !col("p_type").like("PROMO%"))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val complained = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complained), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val q16SupplierCountsSql: String =
+    """SELECT p_brand, p_type, p_size,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** TPC-H Q20 (potential part promotion), adapted: suppliers who
+    * moved real volume (> 300 units) of one part-name family in one
+    * year — the "who can take the promo" shortlist. The spec's nested
+    * IN-subqueries flatten into one aggregate: part prunes at the
+    * scan (name prefix) and broadcasts, the year filter pushes to the
+    * lineitem scan, ONE suppkey-keyed sum, a post-agg HAVING, then
+    * broadcast joins to supplier and nation for the report columns.
+    * Quantities are integral → the sum and threshold are BIGINTs. */
+  def q20PotentialPromotion(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").like("small%")).select(col("p_partkey"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("l_shipdate") <  to_timestamp(lit("1997-01-01")))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty_moved"))
+      .filter(col("qty_moved") > 300)
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name").as("nation"),
+        col("qty_moved").cast("long").as("qty_moved"))
+      .orderBy(col("s_name"))
+  }
+
+  val q20PotentialPromotionSql: String =
+    """SELECT s_name, n_name AS nation, CAST(qty_moved AS BIGINT) AS qty_moved
+       FROM (
+         SELECT l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty_moved
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_name LIKE 'small%'
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-01-01'
+         GROUP BY l_suppkey)
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE qty_moved > 300
+       ORDER BY s_name"""
+
+  /** TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    * receiptdate-less schema: in each finished multi-supplier order,
+    * the supplier who UNIQUELY shipped last (max shipdate) is the one
+    * the order waited on. The spec's EXISTS / NOT-EXISTS pair over l2
+    * and l3 becomes one orderkey-partitioned window pass: per
+    * (order, supplier) last-ship aggregate first (so the window frame
+    * is suppliers-per-order, not lineitems), then `nsupp >= 2` ≡
+    * EXISTS(another supplier) and `n_at_max = 1` ≡ NOT EXISTS(another
+    * supplier equally late).
+    *
+    * Scale shape: two orderkey-keyed exchanges (pre-agg + window) and
+    * a final |suppliers|-bounded count; TakeOrderedAndProject caps
+    * the output at 20. */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val perSupp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("s_max"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+    val blamed = perSupp
+      .withColumn("maxd", max(col("s_max")).over(w))
+      .withColumn("nsupp", count(lit(1)).over(w))
+      .filter(col("nsupp") >= 2 && col("s_max") === col("maxd"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_at_max"), min(col("l_suppkey")).as("suppkey"))
+      .filter(col("n_at_max") === 1)
+    blamed.groupBy(col("suppkey"))
+      .agg(count(lit(1)).cast("long").as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21WaitingSuppliersSql: String =
+    """WITH per_supp AS (
+         SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F'
+         GROUP BY l_orderkey, l_suppkey),
+       flagged AS (
+         SELECT l_orderkey, l_suppkey, s_max,
+           max(s_max) OVER (PARTITION BY l_orderkey) AS maxd,
+           count(*) OVER (PARTITION BY l_orderkey) AS nsupp
+         FROM per_supp),
+       blamed AS (
+         SELECT l_orderkey, count(*) AS n_at_max, min(l_suppkey) AS suppkey
+         FROM flagged WHERE nsupp >= 2 AND s_max = maxd
+         GROUP BY l_orderkey HAVING count(*) = 1)
+       SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM blamed JOIN supplier ON suppkey = s_suppkey
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name LIMIT 20"""
+
+  /** Market-basket pair mining: the 20 part pairs most often bought
+    * together in one order, with each part's own order-support — the
+    * co-occurrence input to association rules (lift/confidence are
+    * one division away; counts stay integer here so the head order is
+    * exact).
+    *
+    * Scale shape: the per-order item set dedups FIRST ((order, part)
+    * distinct — repeated lineitems of one part never inflate a pair),
+    * then the pair generator is a self-equi-join on orderkey with
+    * `p1 < p2` — fanout bounded by basket size (max 13 here, C(13,2)
+    * per order), never |parts|². Both sides shuffle on the SAME
+    * orderkey partitioning (one exchange, reused), the pair count is
+    * map-side combined, TakeOrderedAndProject caps at 20, and the
+    * per-part supports broadcast-join onto those 20 rows only. */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
+    val pairs = a.join(b,
+        col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).cast("long").as("n_together"))
+      .orderBy(col("n_together").desc, col("p1"), col("p2"))
+      .limit(20)
+    val support = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).cast("long").as("s"))
+    pairs
+      .join(broadcast(support.select(col("l_partkey").as("p1"), col("s").as("n_p1"))), Seq("p1"))
+      .join(broadcast(support.select(col("l_partkey").as("p2"), col("s").as("n_p2"))), Seq("p2"))
+      .select(col("p1"), col("p2"), col("n_together"), col("n_p1"), col("n_p2"))
+      .orderBy(col("n_together").desc, col("p1"), col("p2"))
+  }
+
+  val basketPairsSql: String =
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       pairs AS (
+         SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           CAST(count(*) AS BIGINT) AS n_together
+         FROM items a JOIN items b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2
+         ORDER BY n_together DESC, p1, p2 LIMIT 20),
+       support AS (
+         SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1)
+       SELECT p1, p2, n_together, s1.s AS n_p1, s2.s AS n_p2
+       FROM pairs
+       JOIN support s1 ON p1 = s1.l_partkey
+       JOIN support s2 ON p2 = s2.l_partkey
+       ORDER BY n_together DESC, p1, p2"""
 }

@@ -537,4 +537,333 @@ object Windows {
        FROM fromdaily f JOIN direct d ON f.m = d.m
        ORDER BY month"""
   }
+
+  /** SCD Type-2 dimension build from a CDC log: each user's event_type
+    * stream compacts into versioned [valid_from, valid_to) state
+    * intervals with an is_current flag — the warehouse pattern
+    * [[latestSnapshot]] is the degenerate (latest-version-only) case
+    * of. A row opens a new version iff its state differs from the
+    * previous row's (lag), valid_to is the NEXT version's start
+    * (lead), and version numbers are row_numbers over the change rows
+    * — all three windows share ONE total (ts, event_id) order per
+    * user, so one user-keyed sort serves the whole build.
+    *
+    * Scale shape: one shuffle on the high-cardinality user key; the
+    * change filter runs between the lag pass and the lead/row_number
+    * pass, so the second window sorts only the ~|changes| survivors.
+    * At 10⁹ events this is exactly the two-window plan a warehouse
+    * MERGE would produce — no self-join, no driver state. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev", lag(col("event_type"), 1).over(ord))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(ord))
+      .withColumn("version", row_number().over(ord).cast("long"))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("long").as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val scd2HistorySql: String =
+    """WITH e AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+         FROM events),
+       lagged AS (
+         SELECT *, lag(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         FROM e),
+       changes AS (
+         SELECT user_id, ts, event_id, event_type
+         FROM lagged WHERE prev IS NULL OR prev <> event_type)
+       SELECT user_id,
+         CAST(row_number() OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+         event_type AS state,
+         ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         CAST(CASE WHEN lead(ts) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           THEN 1 ELSE 0 END AS BIGINT) AS is_current
+       FROM changes
+       ORDER BY user_id, version"""
+
+  /** Cumulative-reach curve: per day, how many users touched the
+    * product for the FIRST time and how many distinct users have been
+    * seen up to and including that day — the growth curve behind
+    * every "cumulative unique users" dashboard, and the same
+    * first-seen decomposition a `count(DISTINCT user) OVER (ORDER BY
+    * day)` would need anyway (engines refuse that window precisely
+    * because the naive form is quadratic state).
+    *
+    * Scale shape: first-seen day = one user-keyed min aggregate
+    * (map-side combined); the running sum then rides on the
+    * ≤ #days frame — the ONLY unpartitioned window, bounded by the
+    * calendar, never by rows (the zipf_fit/resample convention). Day
+    * keys order totally, so the running sum is deterministic. */
+  def reachCurve(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    val byDay = firstDay.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("day"))
+    byDay
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .select(col("day"), col("n_new").cast("long").as("n_new"),
+        col("cum_users").cast("long").as("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  val reachCurveSql: String =
+    """WITH fd AS (
+         SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_day
+         FROM events GROUP BY user_id),
+       byday AS (
+         SELECT first_day AS day, count(*) AS n_new FROM fd GROUP BY first_day)
+       SELECT day, CAST(n_new AS BIGINT) AS n_new,
+         CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+       FROM byday ORDER BY day"""
+
+  /** Sequential-pattern mining over behavior sessions: the 20 most
+    * frequent consecutive event-type TRIGRAMS across all per-(user,
+    * day) trajectories — the n-gram head of [[sequenceEvents]]'
+    * assembled paths (what "view>click>purchase vs view>view>view"
+    * dashboards and next-event models both consume).
+    *
+    * Scale shape: trigram extraction is a per-group linear map over
+    * the already-assembled (user, day) arrays (groups bounded by one
+    * user-day); the count groupBy's key space is |event types|³ —
+    * tiny, map-side combined — and TakeOrderedAndProject caps the
+    * head at 20. The generator follows the repo's explode_outer +
+    * isNotNull rule so the array expression is never inlined below
+    * the exchange. */
+  def pathMining(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("event_type"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+        x => x("event_type")).as("types"))
+    val tris = seqs
+      .select(explode_outer(
+        when(size(col("types")) >= 3,
+          transform(sequence(lit(1), size(col("types")) - 2),
+            i => concat_ws(">", slice(col("types"), i, lit(3)))))
+        .otherwise(array().cast("array<string>"))).as("trigram"))
+      .filter(col("trigram").isNotNull)
+    tris.groupBy(col("trigram"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("trigram"))
+      .limit(20)
+  }
+
+  val pathMiningSql: String =
+    """WITH e AS (
+         SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+         FROM events),
+       seqs AS (
+         SELECT user_id, day,
+           list(event_type ORDER BY ts, event_id) AS types
+         FROM e GROUP BY user_id, day),
+       tris AS (
+         SELECT array_to_string(list_slice(types, i, i + 2), '>') AS trigram
+         FROM seqs, UNNEST(generate_series(1, len(types) - 2)) AS t(i)
+         WHERE len(types) >= 3)
+       SELECT trigram, CAST(count(*) AS BIGINT) AS n
+       FROM tris GROUP BY trigram
+       ORDER BY n DESC, trigram LIMIT 20"""
+
+  /** RFM customer segmentation: recency / frequency / monetary
+    * quintiles rolled up to segment cells — the classic marketing
+    * cut of an orders table. Recency anchors on the corpus max order
+    * date derived IN-QUERY (1-row agg cross-join-broadcast, the
+    * repo's no-driver-probe rule); monetary rides as exact integer
+    * cents; each ntile orders TOTALLY ((metric, custkey)) so bucket
+    * edges are deterministic in both engines.
+    *
+    * Scale shape: one custkey aggregate collapses orders to one row
+    * per customer before any window; the three ntile(5) windows are
+    * UNPARTITIONED over that |customers| frame — the documented
+    * valueDeciles trade: exact quintiles sort within one task, and at
+    * a 10⁹-customer table the cut points would come from
+    * [[graft.report.Quantiles]]' histogram grid instead. The final
+    * rollup is ≤ 5³ cells, map-side combined. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"),
+        Exact.cents(col("o_totalprice")).as("cents"))
+    val mx = o.agg(max(col("o_orderdate")).as("maxd"))
+    val perCust = o.crossJoin(broadcast(mx))
+      .groupBy(col("o_custkey"))
+      .agg(datediff(first(col("maxd")), max(col("o_orderdate")))
+          .cast("long").as("recency_days"),
+        count(lit(1)).cast("long").as("frequency"),
+        sum(col("cents")).cast("long").as("monetary_cents"))
+    val rW = Window.orderBy(col("recency_days").desc, col("o_custkey"))
+    val fW = Window.orderBy(col("frequency"), col("o_custkey"))
+    val mW = Window.orderBy(col("monetary_cents"), col("o_custkey"))
+    perCust
+      .withColumn("r_score", ntile(5).over(rW))
+      .withColumn("f_score", ntile(5).over(fW))
+      .withColumn("m_score", ntile(5).over(mW))
+      .withColumn("rfm", concat_ws("", col("r_score"), col("f_score"), col("m_score")))
+      .groupBy(col("rfm"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        sum(col("monetary_cents")).cast("long").as("segment_cents"),
+        min(col("recency_days")).cast("long").as("min_recency"),
+        max(col("recency_days")).cast("long").as("max_recency"))
+      .orderBy(col("rfm"))
+  }
+
+  val rfmSegmentsSql: String =
+    s"""WITH o AS (
+         SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           ${Exact.centsSql("o_totalprice")} AS cents
+         FROM orders),
+       mx AS (SELECT max(o_orderdate) AS maxd FROM o),
+       per_cust AS (
+         SELECT o_custkey,
+           CAST(datediff('day', max(o_orderdate), any_value(maxd)) AS BIGINT)
+             AS recency_days,
+           CAST(count(*) AS BIGINT) AS frequency,
+           CAST(sum(cents) AS BIGINT) AS monetary_cents
+         FROM o CROSS JOIN mx GROUP BY o_custkey),
+       scored AS (
+         SELECT *,
+           ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+           ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+           ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+         FROM per_cust)
+       SELECT concat(r_score, f_score, m_score) AS rfm,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(monetary_cents) AS BIGINT) AS segment_cents,
+         CAST(min(recency_days) AS BIGINT) AS min_recency,
+         CAST(max(recency_days) AS BIGINT) AS max_recency
+       FROM scored GROUP BY 1 ORDER BY rfm"""
+
+  /** Behavioral-diversity profile: per user, how spread their event
+    * mix is — distinct types, the dominant type (struct-max argmax,
+    * the resample convention: count then type, so ties break to the
+    * lexicographically larger type identically in both engines), its
+    * share, and the Gini impurity 1 − Σpᵢ² in exact ppm — the
+    * libm-free concentration measure (entropy needs ln; Gini ranks
+    * the same). All arithmetic is integer until one final
+    * floor-divided double.
+    *
+    * Scale shape: (user, type) counts first — map-side combined, the
+    * frame shrinks to ≤ users × 5 rows — then one user-keyed
+    * aggregate; nothing row-scale passes the second shuffle. */
+  def behaviorDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    byType.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(col("c") * col("c")).as("s2"),
+        max(struct(col("c"), col("event_type"))).as("top"))
+      .select(col("user_id"),
+        col("n").cast("long").as("n_events"),
+        col("n_types"),
+        col("top")("event_type").as("dominant_type"),
+        col("top")("c").cast("long").as("dominant_n"),
+        floor((col("n") * col("n") - col("s2")).cast("double") * 1000000 /
+          (col("n") * col("n"))).cast("long").as("gini_ppm"))
+      .orderBy(col("user_id"))
+  }
+
+  val behaviorDiversitySql: String =
+    """WITH bt AS (
+         SELECT user_id, event_type, count(*) AS c
+         FROM events GROUP BY user_id, event_type),
+       g AS (
+         SELECT user_id, sum(c) AS n, count(*) AS n_types,
+           sum(c * c) AS s2,
+           max(struct_pack(c := c, event_type := event_type)) AS top
+         FROM bt GROUP BY user_id)
+       SELECT user_id, CAST(n AS BIGINT) AS n_events,
+         CAST(n_types AS BIGINT) AS n_types,
+         top.event_type AS dominant_type,
+         CAST(top.c AS BIGINT) AS dominant_n,
+         CAST(floor(CAST(n * n - s2 AS DOUBLE) * 1000000 / (n * n)) AS BIGINT)
+           AS gini_ppm
+       FROM g ORDER BY user_id"""
+
+  /** Conversion-latency profile: how LONG the [[eventFunnel]] steps
+    * take — per-user first-view → first-qualifying-click →
+    * first-qualifying-purchase deltas, profiled as exact integer
+    * seconds (min/max/sum + a 4-dp portable mean). The funnel stages
+    * reuse the eventFunnel decomposition (each step's min-ts gates
+    * the next step's candidates), so "time to convert" is measured on
+    * the same semantics the step counts report.
+    *
+    * Scale shape: identical to eventFunnel — three user-keyed
+    * filtered aggregates, each frame shrinking — plus one final 1-row
+    * global profile; deltas never leave integer seconds, so the sums
+    * are exact. */
+  def funnelTiming(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(first(col("t1")).as("t1"), min(col("ts")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c.select(col("user_id"), col("t2")), Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(first(col("t2")).as("t2b"), min(col("ts")).as("t3"))
+    val d1 = c.select((unix_timestamp(col("t2")) - unix_timestamp(col("t1"))).as("d"))
+    val d2 = p.select((unix_timestamp(col("t3")) - unix_timestamp(col("t2b"))).as("d"))
+    val s1 = d1.agg(count(lit(1)).cast("long").as("n_click"),
+      min(col("d")).cast("long").as("min_vc_s"),
+      max(col("d")).cast("long").as("max_vc_s"),
+      sum(col("d")).cast("long").as("sum_vc_s"))
+    val s2 = d2.agg(count(lit(1)).cast("long").as("n_purchase"),
+      min(col("d")).cast("long").as("min_cp_s"),
+      max(col("d")).cast("long").as("max_cp_s"),
+      sum(col("d")).cast("long").as("sum_cp_s"))
+    s1.crossJoin(s2)
+      .withColumn("mean_vc_s",
+        Exact.pround4(col("sum_vc_s").cast("double") / col("n_click")))
+      .withColumn("mean_cp_s",
+        Exact.pround4(col("sum_cp_s").cast("double") / col("n_purchase")))
+      .orderBy(col("n_click"))
+  }
+
+  val funnelTimingSql: String = {
+    def es(x: String) = s"CAST(floor(epoch($x)) AS BIGINT)"
+    s"""WITH e AS (
+         SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       v AS (SELECT user_id, min(ts) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY user_id),
+       c AS (SELECT e.user_id, any_value(v.t1) AS t1, min(e.ts) AS t2 FROM e
+             JOIN v ON e.user_id = v.user_id
+             WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+       p AS (SELECT e.user_id, any_value(c.t2) AS t2b, min(e.ts) AS t3 FROM e
+             JOIN c ON e.user_id = c.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+       d1 AS (SELECT ${es("t2")} - ${es("t1")} AS d FROM c),
+       d2 AS (SELECT ${es("t3")} - ${es("t2b")} AS d FROM p),
+       s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_click,
+                CAST(min(d) AS BIGINT) AS min_vc_s,
+                CAST(max(d) AS BIGINT) AS max_vc_s,
+                CAST(sum(d) AS BIGINT) AS sum_vc_s FROM d1),
+       s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_purchase,
+                CAST(min(d) AS BIGINT) AS min_cp_s,
+                CAST(max(d) AS BIGINT) AS max_cp_s,
+                CAST(sum(d) AS BIGINT) AS sum_cp_s FROM d2)
+       SELECT s1.*, s2.*,
+         ${Exact.pround4Sql("CAST(sum_vc_s AS DOUBLE) / n_click")} AS mean_vc_s,
+         ${Exact.pround4Sql("CAST(sum_cp_s AS DOUBLE) / n_purchase")} AS mean_cp_s
+       FROM s1 CROSS JOIN s2 ORDER BY n_click"""
+  }
 }

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 analytics additions: brute-force cross-checks and
+  * invariants the DuckDB oracle can't express (the oracle twin proves
+  * cross-engine agreement; these prove the SEMANTICS against an
+  * independent in-memory reimplementation on sf0.001). */
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("interval_union matches a brute-force sweep-line merge") {
+    val got = SparkEntry.queries("interval_union")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // independent reimplementation: collect the same deterministic
+    // intervals and merge per user with a sorted sweep
+    val iv = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_id") % 7 === 0)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(2) + (1 + r.getLong(1) % 4) * 1800))
+    val want = iv.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.map(t => (t._2, t._3)).sortBy(identity)
+      var islands = 0; var covered = 0L
+      var curS = Long.MinValue; var curE = Long.MinValue
+      sorted.foreach { case (s0, e0) =>
+        if (islands == 0 || s0 > curE) {
+          if (islands > 0) covered += curE - curS
+          islands += 1; curS = s0; curE = e0
+        } else if (e0 > curE) curE = e0
+      }
+      covered += curE - curS
+      u -> ((covered, islands.toLong, rows.length.toLong))
+    }
+    assert(got == want)
+  }
+
+  test("scd2_history: contiguous versions, one current state, last state wins") {
+    val rows = SparkEntry.queries("scd2_history")(spark, sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, vs) =>
+      val versions = vs.map(_.getLong(1)).sorted
+      assert(versions.toSeq == (1L to versions.length).toSeq)
+      assert(vs.count(_.getLong(5) == 1L) == 1)
+      // adjacent versions must actually change state
+      val ordered = vs.sortBy(_.getLong(1)).map(_.getString(2))
+      ordered.zip(ordered.tail).foreach { case (a, b) => assert(a != b) }
+    }
+    // the current state equals the (ts, event_id)-last event's type
+    // (read via Tables.events — the raw parquet may be TIMESTAMP_NTZ)
+    val lastTypes = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, es) =>
+        u -> es.maxBy(r => (r.getTimestamp(1).getTime, r.getLong(2))).getString(3)
+      }
+    val currents = rows.filter(_.getLong(5) == 1L)
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(currents == lastTypes)
+  }
+
+  test("rfm_segments: cells partition the customer base, codes in range") {
+    val rows = SparkEntry.queries("rfm_segments")(spark, sf).collect()
+    val nCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    rows.foreach { r =>
+      val code = r.getString(0)
+      assert(code.length == 3 && code.forall(c => c >= '1' && c <= '5'))
+    }
+  }
+
+  test("rate_anomaly never flags without a full 24h baseline") {
+    val rows = SparkEntry.queries("rate_anomaly")(spark, sf).collect()
+    rows.foreach { r =>
+      val trailHours = r.getLong(4); val flag = r.getLong(5)
+      if (flag == 1L) assert(trailHours == 24L)
+      assert(trailHours >= 0L && trailHours <= 24L)
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("path_mining agrees with a brute-force trigram count") {
+    val got = SparkEntry.queries("path_mining")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val events = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("event_type"))
+      .collect()
+    val want = events
+      .groupBy(r => (r.getLong(0), r.getDate(1)))
+      .toSeq
+      .flatMap { case (_, es) =>
+        val types = es.sortBy(r => (r.getTimestamp(2).getTime, r.getLong(3)))
+          .map(_.getString(4)).toSeq
+        types.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (tri, n) => assert(want(tri) == n) }
+    // the head really is the head
+    val wantTop = want.values.max
+    assert(got.head._2 == wantTop)
+  }
+
+  test("asof_forward is W-invariant and bounded by nearest coverage") {
+    val a = graft.report.AsOf.asofForwardW(spark, sf, 3600L).collect()
+    val b = graft.report.AsOf.asofForwardW(spark, sf, 7200L).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // forward can never match MORE events than nearest (nearest falls
+    // back to the backward candidate when no forward rate exists)
+    val fwd = a.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val near = graft.report.AsOf.asofNearestW(spark, sf, 3600L).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    fwd.foreach { case (t, n) => assert(n <= near(t)) }
+  }
+
+  test("embedding_norms covers every vector exactly once") {
+    val rows = SparkEntry.queries("embedding_norms")(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3)) // min <= max
+      assert(r.getLong(4) >= r.getLong(3)) // sum >= max
+    }
+  }
+
+  test("behavior_diversity: gini zero iff single-type user") {
+    val rows = SparkEntry.queries("behavior_diversity")(spark, sf).collect()
+    rows.foreach { r =>
+      val nTypes = r.getLong(2); val gini = r.getLong(5)
+      assert((nTypes == 1L) == (gini == 0L))
+      assert(gini >= 0L && gini < 1000000L)
+      assert(r.getLong(4) <= r.getLong(1)) // dominant_n <= n_events
+    }
+  }
+
+  test("q21_waiting_suppliers: descending head, bounded at 20") {
+    val rows = SparkEntry.queries("q21_waiting_suppliers")(spark, sf).collect()
+    assert(rows.length <= 20)
+    val ns = rows.map(_.getLong(1))
+    ns.zip(ns.tail).foreach { case (a, b) => assert(a >= b) }
+  }
+
+  test("reach_curve is monotone and ends at the total user count") {
+    val rows = SparkEntry.queries("reach_curve")(spark, sf).collect()
+    val cums = rows.map(_.getLong(2))
+    cums.zip(cums.tail).foreach { case (a, b) => assert(a < b || a == b - 0) }
+    val total = spark.read.parquet(s"$sf/events.parquet")
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(cums.last == total)
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
+}
