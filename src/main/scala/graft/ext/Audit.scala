@@ -384,4 +384,86 @@ object Audit {
          CAST((SELECT count(*) FROM orders
                WHERE o_custkey IN (SELECT user_id FROM forget)) AS BIGINT)
        ORDER BY table_name"""
+
+  /** Z-ORDER layout audit: interleave the low 16 bits of
+    * (l_partkey, l_suppkey) into a Morton code, cut the curve into
+    * 256 equal z-ranges, and report each range's row count and
+    * min/max span on BOTH dimensions — the locality evidence behind a
+    * Delta/Iceberg `ZORDER BY (partkey, suppkey)` rewrite: tight
+    * per-range spans on both keys mean file-level min/max stats prune
+    * scans for predicates on EITHER column, which is the entire point
+    * of z-ordering a 100 TB table. The interleave is the standard
+    * bit-spreading chain (shift-or-mask, 4 steps) — pure integer ops,
+    * bit-identical in any engine.
+    *
+    * Scale shape: one narrow projection computes the code (all
+    * codegen bitwise ops), then ONE aggregate keyed on the 256
+    * z-buckets — map-side combine collapses every partition to
+    * ≤256 rows; this audit never sorts the data it would lay out
+    * (the actual rewrite would `repartitionByRange(zvalue)`). */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    // spread the low 16 bits of x to even bit positions (Morton half)
+    def spread(x0: Column): Column = {
+      val m  = x0.bitwiseAND(lit(0xFFFFL))
+      val s1 = m.bitwiseOR(shiftleft(m, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    // scale-free: keys normalize to the 16-bit domain against their
+    // in-query maxima (1-row broadcast, the no-driver-probe rule), so
+    // the 256 z-ranges stay meaningful at any corpus size. floor of a
+    // double quotient — products ≤ 65535·key stay exactly
+    // representable, and floor-first is the cross-engine convention.
+    def norm(x: Column, mx: Column): Column =
+      floor(x.cast("double") * 65535 / mx).cast("long")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+    val mx = li.agg(max(col("l_partkey")).as("maxp"),
+      max(col("l_suppkey")).as("maxs"))
+    li.crossJoin(broadcast(mx))
+      .withColumn("z",
+        spread(norm(col("l_partkey"), col("maxp")))
+          .bitwiseOR(shiftleft(spread(norm(col("l_suppkey"), col("maxs"))), 1)))
+      .groupBy(shiftright(col("z"), 25).cast("long").as("z_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min(col("l_partkey")).cast("long").as("min_part"),
+        max(col("l_partkey")).cast("long").as("max_part"),
+        min(col("l_suppkey")).cast("long").as("min_supp"),
+        max(col("l_suppkey")).cast("long").as("max_supp"))
+      .withColumn("part_span", col("max_part") - col("min_part"))
+      .withColumn("supp_span", col("max_supp") - col("min_supp"))
+      .orderBy(col("z_bucket"))
+  }
+
+  val zorderLayoutSql: String = {
+    def spreadSql(x: String): String = {
+      val m  = s"($x & 65535)"
+      val s1 = s"(($m | ($m << 8)) & 16711935)"
+      val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
+      val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
+      s"(($s3 | ($s3 << 1)) & 1431655765)"
+    }
+    def normSql(x: String, mx: String): String =
+      s"CAST(floor(CAST($x AS DOUBLE) * 65535 / $mx) AS BIGINT)"
+    s"""WITH mx AS (
+         SELECT max(l_partkey) AS maxp, max(l_suppkey) AS maxs FROM lineitem),
+       z AS (
+         SELECT l_partkey, l_suppkey,
+           (${spreadSql(normSql("l_partkey", "maxp"))} |
+            (${spreadSql(normSql("l_suppkey", "maxs"))} << 1)) AS zv
+         FROM lineitem CROSS JOIN mx),
+       g AS (
+         SELECT CAST(zv >> 25 AS BIGINT) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_partkey) AS BIGINT) AS min_part,
+           CAST(max(l_partkey) AS BIGINT) AS max_part,
+           CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+           CAST(max(l_suppkey) AS BIGINT) AS max_supp
+         FROM z GROUP BY 1)
+       SELECT z_bucket, n_rows, min_part, max_part, min_supp, max_supp,
+         max_part - min_part AS part_span,
+         max_supp - min_supp AS supp_span
+       FROM g ORDER BY z_bucket"""
+  }
 }

@@ -946,4 +946,55 @@ object Similarity {
          ${graft.util.Exact.pround4Sql("CAST(sum_norm2 AS DOUBLE) / n_vecs")}
            AS mean_norm2
        FROM g ORDER BY label"""
+
+  /** Per-DIMENSION feature profile of the embedding space: count,
+    * exact integer sum / sum-of-squares / min / max per coordinate,
+    * with 4-dp mean and variance — the feature-scaling statistics a
+    * PQ codebook, whitening transform, or dead-dimension audit reads
+    * first (a dimension with ~zero variance carries no signal and
+    * wastes index bits). Variance is the exact integer rational
+    * (n·Σx² − (Σx)²)/n², divided only at the end (quantized values
+    * are ≤10³, so n·Σx² stays far inside BIGINT at 10⁹ vectors).
+    *
+    * Scale shape: posexplode_outer (the generator rule) fans each
+    * vector into DIM narrow (pos, v) rows; the aggregate keys on pos
+    * — DIM distinct keys, so map-side combine collapses every
+    * partition to ≤DIM rows before the one tiny shuffle. */
+  def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("qv", quant(col("embedding")))
+      .select(posexplode_outer(col("qv")).as(Seq("dim", "v")))
+      .filter(col("v").isNotNull)
+    e.groupBy(col("dim"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("v")).cast("long").as("sum_v"),
+        sum(col("v") * col("v")).cast("long").as("sum_v2"),
+        min(col("v")).cast("long").as("min_v"),
+        max(col("v")).cast("long").as("max_v"))
+      .withColumn("mean_milli",
+        graft.util.Exact.pround4(col("sum_v").cast("double") / col("n")))
+      .withColumn("var_milli2",
+        graft.util.Exact.pround4(
+          (col("n") * col("sum_v2") - col("sum_v") * col("sum_v")).cast("double") /
+            (col("n") * col("n"))))
+      .orderBy(col("dim"))
+  }
+
+  val dimStatsSql: String =
+    s"""WITH ex AS (
+         SELECT t.i - 1 AS dim, qv[t.i] AS v
+         FROM (SELECT $quantSql AS qv FROM embeddings),
+              UNNEST(generate_series(1, len(qv))) AS t(i)),
+       g AS (
+         SELECT dim, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_v,
+           CAST(sum(v * v) AS BIGINT) AS sum_v2,
+           CAST(min(v) AS BIGINT) AS min_v,
+           CAST(max(v) AS BIGINT) AS max_v
+         FROM ex GROUP BY dim)
+       SELECT dim, n, sum_v, sum_v2, min_v, max_v,
+         ${graft.util.Exact.pround4Sql("CAST(sum_v AS DOUBLE) / n")} AS mean_milli,
+         ${graft.util.Exact.pround4Sql(
+           "CAST(n * sum_v2 - sum_v * sum_v AS DOUBLE) / (n * n)")} AS var_milli2
+       FROM g ORDER BY dim"""
 }

@@ -914,8 +914,11 @@ object Tpch {
     * map-side combined, TakeOrderedAndProject caps at 20, and the
     * per-part supports broadcast-join onto those 20 rows only. */
   def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    // fenced: four consumers (both join sides + two support lookups)
+    // would otherwise each re-scan and re-dedup the fact table
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .transform(graft.util.Fence.lineage)
     val a = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
     val b = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
     val pairs = a.join(b,

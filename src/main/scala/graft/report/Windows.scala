@@ -866,4 +866,73 @@ object Windows {
          ${Exact.pround4Sql("CAST(sum_cp_s AS DOUBLE) / n_purchase")} AS mean_cp_s
        FROM s1 CROSS JOIN s2 ORDER BY n_click"""
   }
+
+  /** Multi-touch (linear) attribution: every view/click in the hour
+    * BEFORE a purchase shares that purchase's credit equally —
+    * [[purchaseAttribution]]'s last-touch is the degenerate one-touch
+    * case. Credit stays integer: each touch earns
+    * `floor(1,000,000 / n_touches)` micro-credits (the floor
+    * remainder is reported, not smeared — exactness over prettiness),
+    * and zero-touch purchases credit a 'none' channel in full.
+    *
+    * Scale shape: purchases and touches both shuffle once on the
+    * high-cardinality user key; the time-band predicate rides in the
+    * join condition, so per-user work is (purchases × touches within
+    * one user), bounded by single-user activity. The per-purchase
+    * touch count is a groupBy on the join output (no window), and the
+    * channel rollup is 3 rows. */
+  def multitouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("ts").as("tts"))
+    val joined = purchases.join(touches,
+      purchases("user_id") === touches("user_id") &&
+        col("tts") < col("pts") &&
+        col("tts") >= col("pts") - expr("INTERVAL 3600 SECONDS"))
+    val perPurchase = joined.groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_touches"))
+    val credited = joined.select(col("pid"), col("channel"))
+      .join(perPurchase, Seq("pid"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).cast("long").as("n_touches"),
+        sum(floor(lit(1000000L) / col("n_touches")).cast("long"))
+          .cast("long").as("micro_credits"))
+    val untouched = purchases
+      .join(perPurchase, Seq("pid"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_touches"))
+      .select(lit("none").as("channel"), col("n_touches"),
+        (col("n_touches") * 1000000L).cast("long").as("micro_credits"))
+    credited.unionAll(untouched).orderBy(col("channel"))
+  }
+
+  val multitouchAttributionSql: String =
+    """WITH e AS (
+         SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+         FROM events),
+       p AS (SELECT user_id, event_id AS pid, ts AS pts FROM e
+             WHERE event_type = 'purchase'),
+       t AS (SELECT user_id, event_type AS channel, ts AS tts FROM e
+             WHERE event_type IN ('view', 'click')),
+       j AS (
+         SELECT p.pid, t.channel FROM p JOIN t
+           ON p.user_id = t.user_id
+          AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 3600 SECOND),
+       per_p AS (SELECT pid, count(*) AS n_touches FROM j GROUP BY pid),
+       credited AS (
+         SELECT j.channel, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CAST(floor(1000000 / per_p.n_touches) AS BIGINT)) AS BIGINT)
+             AS micro_credits
+         FROM j JOIN per_p ON j.pid = per_p.pid
+         GROUP BY j.channel),
+       untouched AS (
+         SELECT 'none' AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(*) * 1000000 AS BIGINT) AS micro_credits
+         FROM p WHERE pid NOT IN (SELECT pid FROM per_p))
+       SELECT * FROM credited
+       UNION ALL SELECT * FROM untouched
+       ORDER BY channel"""
 }

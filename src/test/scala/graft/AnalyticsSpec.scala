@@ -145,6 +145,47 @@ class AnalyticsSpec extends AnyFunSuite {
     ns.zip(ns.tail).foreach { case (a, b) => assert(a >= b) }
   }
 
+  test("zorder_layout: spans bounded, totals preserved, morton interleave exact") {
+    val rows = SparkEntry.queries("zorder_layout")(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    // z-locality: every bucket's span on each dim must be well under
+    // the full key range (the whole point of the curve) — allow the
+    // coarse top buckets some slack
+    val maxPart = rows.map(_.getLong(3)).max
+    assert(rows.count(r => r.getLong(6) <= maxPart / 2) > rows.length / 2)
+    // independent morton check on one value pair
+    def spread(x: Long): Long = {
+      var v = x & 0xFFFFL
+      v = (v | (v << 8)) & 0x00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0FL
+      v = (v | (v << 2)) & 0x33333333L
+      (v | (v << 1)) & 0x55555555L
+    }
+    assert(spread(0xFFFFL) == 0x55555555L && spread(1L) == 1L)
+  }
+
+  test("multitouch_attribution conserves purchase credit") {
+    val rows = SparkEntry.queries("multitouch_attribution")(spark, sf).collect()
+    val nPurchases = graft.model.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    // every purchase hands out ≤ 1e6 micro-credits (floor remainder
+    // lost), 'none' purchases exactly 1e6 — total bounded by n·1e6
+    val credits = rows.map(_.getLong(2)).sum
+    assert(credits <= nPurchases * 1000000L)
+    assert(credits > nPurchases * 1000000L / 2)
+  }
+
+  test("dim_stats covers all 64 dimensions with exact totals") {
+    val rows = SparkEntry.queries("dim_stats")(spark, sf).collect()
+    assert(rows.length == 64)
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == n)
+      assert(r.getLong(4) <= r.getLong(5)) // min <= max
+    }
+  }
+
   test("reach_curve is monotone and ends at the total user count") {
     val rows = SparkEntry.queries("reach_curve")(spark, sf).collect()
     val cums = rows.map(_.getLong(2))
