@@ -953,4 +953,152 @@ object Tpch {
        JOIN support s1 ON p1 = s1.l_partkey
        JOIN support s2 ON p2 = s2.l_partkey
        ORDER BY n_together DESC, p1, p2"""
+
+  /** GROUPING SETS with heterogeneous sets — the grouping surface
+    * [[cubeRevenue]]/[[rollupRevenue]] can't express (cube = all 2ᵏ
+    * sets, rollup = prefixes; a hand-picked set list is neither):
+    * per-returnflag, per-linestatus, and grand-total revenue in ONE
+    * pass, disambiguated by GROUPING_ID (a NULL flag value vs a
+    * rolled-up flag would otherwise collide). Spark plans this as a
+    * single Expand + one aggregate — one scan for all three reports.
+    * Expressed through the SQL surface (`spark.sql` over a temp view)
+    * because the DataFrame API exposes only cube/rollup. */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"))
+      .createOrReplaceTempView("graft_gs_lineitem")
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+            CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+            ${"CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)"} AS sum_price,
+            CAST(count(*) AS BIGINT) AS n
+          FROM graft_gs_lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY gid, l_returnflag ASC NULLS FIRST,
+            l_linestatus ASC NULLS FIRST""")
+  }
+
+  val groupingSetsRevenueSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+         CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+           AS gid,
+         ${Exact.moneySumSql("l_extendedprice")} AS sum_price,
+         CAST(count(*) AS BIGINT) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       ORDER BY gid, l_returnflag ASC NULLS FIRST,
+         l_linestatus ASC NULLS FIRST"""
+
+  /** Revenue-concentration (Lorenz) audit: how much of total order
+    * revenue the top 1% / 5% / 10% / 25% / 50% of customers carry —
+    * the skew number behind "do we need key salting / a VIP lane".
+    * Customers rank by exact-cents revenue under a TOTAL
+    * (cents, custkey) order; each band's threshold rank is an integer
+    * cross-multiplication (`rank·100 ≤ pct·n`), and shares are exact
+    * ppm of the grand total (derived in-query, 1-row broadcast).
+    *
+    * Scale shape: one custkey aggregate collapses orders; the rank
+    * window is the documented unpartitioned-|customers| trade
+    * (valueDeciles/rfm); the band rollup is 5 rows via one
+    * conditional-sum pass — no per-band re-scan. */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("cents"))
+      .transform(graft.util.Fence.lineage)
+    val tot = perCust.agg(sum(col("cents")).as("total_cents"),
+      count(lit(1)).as("n_cust"))
+    val ranked = perCust.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("cents").desc, col("o_custkey"))))
+    val bands = Seq(1, 5, 10, 25, 50)
+    val exprs = bands.map { p =>
+      struct(
+        sum(when(col("rk") * 100 <= col("n_cust") * p, col("cents"))
+          .otherwise(0L)).cast("long").as("cents"),
+        sum(when(col("rk") * 100 <= col("n_cust") * p, 1L)
+          .otherwise(0L)).cast("long").as("n"))
+        .as(s"b$p")
+    }
+    val agg = ranked.groupBy(col("total_cents"))
+      .agg(exprs.head, exprs.tail: _*)
+    agg.select(explode(array(bands.map(p =>
+        struct(lit(p).cast("long").as("top_pct"),
+          col(s"b$p")("n").as("n_customers"),
+          col(s"b$p")("cents").as("band_cents"),
+          floor(col(s"b$p")("cents").cast("double") * 1000000 /
+            col("total_cents")).cast("long").as("share_ppm"))): _*))
+        .as("b"))
+      .select(col("b.top_pct"), col("b.n_customers"),
+        col("b.band_cents"), col("b.share_ppm"))
+      .orderBy(col("top_pct"))
+  }
+
+  val revenueConcentrationSql: String =
+    s"""WITH pc AS (
+         SELECT o_custkey,
+           CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT) AS cents
+         FROM orders GROUP BY o_custkey),
+       tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents,
+                      count(*) AS n_cust FROM pc),
+       ranked AS (
+         SELECT cents, total_cents, n_cust,
+           row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk
+         FROM pc CROSS JOIN tot),
+       bands AS (
+         SELECT unnest([1, 5, 10, 25, 50]) AS top_pct)
+       SELECT CAST(b.top_pct AS BIGINT) AS top_pct,
+         CAST(sum(CASE WHEN r.rk * 100 <= r.n_cust * b.top_pct
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+         CAST(sum(CASE WHEN r.rk * 100 <= r.n_cust * b.top_pct
+           THEN r.cents ELSE 0 END) AS BIGINT) AS band_cents,
+         CAST(floor(CAST(sum(CASE WHEN r.rk * 100 <= r.n_cust * b.top_pct
+           THEN r.cents ELSE 0 END) AS DOUBLE) * 1000000
+             / any_value(r.total_cents)) AS BIGINT) AS share_ppm
+       FROM ranked r CROSS JOIN bands b
+       GROUP BY b.top_pct ORDER BY top_pct"""
+
+  /** Month-over-month growth: monthly order revenue with the previous
+    * month's value (lag), the absolute delta in exact cents, and the
+    * relative change in exact ppm (integer cross-products over a
+    * floor-divided double — no accumulated float). The window runs on
+    * the ≤ #months frame (the calendar-bounded convention), ordered
+    * totally by month key. */
+  def momGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("ym"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).cast("long").as("cents"),
+        count(lit(1)).cast("long").as("n_orders"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ym"))
+    monthly
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      // the first month has no predecessor and is dropped — a NULL in
+      // a BIGINT result column would float64-ify the pandas dtype on
+      // one side of the oracle compare (the r03 pack_sequences trap)
+      .filter(col("prev_cents").isNotNull)
+      .select(col("ym"), col("n_orders"), col("cents"),
+        col("prev_cents").cast("long").as("prev_cents"),
+        (col("cents") - col("prev_cents")).cast("long").as("delta_cents"),
+        floor((col("cents") - col("prev_cents")).cast("double") *
+          1000000 / col("prev_cents")).cast("long").as("growth_ppm"))
+      .orderBy(col("ym"))
+  }
+
+  val momGrowthSql: String =
+    s"""WITH m AS (
+         SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) * 100
+             + month(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ym,
+           CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY 1),
+       lagged AS (
+         SELECT ym, n_orders, cents, lag(cents) OVER (ORDER BY ym) AS pc
+         FROM m)
+       SELECT ym, n_orders, cents,
+         CAST(pc AS BIGINT) AS prev_cents,
+         CAST(cents - pc AS BIGINT) AS delta_cents,
+         CAST(floor(CAST(cents - pc AS DOUBLE) * 1000000 / pc) AS BIGINT)
+           AS growth_ppm
+       FROM lagged WHERE pc IS NOT NULL ORDER BY ym"""
 }

@@ -935,4 +935,128 @@ object Windows {
        SELECT * FROM credited
        UNION ALL SELECT * FROM untouched
        ORDER BY channel"""
+
+  /** First-order Markov transition matrix over per-user event
+    * streams: counts and exact-ppm row-probabilities of every
+    * (from_type → to_type) step — the table a next-event predictor,
+    * anomaly scorer, or session simulator reads. One lag window under
+    * the repo's total (ts, event_id) order produces the step pairs;
+    * [[pathMining]] is the order-3 head of the same stream, this is
+    * the complete order-1 model.
+    *
+    * Scale shape: one user-keyed window pass, then a ≤|types|²-key
+    * count (map-side combined to ≤25 rows per partition) plus one
+    * broadcast-joined per-from total — probabilities are integer
+    * cross-mult ppm, never a float accumulation. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val fromTotals = steps.groupBy(col("from_type"))
+      .agg(sum(col("n")).cast("long").as("from_n"))
+    steps.join(broadcast(fromTotals), Seq("from_type"))
+      .withColumn("p_ppm",
+        floor(col("n").cast("double") * 1000000 / col("from_n")).cast("long"))
+      .select(col("from_type"), col("to_type"), col("n"), col("from_n"),
+        col("p_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH seq AS (
+         SELECT event_type AS to_type,
+           lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type
+         FROM events),
+       steps AS (
+         SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+         FROM seq WHERE from_type IS NOT NULL
+         GROUP BY from_type, to_type),
+       ft AS (
+         SELECT from_type, CAST(sum(n) AS BIGINT) AS from_n
+         FROM steps GROUP BY from_type)
+       SELECT s.from_type, s.to_type, s.n, ft.from_n,
+         CAST(floor(CAST(s.n AS DOUBLE) * 1000000 / ft.from_n) AS BIGINT)
+           AS p_ppm
+       FROM steps s JOIN ft ON s.from_type = ft.from_type
+       ORDER BY s.from_type, s.to_type"""
+
+  /** Rolling active users — DAU / 7-day WAU / 28-day MAU per calendar
+    * day, the product-health triple every analytics stack reports.
+    * Exact semantics (a user counts once per window, however often
+    * they appear): the (user, day) presence set dedups ONCE, each
+    * presence day then contributes to the ≤7 / ≤28 observation days
+    * it can influence (a bounded explode, the interval_join fanout
+    * idea applied to windows), and a second distinct collapses
+    * multi-hit users before the per-day count. The day grid densifies
+    * from in-query min/max (a zero-activity day still has WAU/MAU
+    * mass — an inner join on activity days would silently drop it).
+    *
+    * Scale shape: everything after the first dedup is keyed on
+    * (day, user) or day; fanout is a constant 7/28 on the ALREADY
+    * per-day-deduped frame, not on raw events. At 10⁹ users/day the
+    * approximate rung is a mergeable per-day HLL sketch rolled over
+    * the window (cf. distinct_sketch) — documented, not silently
+    * substituted. */
+  def activeUsersRolling(spark: SparkSession, dir: String): DataFrame = {
+    val pud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .transform(graft.util.Fence.lineage)
+    val span = pud.agg(min(col("day")).as("mind"), max(col("day")).as("maxd"))
+    val grid = span
+      .select(explode_outer(sequence(col("mind"), col("maxd"))).as("day"))
+      .filter(col("day").isNotNull)
+    val dau = pud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    def rolling(w: Int, name: String) = pud
+      .select(col("user_id"),
+        explode_outer(sequence(col("day"), date_add(col("day"), w - 1)))
+          .as("obs"))
+      .filter(col("obs").isNotNull)
+      .distinct()
+      .groupBy(col("obs").as("day"))
+      .agg(count(lit(1)).as(name))
+    grid
+      .join(dau, Seq("day"), "left")
+      .join(rolling(7, "wau7"), Seq("day"), "left")
+      .join(rolling(28, "mau28"), Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).cast("long").as("dau"),
+        coalesce(col("wau7"), lit(0L)).cast("long").as("wau7"),
+        coalesce(col("mau28"), lit(0L)).cast("long").as("mau28"))
+      .orderBy(col("day"))
+  }
+
+  val activeUsersRollingSql: String =
+    """WITH pud AS (
+         SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+         FROM events),
+       span AS (SELECT min(day) AS mind, max(day) AS maxd FROM pud),
+       grid AS (
+         SELECT unnest(generate_series(mind, maxd, INTERVAL 1 DAY))::DATE AS day
+         FROM span),
+       dau AS (SELECT day, count(*) AS dau FROM pud GROUP BY day),
+       w7 AS (
+         SELECT obs AS day, count(DISTINCT user_id) AS wau7 FROM (
+           SELECT user_id,
+             unnest(generate_series(day, day + 6, INTERVAL 1 DAY))::DATE AS obs
+           FROM pud) GROUP BY obs),
+       w28 AS (
+         SELECT obs AS day, count(DISTINCT user_id) AS mau28 FROM (
+           SELECT user_id,
+             unnest(generate_series(day, day + 27, INTERVAL 1 DAY))::DATE AS obs
+           FROM pud) GROUP BY obs)
+       SELECT g.day,
+         CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+         CAST(coalesce(w7.wau7, 0) AS BIGINT) AS wau7,
+         CAST(coalesce(w28.mau28, 0) AS BIGINT) AS mau28
+       FROM grid g
+       LEFT JOIN dau ON g.day = dau.day
+       LEFT JOIN w7 ON g.day = w7.day
+       LEFT JOIN w28 ON g.day = w28.day
+       ORDER BY g.day"""
 }

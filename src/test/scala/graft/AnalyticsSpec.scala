@@ -186,6 +186,78 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("markov_transitions rows are stochastic per from-state") {
+    val rows = SparkEntry.queries("markov_transitions")(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, ts) =>
+      // ppm rows sum to ≤ 1e6 (floor loss < |types| ppm) and > 1e6 - 25
+      val total = ts.map(_.getLong(4)).sum
+      assert(total <= 1000000L && total > 1000000L - 25L)
+      // counts roll up to the shared from_n
+      assert(ts.map(_.getLong(2)).sum == ts.head.getLong(3))
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("revenue_concentration bands nest and end at 100% of revenue mass") {
+    val rows = SparkEntry.queries("revenue_concentration")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    val cents = rows.map(_.getLong(2))
+    cents.zip(cents.tail).foreach { case (a, b) => assert(a <= b) }
+    val shares = rows.map(_.getLong(3))
+    assert(shares.last <= 1000000L && shares.head > 0L)
+    // top-1% of a skewed base must out-earn its uniform share
+    assert(shares.head * 100 > 1000000L)
+  }
+
+  test("mom_growth deltas reconcile with the lagged series") {
+    val rows = SparkEntry.queries("mom_growth")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) - r.getLong(3) == r.getLong(4))
+    }
+    // consecutive months chain: this month's cents is next month's prev
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        if (ymNext(a.getLong(0)) == b.getLong(0))
+          assert(a.getLong(2) == b.getLong(3))
+      case _ =>
+    }
+  }
+
+  private def ymNext(ym: Long): Long =
+    if (ym % 100 == 12) (ym / 100 + 1) * 100 + 1 else ym + 1
+
+  test("grouping_sets_revenue: three set families reconcile to one total") {
+    val rows = SparkEntry.queries("grouping_sets_revenue")(spark, sf).collect()
+    val byGid = rows.groupBy(_.getLong(2))
+    assert(byGid.keySet == Set(1L, 2L, 3L))
+    val grand = byGid(3L).head.getLong(4)
+    assert(byGid(1L).map(_.getLong(4)).sum == grand)
+    assert(byGid(2L).map(_.getLong(4)).sum == grand)
+  }
+
+  test("active_users_rolling matches a brute-force window count") {
+    val got = SparkEntry.queries("active_users_rolling")(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val pud = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = pud.map(_._2)
+    val (mind, maxd) = (days.min, days.max)
+    var d = mind
+    while (!d.isAfter(maxd)) {
+      val dau = pud.count(_._2 == d).toLong
+      val wau = pud.filter(p => !p._2.isAfter(d) && !p._2.isBefore(d.minusDays(6)))
+        .map(_._1).distinct.length.toLong
+      val mau = pud.filter(p => !p._2.isAfter(d) && !p._2.isBefore(d.minusDays(27)))
+        .map(_._1).distinct.length.toLong
+      assert(got(d) == ((dau, wau, mau)), s"day $d")
+      d = d.plusDays(1)
+    }
+    assert(got.size == java.time.temporal.ChronoUnit.DAYS.between(mind, maxd) + 1)
+  }
+
   test("reach_curve is monotone and ends at the total user count") {
     val rows = SparkEntry.queries("reach_curve")(spark, sf).collect()
     val cums = rows.map(_.getLong(2))
