@@ -128,6 +128,54 @@ object Corpus {
          CAST(sum(ck) AS BIGINT) AS id_checksum
        FROM d GROUP BY source, split ORDER BY source, split"""
 
+  /** K-fold cross-validation assignment ([[splitAssign]]'s k-way
+    * sibling): fold = content-hash(doc_id) mod 5 — stable under
+    * corpus growth like the split, so fold membership never reshuffles
+    * between runs — with per-(source, fold) mass and a balance
+    * certificate in exact ppm of the ideal n/K (the number a skewed
+    * hash would blow). One narrow map + one small-key aggregate; the
+    * per-source totals broadcast back onto ≤ sources×K rows. */
+  def kfoldAssign(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+      .withColumn("n_tokens", size(toks(col("text"))).cast("long"))
+      .withColumn("fold", Hashing.phash(col("doc_id").cast("string"), "fold_") % 5)
+      .groupBy(col("source"), col("fold").cast("long").as("fold"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        sum(Hashing.phash(col("doc_id").cast("string"), "fck_") % 1073741824L)
+          .cast("long").as("id_checksum"))
+    val totals = d.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("src_docs"))
+    d.join(broadcast(totals), Seq("source"))
+      .withColumn("ppm_of_ideal",
+        floor(col("n_docs").cast("double") * 5 * 1000000 / col("src_docs"))
+          .cast("long"))
+      .select(col("source"), col("fold"), col("n_docs"), col("n_tokens"),
+        col("id_checksum"), col("ppm_of_ideal"))
+      .orderBy(col("source"), col("fold"))
+  }
+
+  val kfoldAssignSql: String =
+    s"""WITH d AS (
+         SELECT source,
+           len(${toksSql("text")}) AS n_tokens,
+           ${Hashing.phashSql("CAST(doc_id AS VARCHAR)", "fold_")} % 5 AS fold,
+           ${Hashing.phashSql("CAST(doc_id AS VARCHAR)", "fck_")} % 1073741824 AS ck
+         FROM documents),
+       g AS (
+         SELECT source, CAST(fold AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(ck) AS BIGINT) AS id_checksum
+         FROM d GROUP BY source, fold),
+       t AS (SELECT source, sum(n_docs) AS src_docs FROM g GROUP BY source)
+       SELECT g.source, g.fold, g.n_docs, g.n_tokens, g.id_checksum,
+         CAST(floor(CAST(g.n_docs AS DOUBLE) * 5 * 1000000 / t.src_docs)
+           AS BIGINT) AS ppm_of_ideal
+       FROM g JOIN t ON g.source = t.source
+       ORDER BY g.source, g.fold"""
+
   /** Deterministic stratified sampling: each source gets a quota in
     * [20, 80]% derived from a hash of its name, and a document is
     * kept iff `phash(doc_id) % 100 < quota` — reproducible on any

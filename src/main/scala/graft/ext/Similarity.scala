@@ -997,4 +997,98 @@ object Similarity {
          ${graft.util.Exact.pround4Sql(
            "CAST(n * sum_v2 - sum_v * sum_v AS DOUBLE) / (n * n)")} AS var_milli2
        FROM g ORDER BY dim"""
+
+  /** Label-separability audit: mean pairwise DOT within each label
+    * (cohesion) and between each label pair (separation) — the
+    * metric-learning margin report, computed WITHOUT any pairwise
+    * pass: over quantized integers, Σ_{i≠j} vᵢ·vⱼ inside a label is
+    * exactly |S|² − Σ|v|² (S the label's sum vector), and the
+    * cross-label pair mass is exactly S₁·S₂ — so a report that is
+    * nominally O(N²) pairs costs one (label, dim) partial-sum shuffle
+    * plus a labels²-bounded join (the [[centroidSimilarity]] algebra
+    * extended to pair MEANS). Doubled sums/pair-counts keep every
+    * intermediate integer (the i≠j mass is even by symmetry; no /2
+    * before the final floor-divided mean).
+    *
+    * Scale shape: one narrow stats aggregate + one (label, dim)
+    * partial-sum shuffle over the fenced base; the pair frame is
+    * ≤ labels² rows of (sum-vector, scalars). */
+  def labelSeparability(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("qv", quant(col("embedding")))
+      .select(col("label"), col("qv"), norm2(col("qv")).as("n2"))
+      .transform(graft.util.Fence.lineage)
+    val stats = base.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("n2")).as("sum_n2"))
+    val sums = base
+      .select(col("label"), posexplode_outer(col("qv")).as(Seq("dim", "v")))
+      .filter(col("v").isNotNull)
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("v")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("s")))),
+        x => x.getField("s")).as("sv"))
+    val lab = stats.join(sums, Seq("label"))
+      .transform(graft.util.Fence.lineage)
+    val a = lab.select(col("label").as("label1"), col("n").as("n1"),
+      col("sum_n2").as("sn2a"), col("sv").as("sa"))
+    val b = lab.select(col("label").as("label2"), col("n").as("n2_"),
+      col("sv").as("sb"))
+    a.join(b, col("label1") <= col("label2"))
+      .select(
+        col("label1").cast("long").as("label1"),
+        col("label2").cast("long").as("label2"),
+        when(col("label1") === col("label2"), lit("intra"))
+          .otherwise(lit("inter")).as("kind"),
+        when(col("label1") === col("label2"), col("n1") * (col("n1") - 1))
+          .otherwise(col("n1") * col("n2_") * 2).cast("long").as("pairs2"),
+        when(col("label1") === col("label2"),
+            dot(col("sa"), col("sa")) - col("sn2a"))
+          .otherwise(dot(col("sa"), col("sb")) * 2).cast("long").as("sum_dot2"))
+      .withColumn("mean_dot",
+        floor(col("sum_dot2").cast("double") / col("pairs2")).cast("long"))
+      .orderBy(col("label1"), col("label2"))
+  }
+
+  val labelSeparabilitySql: String =
+    s"""WITH e AS (
+         SELECT label, $quantSql AS qv FROM embeddings),
+       st AS (
+         SELECT label, count(*) AS n,
+           CAST(sum(list_sum(list_transform(qv, x -> x * x))) AS BIGINT)
+             AS sum_n2
+         FROM e GROUP BY label),
+       x AS (
+         SELECT label, unnest(list_transform(generate_series(1, len(qv)),
+           i -> struct_pack(dim := i, v := qv[i]))) AS u
+         FROM e),
+       s AS (
+         SELECT label, u.dim AS dim, CAST(sum(u.v) AS BIGINT) AS sv
+         FROM x GROUP BY label, u.dim),
+       vecs AS (SELECT label, list(sv ORDER BY dim) AS sv FROM s GROUP BY label),
+       lab AS (
+         SELECT st.label, st.n, st.sum_n2, vecs.sv
+         FROM st JOIN vecs ON st.label = vecs.label),
+       pairs AS (
+         SELECT a.label AS l1, b.label AS l2,
+           a.n AS n1, b.n AS n2, a.sum_n2 AS sn2a, a.sv AS sa, b.sv AS sb
+         FROM lab a JOIN lab b ON a.label <= b.label)
+       SELECT CAST(l1 AS BIGINT) AS label1, CAST(l2 AS BIGINT) AS label2,
+         CASE WHEN l1 = l2 THEN 'intra' ELSE 'inter' END AS kind,
+         CAST(CASE WHEN l1 = l2 THEN n1 * (n1 - 1)
+           ELSE n1 * n2 * 2 END AS BIGINT) AS pairs2,
+         CAST(CASE WHEN l1 = l2 THEN
+             list_sum(list_transform(generate_series(1, $DIM),
+               i -> sa[i] * sa[i])) - sn2a
+           ELSE list_sum(list_transform(generate_series(1, $DIM),
+               i -> sa[i] * sb[i])) * 2 END AS BIGINT) AS sum_dot2,
+         CAST(floor(CAST(CASE WHEN l1 = l2 THEN
+             list_sum(list_transform(generate_series(1, $DIM),
+               i -> sa[i] * sa[i])) - sn2a
+           ELSE list_sum(list_transform(generate_series(1, $DIM),
+               i -> sa[i] * sb[i])) * 2 END AS DOUBLE) /
+           (CASE WHEN l1 = l2 THEN n1 * (n1 - 1) ELSE n1 * n2 * 2 END))
+           AS BIGINT) AS mean_dot
+       FROM pairs ORDER BY label1, label2"""
 }

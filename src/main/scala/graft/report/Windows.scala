@@ -1059,4 +1059,46 @@ object Windows {
        LEFT JOIN w7 ON g.day = w7.day
        LEFT JOIN w28 ON g.day = w28.day
        ORDER BY g.day"""
+
+  /** New-vs-returning daily split: per day, how many active users are
+    * brand new (first-ever activity) vs returning — [[reachCurve]]'s
+    * per-day companion and the growth-vs-retention decomposition of
+    * [[activeUsersRolling]]'s DAU. A user's first day is one min
+    * aggregate; the presence set joins it back on the user key (both
+    * frames already partition by user), and new+returning = DAU is
+    * certified per row in-result. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val pud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .transform(graft.util.Fence.lineage)
+    val firstDay = pud.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    pud.join(firstDay, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).cast("long").as("dau"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .cast("long").as("n_new"))
+      .withColumn("n_returning", (col("dau") - col("n_new")).cast("long"))
+      .withColumn("split_exact",
+        (col("n_new") + col("n_returning") === col("dau")).cast("long"))
+      .orderBy(col("day"))
+  }
+
+  val newVsReturningSql: String =
+    """WITH pud AS (
+         SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+         FROM events),
+       fd AS (SELECT user_id, min(day) AS first_day FROM pud GROUP BY user_id),
+       g AS (
+         SELECT day, CAST(count(*) AS BIGINT) AS dau,
+           CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new
+         FROM pud JOIN fd ON pud.user_id = fd.user_id
+         GROUP BY day)
+       SELECT day, dau, n_new,
+         CAST(dau - n_new AS BIGINT) AS n_returning,
+         CAST(CASE WHEN n_new + (dau - n_new) = dau THEN 1 ELSE 0 END AS BIGINT)
+           AS split_exact
+       FROM g ORDER BY day"""
 }

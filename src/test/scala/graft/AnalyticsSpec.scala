@@ -258,6 +258,48 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.size == java.time.temporal.ChronoUnit.DAYS.between(mind, maxd) + 1)
   }
 
+  test("label_separability pair algebra is exact against brute force") {
+    val rows = SparkEntry.queries("label_separability")(spark, sf).collect()
+    val intra = rows.filter(_.getString(2) == "intra")
+    val inter = rows.filter(_.getString(2) == "inter")
+    assert(intra.nonEmpty && inter.nonEmpty)
+    // doubled pair counts are the exact combinatorics
+    val ns = spark.read.parquet(s"$sf/embeddings.parquet")
+      .groupBy(col("label")).count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    intra.foreach(r => assert(r.getLong(3) == ns(r.getLong(0)) * (ns(r.getLong(0)) - 1)))
+    inter.foreach(r => assert(r.getLong(3) == 2 * ns(r.getLong(0)) * ns(r.getLong(1))))
+    // the pair algebra matches a brute-force pair sum on one label
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("label") === 0).collect()
+      .map(_.getSeq[Float](1).toArray.map(x => math.floor(x * 1000 + 0.5).toLong))
+    val brute = (for {
+      i <- e.indices; j <- e.indices if i != j
+    } yield e(i).zip(e(j)).map { case (a, b) => a * b }.sum).sum
+    val row0 = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 0L).get
+    assert(row0.getLong(4) == brute)
+  }
+
+  test("new_vs_returning reconciles with reach_curve day by day") {
+    val nvr = SparkEntry.queries("new_vs_returning")(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(2)).toMap
+    val rc = SparkEntry.queries("reach_curve")(spark, sf).collect()
+    rc.foreach { r =>
+      assert(nvr(r.getDate(0).toLocalDate) == r.getLong(1))
+    }
+  }
+
+  test("kfold_assign folds partition each source and balance near ideal") {
+    val rows = SparkEntry.queries("kfold_assign")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (src, fs) =>
+      assert(fs.map(_.getLong(2)).sum == docs(src))
+      assert(fs.map(_.getLong(1)).distinct.length == fs.length)
+    }
+  }
+
   test("reach_curve is monotone and ends at the total user count") {
     val rows = SparkEntry.queries("reach_curve")(spark, sf).collect()
     val cums = rows.map(_.getLong(2))
