@@ -285,6 +285,55 @@ object Dedup {
        $lshPairsCtes
        SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2"""
 
+  /** Near-duplication rate BY SOURCE: what share of each source's
+    * documents has at least one verified near-dup anywhere in the
+    * corpus — the per-feed contamination scoreboard a crawl operator
+    * watches (a source whose dup ppm climbs is re-scraping itself or
+    * mirroring another feed). Reuses the STAGED signature table and
+    * the shared emit-once pair generator, so the marginal cost over
+    * [[dedupMinhashLsh]] is one id-distinct and one broadcast-sized
+    * join per source row; rate is exact ppm.
+    *
+    * Scale shape: dup ids are (id)-only frames; the documents side
+    * never carries text past its (id, source) projection. */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairsOf(signatures(spark, dir))
+      .filter(col("jaccard") >= 0.5)
+    val dup = pairs.select(col("id1").as("doc_id"))
+      .unionAll(pairs.select(col("id2").as("doc_id")))
+      .distinct()
+      .withColumn("is_dup", lit(1L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).cast("long").as("n_dup_docs"))
+      .withColumn("dup_ppm",
+        floor(col("n_dup_docs").cast("double") * 1000000 / col("n_docs"))
+          .cast("long"))
+      .orderBy(col("source"))
+  }
+
+  val dupRateBySourceSql: String =
+    s"""WITH $corpusSql,
+       $lshPairsCtes,
+       dup AS (
+         SELECT DISTINCT doc_id FROM (
+           SELECT id1 AS doc_id FROM j WHERE jaccard >= 0.5
+           UNION ALL
+           SELECT id2 AS doc_id FROM j WHERE jaccard >= 0.5)),
+       g AS (
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dup_docs
+         FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+         GROUP BY d.source)
+       SELECT source, n_docs, n_dup_docs,
+         CAST(floor(CAST(n_dup_docs AS DOUBLE) * 1000000 / n_docs) AS BIGINT)
+           AS dup_ppm
+       FROM g ORDER BY source"""
+
   /** Dedup THRESHOLD CALIBRATION sweep — the report a team reads
     * before picking its near-dup cutoff: over ONE banded-LSH
     * candidate set (recall floor 0.5, same generator as

@@ -1101,4 +1101,67 @@ object Tpch {
          CAST(floor(CAST(cents - pc AS DOUBLE) * 1000000 / pc) AS BIGINT)
            AS growth_ppm
        FROM lagged WHERE pc IS NOT NULL ORDER BY ym"""
+
+  /** Supplier scorecard: the per-supplier operational rollup — line
+    * items shipped, exact-decimal revenue, distinct orders touched,
+    * mean order-to-ship delay (integer day sums, portable 4-dp mean),
+    * and the slow-shipment share (> 60 days) in exact ppm. One fact
+    * scan, one orderkey join for the order date, one suppkey
+    * aggregate, a broadcast name join — the multi-metric single-pass
+    * report shape (J4 decorrelation at supplier grain).
+    *
+    * The distinct-order count rides the same two-stage distinct
+    * aggregate as q16 — nothing scans twice. */
+  def supplierScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_d", delay.cast("long"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).cast("long").as("n_lineitems"),
+        countDistinct(col("l_orderkey")).cast("long").as("n_orders"),
+        Exact.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        sum(col("delay_d")).cast("long").as("sum_delay_d"),
+        sum(when(col("delay_d") > 60, 1L).otherwise(0L)).cast("long")
+          .as("n_slow"))
+      .withColumn("mean_delay_d",
+        Exact.pround4(col("sum_delay_d").cast("double") / col("n_lineitems")))
+      .withColumn("slow_ppm",
+        floor(col("n_slow").cast("double") * 1000000 / col("n_lineitems"))
+          .cast("long"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("n_lineitems"), col("n_orders"),
+        col("revenue"), col("mean_delay_d"), col("slow_ppm"))
+      .orderBy(col("s_name"))
+  }
+
+  val supplierScorecardSql: String =
+    s"""WITH li AS (
+         SELECT l_suppkey, l_orderkey,
+           datediff('day', o_orderdate, l_shipdate) AS delay_d,
+           l_extendedprice, l_discount
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       g AS (
+         SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           ${Exact.moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+           CAST(sum(delay_d) AS BIGINT) AS sum_delay_d,
+           CAST(sum(CASE WHEN delay_d > 60 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_slow
+         FROM li GROUP BY l_suppkey)
+       SELECT s_name, n_lineitems, n_orders, revenue,
+         ${Exact.pround4Sql("CAST(sum_delay_d AS DOUBLE) / n_lineitems")}
+           AS mean_delay_d,
+         CAST(floor(CAST(n_slow AS DOUBLE) * 1000000 / n_lineitems) AS BIGINT)
+           AS slow_ppm
+       FROM g JOIN supplier ON l_suppkey = s_suppkey
+       ORDER BY s_name"""
 }

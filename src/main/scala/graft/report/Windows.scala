@@ -1101,4 +1101,85 @@ object Windows {
          CAST(CASE WHEN n_new + (dau - n_new) = dau THEN 1 ELSE 0 END AS BIGINT)
            AS split_exact
        FROM g ORDER BY day"""
+
+  /** Weekly seasonality profile: per (event_type, ISO weekday), the
+    * event count, its exact-ppm share of that type's total, and the
+    * peak hour-of-day (struct-max argmax — count then hour, so ties
+    * break to the later hour identically in both engines). Weekday is
+    * `weekday()+1` ≡ DuckDB `isodow` (1=Mon..7=Sun) — the one
+    * calendar function pair that agrees on numbering.
+    *
+    * Scale shape: the (type, dow, hour) pre-aggregate bounds
+    * everything after at |types|·7·24 rows; two shrinking groupBys,
+    * one broadcast of the |types| totals. */
+  def seasonalityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (weekday(col("ts")) + 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .groupBy(col("event_type"), col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val byDow = cells.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        max(struct(col("n"), col("hr"))).as("peak"))
+    val totals = byDow.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("type_n"))
+    byDow.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("n"),
+        floor(col("n").cast("double") * 1000000 / col("type_n")).cast("long")
+          .as("share_ppm"),
+        col("peak")("hr").cast("long").as("peak_hour"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  val seasonalityProfileSql: String =
+    """WITH cells AS (
+         SELECT event_type,
+           CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+           count(*) AS n
+         FROM events GROUP BY 1, 2, 3),
+       bydow AS (
+         SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS n,
+           max(struct_pack(n := n, hr := hr)) AS peak
+         FROM cells GROUP BY event_type, dow),
+       t AS (SELECT event_type, sum(n) AS type_n FROM bydow GROUP BY event_type)
+       SELECT b.event_type, b.dow, b.n,
+         CAST(floor(CAST(b.n AS DOUBLE) * 1000000 / t.type_n) AS BIGINT)
+           AS share_ppm,
+         CAST(b.peak.hr AS BIGINT) AS peak_hour
+       FROM bydow b JOIN t ON b.event_type = t.event_type
+       ORDER BY b.event_type, b.dow"""
+
+  /** Error-rate SLI per day: error share of all events in exact ppm
+    * with an SLO-breach flag (threshold 250,000 ppm = 25% — the
+    * synthetic stream mixes 5 types uniformly, so breaches are the
+    * days noise pushes errors above their natural ~20% share). Pure
+    * conditional aggregation; the flag is an integer compare. */
+  def errorRateSli(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .cast("long").as("n_errors"))
+      .withColumn("error_ppm",
+        floor(col("n_errors").cast("double") * 1000000 / col("n_events"))
+          .cast("long"))
+      .withColumn("slo_breached",
+        (col("error_ppm") > 250000L).cast("long"))
+      .orderBy(col("day"))
+
+  val errorRateSliSql: String =
+    """WITH g AS (
+         SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_errors
+         FROM events GROUP BY 1)
+       SELECT day, n_events, n_errors,
+         CAST(floor(CAST(n_errors AS DOUBLE) * 1000000 / n_events) AS BIGINT)
+           AS error_ppm,
+         CAST(CASE WHEN floor(CAST(n_errors AS DOUBLE) * 1000000 / n_events)
+           > 250000 THEN 1 ELSE 0 END AS BIGINT) AS slo_breached
+       FROM g ORDER BY day"""
 }
