@@ -503,4 +503,56 @@ object StreamEtl {
       .select(explode(cmCells(col("name"))).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
       .agg(count(lit(1)).as("cnt"))
+
+  case class HourAssess(status_code: Long, hour_epoch: Long, n: Long,
+    trail_sum: Long, trail_hours: Long, is_anomaly: Boolean)
+
+  /** Streaming rate-anomaly gate — the live mirror of the batch
+    * `rate_anomaly` operator (same rule: a full 24-hour baseline and
+    * the integer compare `n·24 > 2·trail`): per status code, a RING
+    * of the last 25 hourly counts rides as keyed state, each arriving
+    * hour re-emits its current assessment (update-mode upsert
+    * semantics — a late line corrects its hour's verdict on the next
+    * batch), and state prunes to the 25-hour horizon every batch, so
+    * store size is STRUCTURALLY ≤ 26 entries per status forever — the
+    * cmSketchStream bounded-state property, here via explicit
+    * pruning in `flatMapGroupsWithState` because the trailing-window
+    * compare needs cross-window state no built-in windowed agg can
+    * express.
+    *
+    * For a time-ordered feed (log rotation), an hour's trailing
+    * baseline always arrives no later than the hour itself, so the
+    * LAST emission per (status, hour) equals the batch assessment —
+    * StreamSpec pins that parity. */
+  def anomalyGateStream(spark: SparkSession, inputGlob: String)
+      : org.apache.spark.sql.Dataset[HourAssess] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    parseLines(spark.readStream.text(inputGlob))
+      .select(col("status_code").cast("long"),
+        (floor(unix_timestamp(col("datetime")) / 3600) * 3600).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long], HourAssess](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (status, rows, state) =>
+          val prev = state.getOption.getOrElse(Map.empty[Long, Long])
+          val arrived = rows.foldLeft(Map.empty[Long, Long]) { (m, r) =>
+            m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
+          }
+          val merged = arrived.foldLeft(prev) { case (m, (h, c)) =>
+            m.updated(h, m.getOrElse(h, 0L) + c)
+          }
+          val horizon = merged.keys.max - 25L * 3600
+          state.update(merged.filter { case (h, _) => h >= horizon })
+          arrived.keys.toSeq.sorted.iterator.map { h =>
+            val trail = merged.view
+              .filterKeys(k => k >= h - 24L * 3600 && k <= h - 3600)
+            val ts = trail.values.sum
+            val th = trail.size.toLong
+            HourAssess(status, h, merged(h), ts, th,
+              th == 24L && merged(h) * 24 > ts * 2)
+          }
+      }
+  }
 }

@@ -757,4 +757,51 @@ class StreamSpec extends AnyFunSuite {
     val est = cells.map(g2.getOrElse(_, 0L)).min
     assert(est >= probe._2, s"CM undercounted ${probe._1}: $est < ${probe._2}")
   }
+
+  test("anomalyGateStream final assessments equal the batch trailing-window rule") {
+    val base = Files.createTempDirectory("graft_anom").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    val lines = Style5.renderedLines(spark, sf).cache()
+    val buf = new scala.collection.concurrent.TrieMap[(Long, Long), (Long, Long, Long, Boolean)]()
+    def drain(): Unit = {
+      val q = StreamEtl.anomalyGateStream(spark, s"$in/*")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamEtl.HourAssess], _: Long) =>
+          b.collect().foreach(a => buf.put((a.status_code, a.hour_epoch),
+            (a.n, a.trail_sum, a.trail_hours, a.is_anomaly)))
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    lines.filter(col("event_id") < 600).select("line")
+      .coalesce(1).write.mode("overwrite").text(s"$in/f1")
+    drain()
+    // rotation: later (time-ordered) lines fold into the checkpointed
+    // ring; boundary hours re-emit corrected assessments
+    lines.filter(col("event_id") >= 600).select("line")
+      .coalesce(1).write.mode("overwrite").text(s"$in/f2")
+    drain()
+
+    val hourly = StreamEtl.parseLines(spark.read.text(s"$in/*"))
+      .select(col("status_code").cast("long").as("s"),
+        (floor(unix_timestamp(col("datetime")) / 3600) * 3600).cast("long").as("h"))
+      .groupBy(col("s"), col("h")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("h")).rangeBetween(-86400, -3600)
+    val expected = hourly
+      .withColumn("tsum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("th", count(lit(1)).over(w))
+      .collect()
+    assert(expected.nonEmpty)
+    expected.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val want = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(4) == 24L && r.getLong(2) * 24 > r.getLong(3) * 2)
+      assert(buf(key) == want, s"hour $key: ${buf.get(key)} != $want")
+    }
+    assert(buf.size == expected.length)
+  }
 }
