@@ -966,4 +966,119 @@ object Corpus {
          CAST(sum(oov) AS BIGINT) AS n_oov,
          CAST(floor(sum(oov) * 1000000.0 / count(*)) AS BIGINT) AS oov_ppm
        FROM j GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Tokenizer fertility by language — the chars-per-token /
+    * tokens-per-doc profile a tokenizer team reads before choosing a
+    * vocab budget per language (high fertility = the tokenizer
+    * fragments that language's text into more, shorter pieces).
+    *
+    * Integer-exact throughout: per-language sums are BIGINT and the
+    * fertility ratio is emitted in integer milli-units via BIGINT
+    * floor-division (`div` / DuckDB `//`) — no double division to
+    * drift cross-engine. One narrow map + one groupBy(lang); at
+    * 100 TB this is a map-side-combining shuffle of |langs| rows. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("lang"), col("n_chars").cast("long").as("nc"),
+        size(toks(col("text"))).cast("long").as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("n_chars * 1000 div n_tokens").as("millichars_per_token"),
+        expr("n_tokens * 1000 div n_docs").as("millitokens_per_doc"))
+      .orderBy(col("lang"))
+
+  val tokenizerFertilitySql: String =
+    s"""WITH d AS (
+         SELECT lang, CAST(n_chars AS BIGINT) AS nc,
+           CAST(len(${toksSql("text")}) AS BIGINT) AS nt
+         FROM documents),
+       g AS (
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(nc) AS BIGINT) AS n_chars
+         FROM d GROUP BY lang)
+       SELECT lang, n_docs, n_tokens, n_chars,
+         CAST(n_chars * 1000 // n_tokens AS BIGINT) AS millichars_per_token,
+         CAST(n_tokens * 1000 // n_docs AS BIGINT) AS millitokens_per_doc
+       FROM g ORDER BY lang"""
+
+  /** CCNet-style LM-quality terciles — rank every document within its
+    * language by corpus-bigram familiarity and cut head / middle /
+    * tail buckets (the published recipe keeps "head", trains on
+    * "middle", drops "tail"; arXiv:1911.00359 §4.3). The score is the
+    * integer micro-unit mean corpus frequency of the document's
+    * bigrams — the same count-based core as [[bigramLmScore]], with
+    * BIGINT floor-division instead of a log-probability so both
+    * engines agree bit-for-bit. The tercile is `ntile(3)` over a
+    * TOTAL order (score, doc_id) within each language.
+    *
+    * Scale shape: bigram counting is one map-side-combining shuffle;
+    * the per-doc score is one join + groupBy(doc); ntile sorts each
+    * language partition once — and the output aggregates back to
+    * |langs|×3 rows, so nothing document-sized is ever presented. */
+  def lmQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("t", toks(col("text")))
+      .withColumn("bgs", when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+        .otherwise(array()))
+      .select(col("doc_id"), col("lang"), col("bgs"))
+      .transform(graft.util.Fence.lineage)
+    val occ = d.select(explode_outer(col("bgs")).as("bg"))
+      .filter(col("bg").isNotNull)
+    val counts = occ.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    val scored = d
+      .select(col("doc_id"), col("lang"), explode_outer(col("bgs")).as("bg"))
+      .filter(col("bg").isNotNull)
+      .join(counts, Seq("bg"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr("sum(cnt) * 1000000 div count(1)").as("score_micro"),
+        count(lit(1)).cast("long").as("n_bigrams"))
+    scored
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("score_micro"), col("doc_id"))))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score_micro")).as("min_score_micro"),
+        max(col("score_micro")).as("max_score_micro"),
+        sum(col("n_bigrams")).as("n_bigrams"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val lmQualityBucketsSql: String =
+    s"""WITH d AS (
+         SELECT doc_id, lang,
+           CASE WHEN len(${toksSql("text")}) >= 2
+                THEN list_transform(generate_series(1, len(${toksSql("text")}) - 1),
+                       i -> concat_ws(' ', ${toksSql("text")}[i], ${toksSql("text")}[i + 1]))
+                ELSE [] END AS bgs
+         FROM documents),
+       occ AS (SELECT unnest(bgs) AS bg FROM d),
+       counts AS (SELECT bg, count(*) AS cnt FROM occ GROUP BY bg),
+       db AS (SELECT doc_id, lang, unnest(bgs) AS bg FROM d),
+       scored AS (
+         SELECT db.doc_id, db.lang,
+           CAST(sum(c.cnt) * 1000000 // count(*) AS BIGINT) AS score_micro,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+         FROM db JOIN counts c ON db.bg = c.bg
+         GROUP BY db.doc_id, db.lang),
+       b AS (
+         SELECT lang, score_micro, n_bigrams,
+           ntile(3) OVER (PARTITION BY lang ORDER BY score_micro, doc_id)
+             AS bucket
+         FROM scored)
+       SELECT lang, CAST(bucket AS INTEGER) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         min(score_micro) AS min_score_micro,
+         max(score_micro) AS max_score_micro,
+         CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams
+       FROM b GROUP BY lang, bucket ORDER BY lang, bucket"""
 }

@@ -1247,4 +1247,58 @@ object Dedup {
          CAST(sum(ch % 1073741789) AS BIGINT) AS chunk_checksum,
          CAST(count(*) - count(DISTINCT ch) AS BIGINT) AS n_dup_chunks
        FROM f GROUP BY source ORDER BY source"""
+
+  /** Boilerplate PREFIX clustering — the crawl-cleaning pass that
+    * catches templated openings exact/near dedup both miss: documents
+    * sharing the same normalized first-8-token prefix (cookie
+    * banners, licence headers, forum signatures) cluster on a single
+    * 60-bit prefix fingerprint. Reported per cluster (size > 1):
+    * member count, the kept (minimum) doc_id, distinct sources
+    * touched, and a SET-CHECKSUM of the member ids (sorted-as-strings
+    * concat → phash, the winnow_fingerprint convention) so the
+    * cluster MEMBERSHIP is oracle-checked without an engine-ordered
+    * array column.
+    *
+    * Scale shape: one narrow normalize+slice map (no explode — the
+    * prefix is a bounded `slice`), ONE groupBy on the fingerprint
+    * with map-side combine, and the size>1 filter drops the unique
+    * mass before the presentation sort. At 100 TB: a single shuffle
+    * keyed by a 60-bit int, cluster rows ≪ corpus rows. */
+  def dedupPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        Hashing.phash(concat_ws(" ", slice(split(norm, " "), 1, 8)), "pfx_")
+          .as("prefix_fp"))
+      .groupBy(col("prefix_fp"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("doc_id")).as("keep_doc_id"),
+        countDistinct(col("source")).cast("long").as("n_sources"),
+        Hashing.phash(concat_ws(",",
+          sort_array(collect_list(col("doc_id").cast("string")))))
+          .as("members_hash"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("prefix_fp"))
+  }
+
+  val dedupPrefixSql: String =
+    s"""WITH d AS (
+         SELECT doc_id, source,
+           ${Hashing.phashSql(
+             "array_to_string(list_slice(string_split(trim(regexp_replace(" +
+             "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '), 1, 8), ' ')",
+             "pfx_")} AS prefix_fp
+         FROM documents),
+       g AS (
+         SELECT prefix_fp, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_doc_id,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           ${Hashing.phashSql(
+             "array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',')")}
+             AS members_hash
+         FROM d GROUP BY prefix_fp)
+       SELECT prefix_fp, n_docs, keep_doc_id, n_sources, members_hash
+       FROM g WHERE n_docs > 1 ORDER BY prefix_fp"""
 }

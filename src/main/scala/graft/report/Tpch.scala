@@ -1164,4 +1164,80 @@ object Tpch {
            AS slow_ppm
        FROM g JOIN supplier ON l_suppkey = s_suppkey
        ORDER BY s_name"""
+
+  /** TPC-H Q2 (minimum-cost supplier), adapted to the partsupp-less
+    * test schema (`real_parse.pl` has no supplier catalog either; the
+    * capability under test is the correlated-scalar-MIN + tie-break
+    * shape): per-(part, supplier) supply cost is the minimum observed
+    * line price through EUROPE-region suppliers, and each STANDARD-
+    * typed part reports the supplier achieving the regional minimum.
+    *
+    * The spec's correlated `ps_supplycost = (SELECT min(...))`
+    * decorrelates into the cross-engine struct-min argmax convention
+    * (`min(struct(cost, suppkey))` == DuckDB `min(struct_pack(...))`)
+    * — one partial-aggregating shuffle on partkey instead of a rank
+    * window that would ship every (part, supplier) row; the suppkey
+    * member breaks cost ties identically on both engines.
+    *
+    * Scale shape: region→nation→supplier prunes to a broadcast dim;
+    * lineitem shuffles once on (partkey, suppkey), the argmax reuses
+    * that partitioning (partkey is a prefix), and the part filter is
+    * a broadcast join applied before the presentation sort. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val eur = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir)
+            .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val best = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      .join(broadcast(eur.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("price")).as("supplycost"))
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("supplycost"), col("l_suppkey"))).as("m"))
+      .select(col("l_partkey"),
+        col("m.supplycost").as("sc"), col("m.l_suppkey").as("best_suppkey"))
+    best
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_type") === "STANDARD")
+          .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eur), col("best_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"),
+        col("sc").cast("double").as("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+  }
+
+  val q2MinCostSupplierSql: String =
+    """WITH eur AS (
+         SELECT s_suppkey, s_name, s_acctbal, n_name
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE'),
+       cost AS (
+         SELECT l_partkey, l_suppkey,
+           min(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+         FROM lineitem JOIN eur ON l_suppkey = s_suppkey
+         GROUP BY l_partkey, l_suppkey),
+       best AS (
+         SELECT l_partkey,
+           (min(struct_pack(supplycost := supplycost, l_suppkey := l_suppkey))).supplycost AS sc,
+           (min(struct_pack(supplycost := supplycost, l_suppkey := l_suppkey))).l_suppkey AS best_suppkey
+         FROM cost GROUP BY l_partkey)
+       SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+         CAST(sc AS DOUBLE) AS supplycost
+       FROM best
+       JOIN part ON l_partkey = p_partkey
+       JOIN eur ON best_suppkey = s_suppkey
+       WHERE p_type = 'STANDARD'
+       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey"""
 }
