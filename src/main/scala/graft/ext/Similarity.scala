@@ -1091,4 +1091,49 @@ object Similarity {
            (CASE WHEN l1 = l2 THEN n1 * (n1 - 1) ELSE n1 * n2 * 2 END))
            AS BIGINT) AS mean_dot
        FROM pairs ORDER BY label1, label2"""
+
+  /** IVF index cell-balance audit — the health check run after every
+    * index build, because a skewed coarse quantizer quietly turns IVF
+    * into brute force: a cell holding 30% of the corpus makes every
+    * probe touching it scan 30% of the vectors. Reads the SAME staged
+    * assignment ([[kmeansIvfAssignment]]) the query path uses — the
+    * audit can never diverge from what queries actually probe — and
+    * reports each trained cell's primary (rk=1) population, its
+    * corpus share in integer ppm, and its load factor in permille of
+    * the ideal N/K (1000 = perfectly balanced).
+    *
+    * Scale shape: the staged index is already (vec_id, cluster) rows;
+    * this is one map-side-combining groupBy on K keys plus a 1-row
+    * total broadcast back (the in-plan scalar-knob convention — no
+    * driver probe). At 10⁹ vectors: one shuffle of K rows. */
+  def ivfCellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cells = kmeansIvfAssignment(spark, dir)
+      .filter(col("rk") === 1)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"))
+    val total = cells.agg(sum(col("n_vectors")).cast("long").as("tot"),
+      count(lit(1)).cast("long").as("n_cells"))
+    cells.crossJoin(broadcast(total))
+      .select(col("cluster"), col("n_vectors"),
+        expr("n_vectors * 1000000 div tot").as("share_ppm"),
+        expr("n_vectors * n_cells * 1000 div tot").as("load_permille"))
+      .orderBy(col("cluster"))
+  }
+
+  val ivfCellBalanceSql: String =
+    s"""WITH ${Cluster.trainCtesSql},
+       ivfa AS (
+         SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${Cluster.distSql("c.cent")}, c.cluster) AS rk
+         FROM e CROSS JOIN cents c),
+       g AS (
+         SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors
+         FROM ivfa WHERE rk = 1 GROUP BY cluster),
+       t AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS tot,
+                    CAST(count(*) AS BIGINT) AS n_cells FROM g)
+       SELECT cluster, n_vectors,
+         CAST(n_vectors * 1000000 // tot AS BIGINT) AS share_ppm,
+         CAST(n_vectors * n_cells * 1000 // tot AS BIGINT) AS load_permille
+       FROM g, t ORDER BY cluster"""
 }

@@ -121,4 +121,81 @@ object Incremental {
          CAST(sum(ev.cents * dim.rate_ppm) AS BIGINT) AS scaled_sum
        FROM ev JOIN dim ON ev.event_type = dim.event_type
        GROUP BY ev.event_type ORDER BY ev.event_type"""
+
+  /** MERGE INTO (upsert + delete) as a single full-outer join — the
+    * CDC apply step every lakehouse table maintenance job runs, here
+    * as its classification/verification report. Base = the loaded
+    * orders slice (keys % 10 != 0); the CDC batch carries re-priced
+    * rows for keys % 5 == 0, with keys % 25 == 0 flagged as deletes.
+    * Each key classifies exactly one way (insert / update / delete /
+    * delete-of-absent noop / unchanged), and the post-merge money
+    * total per priority is the exact decimal sum of the SURVIVING
+    * row versions — so a wrong classification anywhere changes a
+    * hashed money column, not just a count.
+    *
+    * Scale shape: ONE shuffled full-outer equi-join on the natural
+    * key (what Delta/Iceberg MERGE compiles to when the delta side
+    * is too big to broadcast), then a map-side-combining groupBy on
+    * |priorities| keys. No windows, no second pass over the fact. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val base = o.filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("bp"),
+        col("o_totalprice").as("bprice"))
+    val delta = o.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("dp"),
+        (col("o_totalprice") + lit(100.0)).as("dprice"),
+        (col("o_orderkey") % 25 === 0).as("is_del"))
+    base.join(delta, Seq("k"), "full_outer")
+      .withColumn("action",
+        when(col("dp").isNull, lit("unchanged"))
+          .when(col("bp").isNull && !col("is_del"), lit("insert"))
+          .when(col("bp").isNull, lit("noop"))
+          .when(col("is_del"), lit("delete"))
+          .otherwise(lit("update")))
+      .withColumn("out_price",
+        when(col("action") === "unchanged", col("bprice"))
+          .when(col("action").isin("insert", "update"), col("dprice")))
+      .groupBy(coalesce(col("bp"), col("dp")).as("o_orderpriority"))
+      .agg(
+        sum(when(col("action") === "insert", 1L).otherwise(0L)).cast("long").as("n_insert"),
+        sum(when(col("action") === "update", 1L).otherwise(0L)).cast("long").as("n_update"),
+        sum(when(col("action") === "delete", 1L).otherwise(0L)).cast("long").as("n_delete"),
+        sum(when(col("action") === "noop", 1L).otherwise(0L)).cast("long").as("n_noop"),
+        sum(when(col("action") === "unchanged", 1L).otherwise(0L)).cast("long").as("n_unchanged"),
+        Exact.moneySum(col("out_price")).as("merged_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val mergeUpsertSql: String =
+    s"""WITH base AS (
+         SELECT o_orderkey AS k, o_orderpriority AS bp, o_totalprice AS bprice
+         FROM orders WHERE o_orderkey % 10 <> 0),
+       delta AS (
+         SELECT o_orderkey AS k, o_orderpriority AS dp,
+           o_totalprice + 100.0 AS dprice,
+           (o_orderkey % 25 = 0) AS is_del
+         FROM orders WHERE o_orderkey % 5 = 0),
+       m AS (
+         SELECT coalesce(b.bp, d.dp) AS prio,
+           CASE WHEN d.k IS NULL THEN 'unchanged'
+                WHEN b.k IS NULL AND NOT d.is_del THEN 'insert'
+                WHEN b.k IS NULL THEN 'noop'
+                WHEN d.is_del THEN 'delete'
+                ELSE 'update' END AS action,
+           b.bprice, d.dprice
+         FROM base b FULL OUTER JOIN delta d ON b.k = d.k),
+       c AS (
+         SELECT prio, action,
+           CASE WHEN action = 'unchanged' THEN bprice
+                WHEN action IN ('insert', 'update') THEN dprice END AS out_price
+         FROM m)
+       SELECT prio AS o_orderpriority,
+         CAST(sum(CASE WHEN action = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+         CAST(sum(CASE WHEN action = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+         CAST(sum(CASE WHEN action = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+         CAST(sum(CASE WHEN action = 'noop' THEN 1 ELSE 0 END) AS BIGINT) AS n_noop,
+         CAST(sum(CASE WHEN action = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+         ${Exact.moneySumSql("out_price")} AS merged_total
+       FROM c GROUP BY prio ORDER BY prio"""
 }

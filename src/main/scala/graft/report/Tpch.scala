@@ -1240,4 +1240,57 @@ object Tpch {
        JOIN eur ON best_suppkey = s_suppkey
        WHERE p_type = 'STANDARD'
        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey"""
+
+  /** Top-3 brands per supplier nation by revenue — the per-group
+    * top-k-with-ties report (dense_rank, so revenue ties share a
+    * rank and both tied brands surface). Ranking runs over the
+    * ALREADY-AGGREGATED (nation, brand) frame — |nations|×|brands|
+    * rows — never over raw lineitems, and Spark's WindowGroupLimit
+    * pushes the rank<=3 cut into the window sort. The rank orders by
+    * the exact-decimal-then-rounded revenue plus the brand as a total
+    * tie-break, so both engines rank identically.
+    *
+    * Scale shape: two broadcast dim joins, ONE fact shuffle on the
+    * (nation, brand) agg key, then a window over a dim-sized frame. */
+  def topkBrandsPerNation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val rev = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(Exact.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+    rev.withColumn("rk", dense_rank().over(
+        Window.partitionBy(col("n_name"))
+          .orderBy(col("revenue").desc, col("p_brand"))))
+      .filter(col("rk") <= 3)
+      .select(col("n_name"), col("rk").cast("int").as("rk"),
+        col("p_brand"), col("revenue"))
+      .orderBy(col("n_name"), col("rk"), col("p_brand"))
+  }
+
+  val topkBrandsPerNationSql: String =
+    s"""WITH rev AS (
+         SELECT n_name, p_brand,
+           ${Exact.moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name, p_brand),
+       r AS (
+         SELECT n_name, p_brand, revenue,
+           dense_rank() OVER (PARTITION BY n_name
+             ORDER BY revenue DESC, p_brand) AS rk
+         FROM rev)
+       SELECT n_name, CAST(rk AS INTEGER) AS rk, p_brand, revenue
+       FROM r WHERE rk <= 3 ORDER BY n_name, rk, p_brand"""
 }

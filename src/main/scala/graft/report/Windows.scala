@@ -1182,4 +1182,53 @@ object Windows {
          CAST(CASE WHEN floor(CAST(n_errors AS DOUBLE) * 1000000 / n_events)
            > 250000 THEN 1 ELSE 0 END AS BIGINT) AS slo_breached
        FROM g ORDER BY day"""
+
+  /** Inter-event gap profile per event type — the dwell-time /
+    * arrival-cadence report behind rate limiting and bot detection:
+    * for every event with a predecessor in the same user's timeline,
+    * the gap to that predecessor in exact MICROSECONDS (the
+    * [[sessionize]] micros convention), aggregated per the CURRENT
+    * event's type. All-BIGINT output: sums, extremes, and a mean in
+    * integer micro floor-division — nothing rounds, nothing drifts.
+    * The lag window orders by the TOTAL (ts, event_id) key —
+    * duplicate timestamps would otherwise split peer rows
+    * differently per engine (the VERIFY_sf1 rule).
+    *
+    * Scale shape: one shuffle on user_id for the lag window (each
+    * user's timeline sorts independently), then a map-side-combining
+    * groupBy on |event_types| keys. No self-join — the window IS the
+    * predecessor lookup. */
+  def sessionGapStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).cast("long").as("sum_gap_us"),
+        min(col("gap_us")).cast("long").as("min_gap_us"),
+        max(col("gap_us")).cast("long").as("max_gap_us"))
+      .withColumn("mean_gap_us", expr("sum_gap_us div n_gaps"))
+      .orderBy(col("event_type"))
+  }
+
+  val sessionGapStatsSql: String =
+    """WITH l AS (
+         SELECT event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) -
+             lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+         FROM events),
+       g AS (
+         SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+         FROM l WHERE gap_us IS NOT NULL GROUP BY event_type)
+       SELECT event_type, n_gaps, sum_gap_us, min_gap_us, max_gap_us,
+         CAST(sum_gap_us // n_gaps AS BIGINT) AS mean_gap_us
+       FROM g ORDER BY event_type"""
 }

@@ -334,4 +334,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: ["), "no pushed filters on the scan")
     assert(!p.toLowerCase.contains("cartesianproduct"))
   }
+
+  test("late round-6 additions keep their planned shapes") {
+    // ivf_cell_balance carries a 1-row scalar cross join (the in-plan
+    // total) — tolerated like triangle_count's; everything else must
+    // be cartesian-free
+    for (q <- Seq("q2_min_cost_supplier", "tokenizer_fertility",
+                  "lm_quality_buckets", "dedup_prefix", "merge_upsert",
+                  "topk_brands_per_nation", "session_gap_stats")) {
+      assert(!planOf(q).contains("CartesianProduct"),
+        s"$q plan has a cartesian product")
+    }
+    // q2's correlated-min decorrelation must stay a partial-agg
+    // argmax, not a rank window over (part, supplier) rows
+    val q2 = planOf("q2_min_cost_supplier")
+    assert(!q2.contains("Window"), "q2 reintroduced a rank window")
+    assert(!q2.contains("CartesianProduct"))
+    // the per-group top-k must push the rank cut into the window sort
+    assert(planOf("topk_brands_per_nation").contains("WindowGroupLimit"),
+      "dense_rank<=3 did not push down as WindowGroupLimit")
+    // MERGE classification is ONE full-outer equi-join over the key
+    val m = planOf("merge_upsert")
+    assert("FullOuter".r.findAllIn(m).size >= 1, "merge lost its full-outer join")
+    assert(!m.contains("CartesianProduct"))
+    // the gap profile is a window + agg — never a timeline self-join
+    assert(!planOf("session_gap_stats").toLowerCase.contains("join"),
+      "session_gap_stats joined instead of using the lag window")
+  }
 }
