@@ -466,4 +466,43 @@ object Audit {
          max_supp - min_supp AS supp_span
        FROM g ORDER BY z_bucket"""
   }
+
+  /** Hot-key skew report — the measurement that decides WHERE the
+    * salting patterns ([[graft.report.Incremental.saltedAgg]],
+    * `skew_join`) are worth their overhead: the 20 heaviest join/agg
+    * keys with each key's corpus share (exact ppm), its load factor
+    * versus the uniform ideal (permille of total/n_keys), and the
+    * ceil-division salt fan-out that would level it. All-BIGINT
+    * arithmetic; the thresholds a planner (or AQE's skew-join rule)
+    * would consult, materialized as a report.
+    *
+    * Scale shape: ONE map-side-combining groupBy on the key, a 1-row
+    * total broadcast back (in-plan scalar convention), and a
+    * TakeOrdered(20) head — per-key rows never sort globally. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+    val tot = counts.agg(sum(col("n_events")).cast("long").as("total"),
+      count(lit(1)).cast("long").as("n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("user_id"), col("n_events"),
+        expr("n_events * 1000000 div total").as("freq_ppm"),
+        expr("n_events * n_keys * 1000 div total").as("load_permille"),
+        expr("(n_events * n_keys + total - 1) div total").as("salt_parts"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val skewReportSql: String =
+    """WITH c AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY user_id),
+       t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total,
+                    CAST(count(*) AS BIGINT) AS n_keys FROM c)
+       SELECT user_id, n_events,
+         CAST(n_events * 1000000 // total AS BIGINT) AS freq_ppm,
+         CAST(n_events * n_keys * 1000 // total AS BIGINT) AS load_permille,
+         CAST((n_events * n_keys + total - 1) // total AS BIGINT) AS salt_parts
+       FROM c, t ORDER BY n_events DESC, user_id LIMIT 20"""
 }

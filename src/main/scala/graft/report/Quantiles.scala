@@ -161,4 +161,63 @@ object Quantiles {
            AS BIGINT) AS n_outliers
        FROM h JOIN med m USING (event_type) JOIN mad a USING (event_type)
        GROUP BY h.event_type ORDER BY h.event_type"""
+
+  /** Exact inter-arrival latency percentiles (p50/p90/p99) per event
+    * type — the SLO table for arrival cadence, computed with the
+    * repo's histogram-selection pattern (value_quantiles /
+    * quality_gate): gaps come from ONE lag window over the total
+    * (ts, event_id) user-timeline order, collapse to a (type, gap_s)
+    * histogram, and each percentile is the smallest gap whose
+    * cumulative count clears the integer cross-multiplied rank cut —
+    * exact selection, no interpolation, bit-identical cross-engine.
+    *
+    * Scale shape: the cumulative window sorts DISTINCT gap seconds
+    * per type (bounded by the histogram), never raw gap rows; the
+    * output is |event_types| rows. */
+  def latencyPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val wlag = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wlag))
+      .filter(col("gap_us").isNotNull)
+      .select(col("event_type"), expr("gap_us div 1000000").as("gap_s"))
+    val wcum = Window.partitionBy(col("event_type")).orderBy(col("gap_s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wall = Window.partitionBy(col("event_type"))
+    gaps.groupBy(col("event_type"), col("gap_s"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(wall))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).cast("long").as("n_gaps"),
+        min(when(col("cum") * 2 >= col("n"), col("gap_s"))).cast("long").as("p50_s"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("gap_s"))).cast("long").as("p90_s"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("gap_s"))).cast("long").as("p99_s"),
+        max(col("gap_s")).cast("long").as("max_s"))
+      .orderBy(col("event_type"))
+  }
+
+  val latencyPercentilesSql: String =
+    """WITH l AS (
+         SELECT event_type,
+           (epoch_us(CAST(ts AS TIMESTAMP)) -
+             lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id)) // 1000000 AS gap_s
+         FROM events),
+       h AS (
+         SELECT event_type, gap_s, count(*) AS c
+         FROM l WHERE gap_s IS NOT NULL GROUP BY event_type, gap_s),
+       r AS (
+         SELECT event_type, gap_s, c,
+           sum(c) OVER (PARTITION BY event_type ORDER BY gap_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+         FROM h)
+       SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+         CAST(min(CASE WHEN cum * 2 >= n THEN gap_s END) AS BIGINT) AS p50_s,
+         CAST(min(CASE WHEN cum * 10 >= n * 9 THEN gap_s END) AS BIGINT) AS p90_s,
+         CAST(min(CASE WHEN cum * 100 >= n * 99 THEN gap_s END) AS BIGINT) AS p99_s,
+         CAST(max(gap_s) AS BIGINT) AS max_s
+       FROM r GROUP BY event_type ORDER BY event_type"""
 }

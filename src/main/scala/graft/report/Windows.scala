@@ -1231,4 +1231,67 @@ object Windows {
        SELECT event_type, n_gaps, sum_gap_us, min_gap_us, max_gap_us,
          CAST(sum_gap_us // n_gaps AS BIGINT) AS mean_gap_us
        FROM g ORDER BY event_type"""
+
+  /** Cohort lifetime value — [[retentionCohorts]]' revenue twin: each
+    * user joins the cohort of their FIRST-seen epoch week (any event
+    * type), purchase revenue accrues per (cohort, weeks-since) cell
+    * in exact integer cents, and the running-sum window turns the
+    * cells into the cumulative LTV curve every growth team reads.
+    * Per-user LTV is BIGINT floor-division by the cohort's size —
+    * no double division, no drift; the running sum orders by the
+    * DISTINCT week_offset within each cohort (a total order on the
+    * aggregated frame).
+    *
+    * Scale shape: cohort assignment is one user-keyed min-aggregate
+    * joined back on the key; revenue is one (cohort, offset) groupBy;
+    * the window runs over ≤ |weeks|² aggregated cells, never events. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 604800L).cast("long").as("week"),
+        Exact.cents(col("value")).as("cents"),
+        col("event_type"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).cast("long").as("cohort_size"))
+    val wcum = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.filter(col("event_type") === "purchase")
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(sum(col("cents")).cast("long").as("rev_cents"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wcum).cast("long"))
+      .withColumn("ltv_cents_per_user", expr("cum_rev_cents div cohort_size"))
+      .select(col("cohort_week"), col("week_offset"), col("rev_cents"),
+        col("cohort_size"), col("cum_rev_cents"), col("ltv_cents_per_user"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val cohortLtvSql: String =
+    """WITH ev AS (
+         SELECT user_id,
+           CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 604800) AS BIGINT) AS week,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           event_type
+         FROM events),
+       c AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+       sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM c GROUP BY cohort_week),
+       r AS (
+         SELECT c.cohort_week, ev.week - c.cohort_week AS week_offset,
+           CAST(sum(ev.cents) AS BIGINT) AS rev_cents
+         FROM ev JOIN c USING (user_id)
+         WHERE ev.event_type = 'purchase'
+         GROUP BY c.cohort_week, ev.week - c.cohort_week),
+       w AS (
+         SELECT r.cohort_week, r.week_offset, r.rev_cents, sz.cohort_size,
+           CAST(sum(r.rev_cents) OVER (PARTITION BY r.cohort_week
+             ORDER BY r.week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_rev_cents
+         FROM r JOIN sz USING (cohort_week))
+       SELECT cohort_week, week_offset, rev_cents, cohort_size, cum_rev_cents,
+         CAST(cum_rev_cents // cohort_size AS BIGINT) AS ltv_cents_per_user
+       FROM w ORDER BY cohort_week, week_offset"""
 }

@@ -360,5 +360,14 @@ class PlanSpec extends AnyFunSuite {
     // the gap profile is a window + agg — never a timeline self-join
     assert(!planOf("session_gap_stats").toLowerCase.contains("join"),
       "session_gap_stats joined instead of using the lag window")
+    // skew_report: TakeOrdered head over the counts frame, 1-row
+    // scalar cross join tolerated, nothing sorts globally
+    val sk = planOf("skew_report")
+    assert(sk.contains("TakeOrderedAndProject"),
+      "skew_report lost its top-k head")
+    // latency_percentiles windows run over the histogram — the only
+    // aggregates below the windows must be the (type, gap) histogram
+    assert(!planOf("latency_percentiles").contains("CartesianProduct"))
+    assert(!planOf("cohort_ltv").contains("CartesianProduct"))
   }
 }
