@@ -505,4 +505,152 @@ object Audit {
          CAST(n_events * n_keys * 1000 // total AS BIGINT) AS load_permille,
          CAST((n_events * n_keys + total - 1) // total AS BIGINT) AS salt_parts
        FROM c, t ORDER BY n_events DESC, user_id LIMIT 20"""
+
+  /** Schema-evolution union — the ingest move every long-lived
+    * pipeline needs when an upstream adds a column mid-stream:
+    * `unionByName(allowMissingColumns = true)` aligns a legacy batch
+    * (no user_id yet) with the evolved batch by NAME, null-filling
+    * the missing column — position-based unionAll would silently
+    * misalign. The oracle is DuckDB's `UNION ALL BY NAME`. The
+    * report certifies the alignment: per event type, total rows,
+    * rows carrying the evolved column, and the exact money sum that
+    * would be corrupted by a positional mismatch.
+    *
+    * Scale shape: a union is free (no shuffle — partitions
+    * concatenate); the only exchange is the final small groupBy. */
+  def schemaDriftUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val legacy = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val evolved = ev.filter(col("event_id") % 2 =!= 0)
+      .select(col("event_id"), col("event_type"), col("value"), col("user_id"))
+    legacy.unionByName(evolved, allowMissingColumns = true)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        count(col("user_id")).cast("long").as("n_with_user"),
+        graft.util.Exact.moneySum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val schemaDriftUnionSql: String =
+    s"""WITH u AS (
+         (SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0)
+         UNION ALL BY NAME
+         (SELECT event_id, event_type, value, user_id FROM events
+          WHERE event_id % 2 <> 0))
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(user_id) AS BIGINT) AS n_with_user,
+         ${graft.util.Exact.moneySumSql("value")} AS sum_value
+       FROM u GROUP BY event_type ORDER BY event_type"""
+
+  /** Benford first-digit audit — the fraud/synthetic-data screen over
+    * a money column: the observed first-significant-digit
+    * distribution per event type against Benford's log10(1+1/d)
+    * expectation. The expectation enters as nine INTEGER ppm literals
+    * (no libm log in-plan, per the no-transcendentals rule); values
+    * reduce to exact cents first so the leading digit is
+    * string-exact on both engines.
+    *
+    * Scale shape: one narrow digit map, one (type, digit) groupBy,
+    * one per-type total window over the ≤ 9-row-per-type frame. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val expected = typedLit(Map(
+      1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+      6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L))
+    val wt = Window.partitionBy(col("event_type"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), graft.util.Exact.cents(col("value")).as("cents"))
+      .filter(col("cents") > 0)
+      .select(col("event_type"),
+        substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("share_ppm",
+        expr("n * 1000000 div sum(n) OVER (PARTITION BY event_type)"))
+      .withColumn("expected_ppm", element_at(expected, col("digit")))
+      .withColumn("dev_ppm", col("share_ppm") - col("expected_ppm"))
+      .select(col("event_type"), col("digit"), col("n"), col("share_ppm"),
+        col("expected_ppm"), col("dev_ppm"))
+      .orderBy(col("event_type"), col("digit"))
+  }
+
+  val benfordAuditSql: String =
+    """WITH d AS (
+         SELECT event_type,
+           CAST(left(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR), 1)
+             AS INTEGER) AS digit
+         FROM events WHERE floor(value * 100 + 0.5) > 0),
+       g AS (
+         SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+         FROM d GROUP BY event_type, digit),
+       s AS (
+         SELECT event_type, digit, n,
+           CAST(n * 1000000 // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+             AS share_ppm
+         FROM g),
+       e AS (
+         SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+           (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+           (9, 45757)) v(digit, expected_ppm))
+       SELECT s.event_type, s.digit, s.n, s.share_ppm,
+         CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+         CAST(s.share_ppm - e.expected_ppm AS BIGINT) AS dev_ppm
+       FROM s JOIN e USING (digit)
+       ORDER BY s.event_type, s.digit"""
+
+  /** Order-total consistency audit — the cross-table monetary
+    * reconciliation every finance-adjacent pipeline runs: per order
+    * status, does `o_totalprice` equal the sum of its line items'
+    * extended prices? Both sides reduce to exact integer CENTS
+    * before comparing (the [[graft.util.Exact]] rule), so "exact
+    * match" is a bit-decidable predicate, not a double tolerance.
+    * Orders with no line items are counted separately — an outer
+    * join, not a silent drop.
+    *
+    * Scale shape: one orderkey-keyed partial-sum over lineitem, one
+    * shuffled LEFT join against orders, one small-status groupBy. */
+  def orderTotalAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), graft.util.Exact.cents(col("l_extendedprice")).as("cents"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("cents")).cast("long").as("li_cents"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        graft.util.Exact.cents(col("o_totalprice")).as("o_cents"))
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("diff",
+        when(col("li_cents").isNull, lit(null).cast("long"))
+          .otherwise(abs(col("o_cents") - col("li_cents"))))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(when(col("li_cents").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_no_lines"),
+        sum(when(col("diff") === 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_exact"),
+        max(col("diff")).cast("long").as("max_abs_diff_cents"),
+        sum(col("diff")).cast("long").as("sum_abs_diff_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val orderTotalAuditSql: String =
+    """WITH li AS (
+         SELECT l_orderkey,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS li_cents
+         FROM lineitem GROUP BY l_orderkey),
+       j AS (
+         SELECT o.o_orderstatus,
+           CASE WHEN li.li_cents IS NULL THEN NULL
+                ELSE abs(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                         - li.li_cents) END AS diff,
+           li.li_cents
+         FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
+       SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CASE WHEN li_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_no_lines,
+         CAST(sum(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         CAST(max(diff) AS BIGINT) AS max_abs_diff_cents,
+         CAST(sum(diff) AS BIGINT) AS sum_abs_diff_cents
+       FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 }

@@ -250,4 +250,76 @@ object Graph {
            (n_triangles * 3000000 - ((n_triangles * 3000000) % n_wedges)) / n_wedges
          ELSE 0 END AS BIGINT) AS global_cc_ppm
        FROM w CROSS JOIN t CROSS JOIN ec"""
+
+  /** Connected components OUTSIDE the dedup context — the generic
+    * graph clustering every entity-resolution / household-linking /
+    * crawl-partitioning job needs, exercising the SAME O(log d)
+    * min-label + pointer-jumping kernel as `dedup_groups`
+    * ([[Dedup.minLabelComponents]]) over an arbitrary edge list.
+    * Edges are synthesized block-locally (each node links inside its
+    * 16-id block via an affine probe), which bounds every component
+    * at 16 nodes — so the DuckDB recursive-CTE oracle stays
+    * worst-case quadratic in 16, not in a functional-graph cycle
+    * length, at ANY corpus scale. The Spark kernel gets no such
+    * help: it runs the identical propagation it would on an
+    * unbounded graph.
+    *
+    * Output is the component-size census (size → component count,
+    * node mass) — the shape a partitioner consumes. Singletons
+    * (nodes with no surviving edge) rejoin as size-1 components via
+    * the left join + coalesce, same as the keeper assignment.
+    *
+    * Scale shape: edge synthesis is one narrow map + one existence
+    * equi-join; each propagation round is one join + one groupBy on
+    * edge-touched nodes; the census is two map-side-combined
+    * groupBys. */
+  def graphComponents(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val fw = nodes
+      .select(col("id").as("id1"),
+        ((col("id") - pmod(col("id"), lit(16))) + pmod(col("id") * 7 + 3, lit(16)))
+          .as("id2"))
+      .filter(col("id1") =!= col("id2"))
+      .join(nodes.select(col("id").as("id2")), Seq("id2"))
+      // the using-join reorders columns to (id2, id1); re-project
+      // before the positional unionAll below or the "flip" select
+      // would match by position and silently duplicate the forward
+      // edges instead of symmetrizing (caught by the sf1 gate: dense
+      // blocks are pure directed cycles where one-way propagation
+      // still converges, gapped blocks are chains where it doesn't)
+      .select(col("id1"), col("id2"))
+    val edges = fw.unionAll(fw.select(col("id2").as("id1"), col("id1").as("id2")))
+    val labels = Dedup.minLabelComponents(edges)
+    nodes
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("component_size"))
+      .agg(count(lit(1)).cast("long").as("n_components"),
+        sum(col("sz")).cast("long").as("n_nodes"))
+      .orderBy(col("component_size"))
+  }
+
+  val graphComponentsSql: String =
+    """WITH RECURSIVE nodes AS (SELECT doc_id AS id FROM documents),
+       fw AS (
+         SELECT n.id AS a, (n.id - (n.id % 16)) + ((n.id * 7 + 3) % 16) AS b
+         FROM nodes n),
+       fe AS (
+         SELECT f.a, f.b FROM fw f
+         JOIN nodes t ON t.id = f.b
+         WHERE f.a <> f.b),
+       edges AS (SELECT a, b FROM fe UNION ALL SELECT b, a FROM fe),
+       reach AS (
+         SELECT id, id AS label FROM nodes
+         UNION
+         SELECT e.b AS id, r.label AS label
+         FROM reach r JOIN edges e ON e.a = r.id),
+       lab AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+       comp AS (SELECT label, count(*) AS sz FROM lab GROUP BY label)
+       SELECT sz AS component_size,
+         CAST(count(*) AS BIGINT) AS n_components,
+         CAST(sum(sz) AS BIGINT) AS n_nodes
+       FROM comp GROUP BY sz ORDER BY sz"""
 }

@@ -1163,4 +1163,20 @@ class ExtSpec extends AnyFunSuite {
       }.sum
     assert(totals.getLong(1) == naive)
   }
+
+  test("graph_components census covers every node exactly once") {
+    val df = SparkEntry.queries("graph_components")(spark, sf)
+      .select("component_size", "n_components", "n_nodes").collect()
+    val nDocs = graft.model.Tables.documents(spark, sf).count()
+    // node-mass conservation: a symmetrization bug (positional union
+    // of an un-reprojected using-join) under-merges and shifts mass
+    // into smaller sizes — caught at sf1; this pins the invariants
+    // that hold at every scale
+    assert(df.map(_.getLong(2)).sum == nDocs, "census loses/duplicates nodes")
+    df.foreach { r =>
+      assert(r.getLong(0) * r.getLong(1) == r.getLong(2),
+        s"size*count != mass in row $r")
+    }
+    assert(df.map(_.getLong(0)).max > 1, "no multi-node component found")
+  }
 }
