@@ -901,6 +901,132 @@ object Similarity {
        FROM best GROUP BY vec_id ORDER BY vec_id"""
   }
 
+  /** PQ index recall@k — the evaluation that closes the
+    * [[pqQuantize]] loop (ann_recall's counterpart for the compressed
+    * index): rank the corpus for each query by ASYMMETRIC DISTANCE
+    * (Jégou PAMI'11 ADC — the query's exact subvector against each
+    * database vector's CODEWORD, summed over subspaces via a
+    * per-query M×CODES lookup table) and score the top-k against the
+    * exact integer L2 top-k. Everything is integer arithmetic on the
+    * shared quantized grid: codeword assignment, the ADC table, and
+    * the exact baseline — so recall is bit-decidable cross-engine.
+    *
+    * Scale shape: the ADC scan is ONE broadcast join of the (vec, m,
+    * code) assignment against the |Q|·M·CODES lookup (512 rows here)
+    * + a (qid, vec) partial-sum — the linear scan an IVFPQ cell probe
+    * performs, costed per probed cell at production scale. The exact
+    * baseline is the same brute-force frame every recall eval pays
+    * once.
+    *
+    * The reported number is SHORTLIST recall — how much of the exact
+    * top-k the ADC top-[[RERANK]] shortlist captures — because that
+    * is the quantity a production ADC-then-exact-rerank composition
+    * depends on (the rerank step recovers exact order within the
+    * shortlist; a raw 4-bit-code top-k would understate the index). */
+  private val RERANK = 50
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("qv", quant(col("embedding")))
+      .select(col("vec_id"), col("qv"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.util.Fence.lineage)
+    def subs(df: DataFrame): DataFrame = df
+      .select(col("vec_id"),
+        explode(array((0 until PQ_M).map(m => lit(m)): _*)).as("m"),
+        col("qv"))
+      .select(col("vec_id"), col("m"),
+        slice(col("qv"), col("m") * PQ_SUBDIM + 1, lit(PQ_SUBDIM)).as("sv"))
+    val cb = subs(e.filter(col("vec_id") < PQ_CODES))
+      .select(col("m"), col("vec_id").as("code"), col("sv").as("cw"))
+    val codes = subs(e).join(broadcast(cb), Seq("m"))
+      .withColumn("d2",
+        dot(col("sv"), col("sv")) - lit(2L) * dot(col("sv"), col("cw")) +
+          dot(col("cw"), col("cw")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2").as("d"), col("code").as("c"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.c").as("code"))
+    val adc = subs(e.filter(col("vec_id") < NQUERIES))
+      .select(col("vec_id").as("qid"), col("m"), col("sv").as("qsv"))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("dq2",
+        dot(col("qsv"), col("qsv")) - lit(2L) * dot(col("qsv"), col("cw")) +
+          dot(col("cw"), col("cw")))
+      .select(col("qid"), col("m"), col("code"), col("dq2"))
+    val wA = Window.partitionBy(col("qid")).orderBy(col("ad2"), col("vec_id"))
+    val topA = codes.join(broadcast(adc), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dq2")).as("ad2"))
+      .withColumn("rk", row_number().over(wA))
+      .filter(col("rk") <= RERANK)
+      .select(col("qid"), col("vec_id"))
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("qv").as("qvec"))
+    val wE = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+    val topE = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("d2",
+        norm2(col("qvec")) - lit(2L) * dot(col("qvec"), col("qv")) +
+          norm2(col("qv")))
+      .withColumn("rk", row_number().over(wE))
+      .filter(col("rk") <= TOPK)
+      .select(col("qid"), col("vec_id"))
+    topE.join(topA.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .withColumn("recall_ppm", expr(s"n_hits * 1000000 div $TOPK"))
+      .orderBy(col("qid"))
+  }
+
+  val pqRecallSql: String = {
+    def sdot(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, $PQ_SUBDIM), i -> $a[i] * $b[i])) AS BIGINT)"
+    def fdot(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, $DIM), i -> $a[i] * $b[i])) AS BIGINT)"
+    s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+       ms AS (SELECT unnest(range(0, $PQ_M)) AS m),
+       sub AS (
+         SELECT vec_id, m, list_slice(qv, m * $PQ_SUBDIM + 1, m * $PQ_SUBDIM + $PQ_SUBDIM) AS sv
+         FROM e CROSS JOIN ms),
+       cb AS (SELECT m, vec_id AS code, sv AS cw FROM sub WHERE vec_id < $PQ_CODES),
+       codes AS (
+         SELECT s.vec_id, s.m,
+           (min(struct_pack(d := ${sdot("s.sv", "s.sv")} - 2 * ${sdot("s.sv", "c.cw")}
+                                 + ${sdot("c.cw", "c.cw")},
+                            c := c.code))).c AS code
+         FROM sub s JOIN cb c USING (m) GROUP BY s.vec_id, s.m),
+       qs AS (SELECT vec_id AS qid, m, sv AS qsv FROM sub WHERE vec_id < $NQUERIES),
+       adc AS (
+         SELECT q.qid, c.m, c.code,
+           ${sdot("q.qsv", "q.qsv")} - 2 * ${sdot("q.qsv", "c.cw")}
+             + ${sdot("c.cw", "c.cw")} AS dq2
+         FROM qs q JOIN cb c ON q.m = c.m),
+       approx AS (
+         SELECT a.qid, co.vec_id, sum(a.dq2) AS ad2
+         FROM codes co JOIN adc a ON a.m = co.m AND a.code = co.code
+         WHERE co.vec_id <> a.qid GROUP BY a.qid, co.vec_id),
+       ta AS (
+         SELECT qid, vec_id FROM (
+           SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY ad2, vec_id) AS rk
+           FROM approx) WHERE rk <= $RERANK),
+       q2 AS (SELECT vec_id AS qid, qv AS qvec FROM e WHERE vec_id < $NQUERIES),
+       ex AS (
+         SELECT q2.qid, e.vec_id,
+           ${fdot("q2.qvec", "q2.qvec")} - 2 * ${fdot("q2.qvec", "e.qv")}
+             + ${fdot("e.qv", "e.qv")} AS d2
+         FROM e CROSS JOIN q2 WHERE e.vec_id <> q2.qid),
+       te AS (
+         SELECT qid, vec_id FROM (
+           SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rk
+           FROM ex) WHERE rk <= $TOPK)
+       SELECT te.qid, CAST(count(ta.vec_id) AS BIGINT) AS n_hits,
+         CAST(count(ta.vec_id) * 1000000 // $TOPK AS BIGINT) AS recall_ppm
+       FROM te LEFT JOIN ta ON te.qid = ta.qid AND te.vec_id = ta.vec_id
+       GROUP BY te.qid ORDER BY te.qid"""
+  }
+
   /** Embedding-norm audit: per label, the distribution of squared
     * vector norms (n, min, max, exact sum, 4-dp mean in milli-unit²)
     * plus the count of degenerate near-zero vectors — the first check

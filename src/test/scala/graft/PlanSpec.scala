@@ -369,5 +369,14 @@ class PlanSpec extends AnyFunSuite {
     // aggregates below the windows must be the (type, gap) histogram
     assert(!planOf("latency_percentiles").contains("CartesianProduct"))
     assert(!planOf("cohort_ltv").contains("CartesianProduct"))
+    // multi-grain rollup must be ONE Expand pass, not three scans
+    val tg = planOf("time_grain_rollup")
+    assert(tg.contains("Expand"), "grouping sets lost the Expand")
+    assert("Scan parquet".r.findAllIn(tg).size <= 1,
+      "time_grain_rollup scans the fact more than once")
+    // the ADC scan must join the bounded lookup, never nested-loop
+    // the corpus against itself (the exact-baseline crossJoin against
+    // the 8-row broadcast query frame is the knn_bruteforce shape)
+    assert(!planOf("pq_recall").contains("CartesianProduct"))
   }
 }
