@@ -653,4 +653,65 @@ object Audit {
          CAST(max(diff) AS BIGINT) AS max_abs_diff_cents,
          CAST(sum(diff) AS BIGINT) AS sum_abs_diff_cents
        FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** Group-wise MODE profile — the most-frequent-value summary
+    * [[columnProfile]] deliberately omits (mode needs a second
+    * frequency aggregate, not a single pass): per source, the modal
+    * document token-length and the modal language, each via the
+    * cross-engine struct-max argmax over (count, value) — which
+    * partial-aggregates map-side, where the textbook rank-1 window
+    * would ship every (source, value) frequency row to one partition.
+    * Ties break to the LARGER value lexicographically/numerically
+    * (struct ordering), identically on both engines.
+    *
+    * Scale shape: two (source, value) frequency groupBys (the value
+    * domains are bounded: distinct lengths, distinct langs) + two
+    * struct-max argmaxes on the frequency frames, joined on the
+    * ≤|sources| key. */
+  def modeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(graft.ext.TextAnalysis.toks(col("text"))).cast("long").as("n_tok"))
+    val lenMode = d.groupBy(col("source"), col("n_tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(max(struct(col("c"), col("n_tok"))).as("m"))
+      .select(col("source"), col("m.n_tok").as("mode_len"),
+        col("m.c").cast("long").as("mode_len_freq"))
+    val langMode = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(max(struct(col("c"), col("lang"))).as("m"))
+      .select(col("source"), col("m.lang").as("mode_lang"),
+        col("m.c").cast("long").as("mode_lang_freq"))
+    lenMode.join(langMode, Seq("source"))
+      .select(col("source"), col("mode_len"), col("mode_len_freq"),
+        col("mode_lang"), col("mode_lang_freq"))
+      .orderBy(col("source"))
+  }
+
+  val modeProfileSql: String =
+    s"""WITH d AS (
+         SELECT source, lang,
+           CAST(len(${graft.ext.TextAnalysis.toksSql("text")}) AS BIGINT) AS n_tok
+         FROM documents),
+       lm AS (
+         SELECT source,
+           (max(struct_pack(c := c, n_tok := n_tok))).n_tok AS mode_len,
+           CAST((max(struct_pack(c := c, n_tok := n_tok))).c AS BIGINT)
+             AS mode_len_freq
+         FROM (SELECT source, n_tok, count(*) AS c FROM d
+               GROUP BY source, n_tok)
+         GROUP BY source),
+       gm AS (
+         SELECT source,
+           (max(struct_pack(c := c, lang := lang))).lang AS mode_lang,
+           CAST((max(struct_pack(c := c, lang := lang))).c AS BIGINT)
+             AS mode_lang_freq
+         FROM (SELECT source, lang, count(*) AS c FROM d
+               GROUP BY source, lang)
+         GROUP BY source)
+       SELECT lm.source, lm.mode_len, lm.mode_len_freq,
+         gm.mode_lang, gm.mode_lang_freq
+       FROM lm JOIN gm USING (source) ORDER BY lm.source"""
 }

@@ -1081,4 +1081,60 @@ object Corpus {
          max(score_micro) AS max_score_micro,
          CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams
        FROM b GROUP BY lang, bucket ORDER BY lang, bucket"""
+
+  private val RESERVOIR_K = 10
+
+  /** Exact-k deterministic reservoir per source — the other sampling
+    * primitive next to [[sampleStratified]]'s Bernoulli quotas: keep
+    * EXACTLY k docs per stratum (eval sets, spot-check panels, golden
+    * subsets need fixed sizes, not expected sizes), chosen by ranking
+    * a salted content-independent hash — so the panel is reproducible
+    * on any engine/cluster and STABLE under corpus growth in the
+    * sense that a doc's draw never changes (only the top-k cutoff
+    * moves). The membership itself is hashed into the output (sorted
+    * id set-checksum) so the oracle certifies WHICH docs, not just
+    * how many.
+    *
+    * Scale shape: rank-k per group compiles to WindowGroupLimit —
+    * each partition pre-prunes to k before the shuffle, so the
+    * exchange carries ≤ k·partitions rows per stratum, never the
+    * corpus. */
+  def sampleTopkPerSource(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("draw"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        Hashing.phash(col("doc_id").cast("string"), "resv_").as("draw"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= RESERVOIR_K)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_sampled"),
+        sum(col("n_tokens")).cast("long").as("tokens_sampled"),
+        max(col("draw")).cast("long").as("cutoff_draw"),
+        Hashing.phash(concat_ws(",",
+          sort_array(collect_list(col("doc_id").cast("string")))))
+          .as("members_hash"))
+      .orderBy(col("source"))
+  }
+
+  val sampleTopkPerSourceSql: String =
+    s"""WITH d AS (
+         SELECT source, doc_id,
+           ${Hashing.phashSql("CAST(doc_id AS VARCHAR)", "resv_")} AS draw,
+           CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens
+         FROM documents),
+       r AS (
+         SELECT source, doc_id, draw, n_tokens,
+           row_number() OVER (PARTITION BY source ORDER BY draw, doc_id) AS rk
+         FROM d)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens_sampled,
+         CAST(max(draw) AS BIGINT) AS cutoff_draw,
+         ${Hashing.phashSql(
+           "array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',')")}
+           AS members_hash
+       FROM r WHERE rk <= $RESERVOIR_K
+       GROUP BY source ORDER BY source"""
 }
