@@ -253,6 +253,79 @@ object Multimodal {
        FROM m ORDER BY media_id"""
   }
 
+  /** Resized-image record from the nearest-neighbor downsample
+    * kernel: source + output dimensions and exact per-channel sums
+    * of the DOWNSAMPLED raster. */
+  case class ResizedImage(media_id: Long, width: Int, height: Int,
+                          out_w: Int, out_h: Int,
+                          sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL image resize — nearest-neighbor 2× downsample inside the
+    * same mapPartitions decode scope as [[decodeImages]] (the
+    * thumbnail/embedding-input preprocessing step of a multimodal
+    * training pipeline: decode, sample every 2nd pixel in each
+    * dimension, hand the small raster on). Output pixel (x, y, c)
+    * reads source byte ((2y)·w + 2x)·3 + c — integer index
+    * arithmetic the DuckDB twin reproduces per CHARACTER of the
+    * ASCII source, so a half-pixel error anywhere in the walk
+    * hash-mismatches. Ceil dimensions ((w+1)/2) keep odd sizes
+    * honest. */
+  def resizeImages(spark: SparkSession, dir: String, parallelism: Int = 8): Dataset[ResizedImage] = {
+    import spark.implicits._
+    val m = ppmMediaTable(spark, dir)
+      .select(col("media_id").cast("long"), col("blob"))
+      .repartition(parallelism)
+    m.as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.map { case (id, blob) =>
+        val (w, h, off) = parsePpmHeader(blob)
+        val w2 = (w + 1) / 2; val h2 = (h + 1) / 2
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) {
+            val p = off + ((y * 2) * w + x * 2) * 3
+            sr += (blob(p) & 0xff); sg += (blob(p + 1) & 0xff)
+            sb += (blob(p + 2) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        ResizedImage(id, w, h, w2, h2, sr, sg, sb)
+      }
+    }
+  }
+
+  /** Query surface over [[resizeImages]] — content-oracled like
+    * [[mediaDecode]]: the twin recomputes the downsampled sums from
+    * the ASCII source with the same index arithmetic. */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame =
+    resizeImages(spark, dir).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy(col("media_id"))
+
+  val mediaResizeSql: String = {
+    def chanSql(c: Int) =
+      s"""CAST(list_sum(list_transform(generate_series(0, out_w * out_h - 1),
+           p -> unicode(substr(src,
+             ((p // out_w) * 2 * width + (p % out_w) * 2) * 3 + $c + 1, 1))))
+           AS BIGINT)"""
+    s"""WITH m AS (
+         SELECT doc_id AS media_id,
+           CAST(doc_id % 5 + 4 AS INTEGER) AS width,
+           CAST(doc_id % 4 + 3 AS INTEGER) AS height,
+           CAST((doc_id % 5 + 4 + 1) // 2 AS INTEGER) AS out_w,
+           CAST((doc_id % 4 + 3 + 1) // 2 AS INTEGER) AS out_h,
+           substr(repeat(text, 4), 1,
+             CAST((doc_id % 5 + 4) * (doc_id % 4 + 3) * 3 AS INTEGER)) AS src
+         FROM documents)
+       SELECT media_id, width, height, out_w, out_h,
+         ${chanSql(0)} AS sum_r, ${chanSql(1)} AS sum_g, ${chanSql(2)} AS sum_b
+       FROM m ORDER BY media_id"""
+  }
+
   /** Per-scanline brightness sampling over the decoded raster — the
     * frame-sampling shape (every 2nd scanline stands in for every
     * Nth video frame). Brightness is the scanline's mean byte in

@@ -220,4 +220,89 @@ object Quantiles {
          CAST(min(CASE WHEN cum * 100 >= n * 99 THEN gap_s END) AS BIGINT) AS p99_s,
          CAST(max(gap_s) AS BIGINT) AS max_s
        FROM r GROUP BY event_type ORDER BY event_type"""
+
+  /** Winsorized robust statistics — the outlier-clipped mean a
+    * metrics pipeline reports next to the raw mean (one fat-finger
+    * order must not move the dashboard): per event type, values clip
+    * to the exact [p02, p98] percentile band (histogram-selection
+    * cuts, the repo's [[valueQuantiles]] pattern, on exact cents) and
+    * both means are emitted in integer micro-cents. The clipped-mass
+    * counts certify how much each tail lost.
+    *
+    * Scale shape: one (type, cents) histogram groupBy; cumulative
+    * windows over DISTINCT cent values; cuts broadcast back onto the
+    * HISTOGRAM (not the raw rows) for the clipped re-aggregate —
+    * raw events are scanned once. */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val wcum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wall = Window.partitionBy(col("event_type"))
+    val h = Tables.events(spark, dir)
+      .select(col("event_type"), graft.util.Exact.cents(col("value")).as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(wall))
+      .transform(graft.util.Fence.lineage)
+    val cuts = h.groupBy(col("event_type"))
+      .agg(min(when(col("cum") * 50 >= col("n"), col("cents"))).as("lo"),
+        min(when(col("cum") * 50 >= col("n") * 49, col("cents"))).as("hi"))
+    h.join(broadcast(cuts), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).cast("long").as("n_events"),
+        max(col("lo")).cast("long").as("p02_cents"),
+        max(col("hi")).cast("long").as("p98_cents"),
+        sum(col("cents") * col("c")).as("raw_sum"),
+        sum(greatest(least(col("cents"), col("hi")), col("lo")) * col("c"))
+          .as("win_sum"),
+        sum(when(col("cents") < col("lo"), col("c")).otherwise(0L)).cast("long")
+          .as("n_clipped_low"),
+        sum(when(col("cents") > col("hi"), col("c")).otherwise(0L)).cast("long")
+          .as("n_clipped_high"))
+      .select(col("event_type"), col("n_events"), col("p02_cents"),
+        col("p98_cents"),
+        expr("raw_sum * 1000000 div n_events").as("raw_mean_microcents"),
+        expr("win_sum * 1000000 div n_events").as("win_mean_microcents"),
+        col("n_clipped_low"), col("n_clipped_high"))
+      .orderBy(col("event_type"))
+  }
+
+  val winsorizedStatsSql: String =
+    """WITH d AS (
+         SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         FROM events),
+       h AS (
+         SELECT event_type, cents, count(*) AS c
+         FROM d GROUP BY event_type, cents),
+       r AS (
+         SELECT event_type, cents, c,
+           sum(c) OVER (PARTITION BY event_type ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+         FROM h),
+       cuts AS (
+         SELECT event_type,
+           min(CASE WHEN cum * 50 >= n THEN cents END) AS lo,
+           min(CASE WHEN cum * 50 >= n * 49 THEN cents END) AS hi
+         FROM r GROUP BY event_type),
+       g AS (
+         SELECT r.event_type,
+           CAST(max(r.n) AS BIGINT) AS n_events,
+           CAST(max(ct.lo) AS BIGINT) AS p02_cents,
+           CAST(max(ct.hi) AS BIGINT) AS p98_cents,
+           CAST(sum(r.cents * r.c) AS BIGINT) AS raw_sum,
+           CAST(sum(greatest(least(r.cents, ct.hi), ct.lo) * r.c) AS BIGINT)
+             AS win_sum,
+           CAST(sum(CASE WHEN r.cents < ct.lo THEN r.c ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(sum(CASE WHEN r.cents > ct.hi THEN r.c ELSE 0 END) AS BIGINT)
+             AS n_clipped_high
+         FROM r JOIN cuts ct USING (event_type)
+         GROUP BY r.event_type)
+       SELECT event_type, n_events, p02_cents, p98_cents,
+         CAST(raw_sum * 1000000 // n_events AS BIGINT) AS raw_mean_microcents,
+         CAST(win_sum * 1000000 // n_events AS BIGINT) AS win_mean_microcents,
+         n_clipped_low, n_clipped_high
+       FROM g ORDER BY event_type"""
 }

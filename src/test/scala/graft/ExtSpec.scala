@@ -1164,6 +1164,23 @@ class ExtSpec extends AnyFunSuite {
     assert(totals.getLong(1) == naive)
   }
 
+  test("media_resize halves dimensions and samples a subset of the raster") {
+    val dec = SparkEntry.queries("media_decode")(spark, sf)
+      .select("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val res = SparkEntry.queries("media_resize")(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val (w, h, sr, sg, sb) = dec(r.getLong(0))
+      assert(r.getInt(3) == (w + 1) / 2 && r.getInt(4) == (h + 1) / 2,
+        s"wrong output dims for media ${r.getLong(0)}")
+      // nearest-neighbor sampling reads a strict subset of the raster
+      assert(r.getLong(5) <= sr && r.getLong(6) <= sg && r.getLong(7) <= sb,
+        s"resized channel sums exceed the full raster for ${r.getLong(0)}")
+    }
+  }
+
   test("graph_components census covers every node exactly once") {
     val df = SparkEntry.queries("graph_components")(spark, sf)
       .select("component_size", "n_components", "n_nodes").collect()
