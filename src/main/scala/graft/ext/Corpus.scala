@@ -1137,4 +1137,82 @@ object Corpus {
            AS members_hash
        FROM r WHERE rk <= $RESERVOIR_K
        GROUP BY source ORDER BY source"""
+
+  /** Purged temporal cross-validation folds (the financial-ML
+    * "purged K-fold with embargo", López de Prado 2018 ch.7) — the
+    * time-series counterpart of [[kfoldAssign]]'s content-hash folds:
+    * events assign to 5 folds by epoch-week blocks (week % 5), and a
+    * TRAIN row is PURGED from a fold's training set when it sits
+    * within the 1-hour embargo of that fold's validation-block
+    * boundary — the window through which features computed on
+    * overlapping time leak label information across the split. A row
+    * in the first embargo-hour of week w is adjacent to week w−1's
+    * block, so it purges when fold (w−1)%5 validates; symmetrically
+    * for the last hour and (w+1)%5 (5-cycle ⇒ never its own fold).
+    * Reported per fold: validation mass, surviving training mass,
+    * purged mass, and the purged share of the raw training set in
+    * ppm — all exact integer-second arithmetic.
+    *
+    * Scale shape: fold and embargo contributions are a narrow map
+    * emitting ≤3 (fold, kind) markers per row (explode_outer + null
+    * filter, the InferFiltersFromGenerate-safe form), then ONE
+    * map-side-combining groupBy on 5 keys and a 1-row total
+    * broadcast back (in-plan scalar convention). */
+  def temporalFoldSplit(spark: SparkSession, dir: String): DataFrame = {
+    val marks = Tables.events(spark, dir)
+      .select(
+        floor(unix_timestamp(col("ts")) / 604800L).cast("long").as("w"),
+        (unix_timestamp(col("ts")) -
+          floor(unix_timestamp(col("ts")) / 604800L).cast("long") * 604800L)
+          .cast("long").as("iw"))
+      .select(explode_outer(array(
+        struct(pmod(col("w"), lit(5)).cast("long").as("fold"),
+          lit(1L).as("isval"), lit(0L).as("ispurge")),
+        when(col("iw") < 3600L,
+          struct(pmod(col("w") - 1, lit(5)).cast("long").as("fold"),
+            lit(0L).as("isval"), lit(1L).as("ispurge"))),
+        when(col("iw") >= 601200L,
+          struct(pmod(col("w") + 1, lit(5)).cast("long").as("fold"),
+            lit(0L).as("isval"), lit(1L).as("ispurge"))))).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("m.fold").as("fold"), col("m.isval").as("isval"),
+        col("m.ispurge").as("ispurge"))
+    val perFold = marks.groupBy(col("fold"))
+      .agg(sum(col("isval")).cast("long").as("n_val"),
+        sum(col("ispurge")).cast("long").as("n_purged"))
+    val total = perFold.agg(sum(col("n_val")).cast("long").as("n_total"))
+    perFold.crossJoin(broadcast(total))
+      .select(col("fold"), col("n_val"),
+        (col("n_total") - col("n_val") - col("n_purged")).cast("long")
+          .as("n_train"),
+        col("n_purged"),
+        expr("n_purged * 1000000 div (n_total - n_val)").as("purged_ppm"))
+      .orderBy(col("fold"))
+  }
+
+  val temporalFoldSplitSql: String =
+    """WITH ev AS (
+         SELECT
+           CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 604800) AS BIGINT)
+             AS w,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) -
+             floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 604800) * 604800
+             AS BIGINT) AS iw
+         FROM events),
+       c AS (
+         SELECT CAST(w % 5 AS BIGINT) AS fold, 1 AS isval, 0 AS ispurge FROM ev
+         UNION ALL
+         SELECT CAST((w - 1) % 5 AS BIGINT), 0, 1 FROM ev WHERE iw < 3600
+         UNION ALL
+         SELECT CAST((w + 1) % 5 AS BIGINT), 0, 1 FROM ev WHERE iw >= 601200),
+       g AS (
+         SELECT fold, CAST(sum(isval) AS BIGINT) AS n_val,
+           CAST(sum(ispurge) AS BIGINT) AS n_purged
+         FROM c GROUP BY fold),
+       t AS (SELECT CAST(sum(n_val) AS BIGINT) AS n_total FROM g)
+       SELECT fold, n_val,
+         CAST(n_total - n_val - n_purged AS BIGINT) AS n_train,
+         n_purged,
+         CAST(n_purged * 1000000 // (n_total - n_val) AS BIGINT) AS purged_ppm
+       FROM g, t ORDER BY fold"""
 }

@@ -305,4 +305,62 @@ object Quantiles {
          CAST(win_sum * 1000000 // n_events AS BIGINT) AS win_mean_microcents,
          n_clipped_low, n_clipped_high
        FROM g ORDER BY event_type"""
+
+  /** WEIGHTED percentiles — where the unweighted median answers
+    * "what does the typical DOCUMENT look like", the token-weighted
+    * median answers "what does the typical TOKEN's document look
+    * like" (what a training run actually samples: long docs carry
+    * more of the batch). Per source: the doc length at which half,
+    * and 90%, of the source's TOKEN mass sits — the histogram-
+    * selection pattern with weight len·count instead of count, so
+    * the cumulative window still runs over DISTINCT lengths and the
+    * cuts stay exact integer cross-multiplications.
+    *
+    * Scale shape: identical to [[latencyPercentiles]] — one
+    * histogram groupBy, windows over the bounded distinct-length
+    * frame, |sources| output rows. */
+  def weightedMedianLen(spark: SparkSession, dir: String): DataFrame = {
+    val wcum = Window.partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wall = Window.partitionBy(col("source"))
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("len"))
+      .groupBy(col("source"), col("len"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("tw", col("len") * col("c"))
+      .withColumn("cumw", sum(col("tw")).over(wcum))
+      .withColumn("totw", sum(col("tw")).over(wall))
+      .withColumn("totd", sum(col("c")).over(wall))
+      .groupBy(col("source"))
+      .agg(max(col("totd")).cast("long").as("n_docs"),
+        max(col("totw")).cast("long").as("total_tokens"),
+        min(when(col("cumw") * 2 >= col("totw"), col("len"))).cast("long")
+          .as("wmedian_len"),
+        min(when(col("cumw") * 10 >= col("totw") * 9, col("len"))).cast("long")
+          .as("wp90_len"))
+      .orderBy(col("source"))
+  }
+
+  val weightedMedianLenSql: String =
+    s"""WITH d AS (
+         SELECT source,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS len
+         FROM documents),
+       h AS (
+         SELECT source, len, count(*) AS c FROM d GROUP BY source, len),
+       r AS (
+         SELECT source, len, c, len * c AS tw,
+           sum(len * c) OVER (PARTITION BY source ORDER BY len
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+           sum(len * c) OVER (PARTITION BY source) AS totw,
+           sum(c) OVER (PARTITION BY source) AS totd
+         FROM h)
+       SELECT source, CAST(max(totd) AS BIGINT) AS n_docs,
+         CAST(max(totw) AS BIGINT) AS total_tokens,
+         CAST(min(CASE WHEN cumw * 2 >= totw THEN len END) AS BIGINT)
+           AS wmedian_len,
+         CAST(min(CASE WHEN cumw * 10 >= totw * 9 THEN len END) AS BIGINT)
+           AS wp90_len
+       FROM r GROUP BY source ORDER BY source"""
 }
