@@ -428,7 +428,7 @@ object Style5 {
     // otherwise be pushed (with the whole split+render inlined)
     // through the exchange onto the raw single-split scan — see
     // graft.util.Fence for the trap and the 100 TB contract
-    val l = graft.util.Fence.lineage(renderedLines(spark, dir))
+    val l = graft.util.Fence.barrier(renderedLines(spark, dir))
       .withColumn("p", split(col("line"), " "))
     l.filter(coalesce(try_element_at(col("p"), lit(9)).rlike("^\\d+$"), lit(false)))
       .select(

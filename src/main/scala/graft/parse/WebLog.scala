@@ -42,9 +42,10 @@ object WebLog {
       s(floor(col("value") * 1000).cast("long")),
       lit(" \"-\" \"Windows-Media-Player/"), s(col("k") % 12), lit(".0\"")).as("line"))
       // consumers filter on line-derived columns (F2 extension
-      // filter); see graft.util.Fence for the pushdown trap and the
-      // 100 TB (read-from-files) contract
-      .transform(graft.util.Fence.lineage)
+      // filter); each query consumes the render once, so the
+      // ZERO-COST barrier suffices — nothing materializes, the
+      // filter just binds above the fence (see graft.util.Fence)
+      .transform(graft.util.Fence.barrier)
   }
 
   /** DuckDB twin of [[renderedLines]] — CTE `wlines`. */

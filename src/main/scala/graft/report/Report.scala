@@ -180,9 +180,10 @@ object Report {
     val assets = Seq("CLIP1.RM", "CLIP42.RM", "CLIP87.RM").map(_.toLowerCase)
     // project only name + bytes (the full 13-column parse would make
     // the pushed-down filter re-evaluate every field expression), and
-    // fence the lineage — see graft.util.Fence for the pushdown trap
-    // and the 100 TB (read-from-files) contract
-    graft.util.Fence.lineage(Style5.renderedLines(spark, dir))
+    // fence with the ZERO-COST barrier — single consumer, so nothing
+    // needs to materialize; the isin filter binds to the fenced
+    // attribute instead of pushing the whole render into the scan
+    graft.util.Fence.barrier(Style5.renderedLines(spark, dir))
       .select(Style5.fileName(Style5.reqFile(col("line"))).as("name"),
         element_at(Style5.dropHead(Style5.spaceMatches(col("line"))), 2)
           .cast("long").as("bytes_sent"))
