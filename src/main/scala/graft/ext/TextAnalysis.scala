@@ -266,6 +266,10 @@ object TextAnalysis {
       .withColumn("fp", array_min(transform(col("shingles"), s => Hashing.phash(s))))
     d.select(col("doc_id"), col("fp").as("fingerprint"),
         size(col("shingles")).cast("long").as("n_shingles"))
+      // materializing fence: the presentation sort SAMPLES its input
+      // for range bounds — without the fence the md5-per-shingle map
+      // above runs twice (once for sampling, once for the sort)
+      .transform(graft.util.Fence.lineage)
       .orderBy(col("doc_id"))
   }
 
@@ -312,6 +316,10 @@ object TextAnalysis {
         Hashing.phash(concat_ws(",",
           transform(col("fps"), x => x.cast("string"))), "wnh_")
           .as("fp_hash"))
+      // materializing fence before the presentation sort — its
+      // range-bound sampling would otherwise run the md5+winnow map
+      // twice (the docFingerprint measurement)
+      .transform(graft.util.Fence.lineage)
       .orderBy(col("doc_id"))
   }
 
