@@ -330,4 +330,93 @@ object Intervals {
          CAST(count(*) AS BIGINT) AS n_islands,
          CAST(sum(n_iv) AS BIGINT) AS n_intervals
        FROM islands GROUP BY user_id ORDER BY user_id"""
+
+  /** One-sided CUSUM drift detector over daily event rates — the
+    * statistical-process-control complement to [[rateAnomaly]]'s
+    * trailing-window spike rule: a SLOW upward drift never trips a
+    * per-point threshold, but the clamped cumulative excess
+    * `Cₜ = max(0, Cₜ₋₁ + xₜ − μ − k)` accumulates it (Page 1954).
+    * Target μ is the type's own integer mean daily count, slack
+    * k = μ/20, alarm at C > μ — all BIGINT floor-division, so the
+    * alarm sequence is bit-decidable cross-engine. The recurrence is
+    * inherently sequential, so it folds over the type's SORTED daily
+    * series with `aggregate()` — a bounded array (#days per type),
+    * never a row window — and the oracle replays the same recurrence
+    * as a recursive CTE stepping idx+1.
+    *
+    * Scale shape: one (type, day) count groupBy (map-side combined),
+    * then |types| rows each folding a ≤|days| array on the executor.
+    * The DAY series is bounded by the calendar, not the corpus —
+    * this is the canonical "big data, small state" monitor. */
+  def cusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+      .agg(count(lit(1)).cast("long").as("x"))
+    val acc0 = struct(lit(0L).as("c"), lit(0L).as("alarms"),
+      lit(0L).as("maxc"), lit(0L).as("first"), lit(0L).as("idx"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("x")).cast("long").as("total"),
+        array_sort(collect_list(struct(col("day"), col("x")))).as("ds"))
+      .withColumn("mean_daily", expr("total div n_days"))
+      .withColumn("slack", expr("mean_daily div 20"))
+      .withColumn("st", aggregate(
+        transform(col("ds"), d => d.getField("x")), acc0,
+        (acc, x) => {
+          val idx = acc.getField("idx") + 1
+          val c2 = greatest(lit(0L),
+            acc.getField("c") + x - col("mean_daily") - col("slack"))
+          val isA = c2 > col("mean_daily")
+          struct(c2.as("c"),
+            (acc.getField("alarms") + when(isA, 1L).otherwise(0L)).as("alarms"),
+            greatest(acc.getField("maxc"), c2).as("maxc"),
+            when(acc.getField("first") === 0L && isA, idx)
+              .otherwise(acc.getField("first")).as("first"),
+            idx.as("idx"))
+        }))
+      .select(col("event_type"), col("n_days"), col("mean_daily"),
+        col("st.alarms").as("n_alarms"),
+        col("st.maxc").as("max_cusum"),
+        col("st.first").as("first_alarm_idx"))
+      .orderBy(col("event_type"))
+  }
+
+  val cusumDriftSql: String =
+    """WITH RECURSIVE d AS (
+         SELECT event_type,
+           CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+             AS day,
+           CAST(count(*) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+       i AS (
+         SELECT event_type, x,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+             AS BIGINT) AS idx
+         FROM d),
+       m AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(x) // count(*) AS BIGINT) AS mean_daily,
+           CAST((sum(x) // count(*)) // 20 AS BIGINT) AS slack
+         FROM d GROUP BY event_type),
+       r AS (
+         SELECT i.event_type, i.idx,
+           greatest(CAST(0 AS BIGINT), i.x - m.mean_daily - m.slack) AS c
+         FROM i JOIN m USING (event_type) WHERE i.idx = 1
+         UNION ALL
+         SELECT i.event_type, i.idx,
+           greatest(CAST(0 AS BIGINT), r.c + i.x - m.mean_daily - m.slack)
+         FROM r
+         JOIN i ON i.event_type = r.event_type AND i.idx = r.idx + 1
+         JOIN m ON m.event_type = i.event_type)
+       SELECT r.event_type,
+         max(m.n_days) AS n_days,
+         max(m.mean_daily) AS mean_daily,
+         CAST(sum(CASE WHEN r.c > m.mean_daily THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_alarms,
+         CAST(max(r.c) AS BIGINT) AS max_cusum,
+         CAST(coalesce(min(CASE WHEN r.c > m.mean_daily THEN r.idx END), 0)
+           AS BIGINT) AS first_alarm_idx
+       FROM r JOIN m USING (event_type)
+       GROUP BY r.event_type ORDER BY r.event_type"""
 }
