@@ -419,4 +419,221 @@ object Intervals {
            AS BIGINT) AS first_alarm_idx
        FROM r JOIN m USING (event_type)
        GROUP BY r.event_type ORDER BY r.event_type"""
+
+  /** Per-group trend slopes — grouped ordinary least squares over the
+    * daily revenue series (the "is this segment growing?" number),
+    * kept EXACT by emitting the closed-form slope as its integer
+    * numerator/denominator pair (the [[zipf_fit]] convention —
+    * `n·Σxy − Σx·Σy` over `n·Σx² − (Σx)²`, cents × day-index) plus a
+    * floor-divided micro-cents-per-day quotient. Day indexes are
+    * rebased to the type's own first day so the x-moments stay small.
+    *
+    * Scale shape: one (type, day) money groupBy, then one groupBy per
+    * type accumulating the four integer moments map-side — the
+    * regression never sees raw rows, only the bounded daily frame. */
+  def trendSlopes(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+      .agg(sum(Exact.cents(col("value"))).cast("long").as("cents"))
+    val w = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("x", col("day") - min(col("day")).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("cents")).cast("long").as("sy"),
+        sum(col("x") * col("cents")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"))
+      .select(col("event_type"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        expr("(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)")
+          .as("slope_microcents_per_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val trendSlopesSql: String =
+    """WITH d AS (
+         SELECT event_type,
+           CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+             AS day,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM events GROUP BY 1, 2),
+       x AS (
+         SELECT event_type, cents,
+           day - min(day) OVER (PARTITION BY event_type) AS x
+         FROM d),
+       g AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(cents) AS BIGINT) AS sy,
+           CAST(sum(x * cents) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+         FROM x GROUP BY event_type)
+       SELECT event_type, n,
+         CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+         CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+         CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+           AS slope_microcents_per_day
+       FROM g ORDER BY event_type"""
+
+  /** Daily time-weighted average (TWAP) — the duration-weighted mean
+    * a plain `avg(value)` misquotes whenever readings arrive
+    * unevenly: each reading's value holds until the NEXT same-day
+    * reading (financial-convention daily bars — no overnight carry,
+    * the session resets at the day boundary, so a day's last reading
+    * carries no weight). Exact: cents × floor-seconds integer
+    * products, the quotient as truncated milli-cents.
+    *
+    * Scale shape: the lead window partitions on the HIGH-CARDINALITY
+    * (type, day) key — bounded partitions, never a per-type
+    * full-timeline sort — and the numerator is bounded by
+    * max_cents × seconds-per-day regardless of row count (durations
+    * telescope), so the BIGINT math can't overflow at any SF. */
+  def twapDaily(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        Exact.cents(col("value")).as("cents"))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("us"), col("event_id"))
+    src
+      .withColumn("dur_s",
+        coalesce((lead(col("us"), 1).over(w) - col("us")), lit(0L)))
+      .withColumn("dur_s", expr("dur_s div 1000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n_readings"),
+        sum(col("dur_s")).cast("long").as("weighted_s"),
+        sum(col("cents") * col("dur_s")).cast("long").as("twap_num"))
+      .withColumn("twap_millicents",
+        expr("(twap_num * 1000) div nullif(weighted_s, 0)"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val twapDailySql: String =
+    s"""WITH src AS (
+         SELECT event_type,
+           CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+             AS day,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+           ${Exact.centsSql("value")} AS cents
+         FROM events),
+       d AS (
+         SELECT event_type, day, cents,
+           coalesce(lead(us) OVER (PARTITION BY event_type, day
+             ORDER BY us, event_id) - us, 0) // 1000000 AS dur_s
+         FROM src)
+       SELECT event_type, day,
+         CAST(count(*) AS BIGINT) AS n_readings,
+         CAST(sum(dur_s) AS BIGINT) AS weighted_s,
+         CAST(sum(cents * dur_s) AS BIGINT) AS twap_num,
+         CAST(sum(cents * dur_s) * 1000 // nullif(sum(dur_s), 0) AS BIGINT)
+           AS twap_millicents
+       FROM d GROUP BY event_type, day ORDER BY event_type, day"""
+
+  /** Daily OHLC bars — open/high/low/close candles per (type, day),
+    * the compaction every time-series store ships. Open and close are
+    * cross-engine argmin/argmax via lexicographic struct min/max on
+    * (us, event_id, cents) — total order, partial-aggregating
+    * map-side (the resample_hourly convention) — so the whole bar is
+    * ONE groupBy with no window and no second pass. */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        Exact.cents(col("value")).as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        min(struct(col("us"), col("event_id"), col("cents"))).as("o"),
+        max(col("cents")).cast("long").as("high_cents"),
+        min(col("cents")).cast("long").as("low_cents"),
+        max(struct(col("us"), col("event_id"), col("cents"))).as("c"),
+        count(lit(1)).cast("long").as("n_ticks"),
+        sum(col("cents")).cast("long").as("volume_cents"))
+      .select(col("event_type"), col("day"),
+        col("o")("cents").cast("long").as("open_cents"),
+        col("high_cents"), col("low_cents"),
+        col("c")("cents").cast("long").as("close_cents"),
+        col("n_ticks"), col("volume_cents"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val ohlcBarsSql: String =
+    s"""WITH src AS (
+         SELECT event_type,
+           CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+             AS day,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+           ${Exact.centsSql("value")} AS cents
+         FROM events)
+       SELECT event_type, day,
+         CAST((min(struct_pack(us := us, event_id := event_id,
+           cents := cents))).cents AS BIGINT) AS open_cents,
+         CAST(max(cents) AS BIGINT) AS high_cents,
+         CAST(min(cents) AS BIGINT) AS low_cents,
+         CAST((max(struct_pack(us := us, event_id := event_id,
+           cents := cents))).cents AS BIGINT) AS close_cents,
+         CAST(count(*) AS BIGINT) AS n_ticks,
+         CAST(sum(cents) AS BIGINT) AS volume_cents
+       FROM src GROUP BY event_type, day ORDER BY event_type, day"""
+
+  /** Exact EWMA smoothing of the daily revenue series — α = 1/2 kept
+    * in pure integers (`e_i = (e_{i-1} + x_i) >> 1`, floor-exact on
+    * the non-negative cents; no libm pow, the CLAUDE.md rule), seeded
+    * at the series head. Emits the full smoothed series, not just the
+    * endpoint — the dashboard overlay line.
+    *
+    * Scale shape: the cusum_drift "big data, small state" pattern —
+    * raw rows collapse to one (type, day) groupBy, the inherently
+    * sequential recurrence then folds over each type's BOUNDED sorted
+    * day array (≤ #days elements) via `aggregate`, and the series
+    * re-explodes from the accumulator. The oracle replays the same
+    * recurrence as a recursive CTE. */
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+      .agg(sum(Exact.cents(col("value"))).cast("long").as("x"))
+    val acc0 = struct(
+      array().cast("array<struct<day:bigint,x:bigint,e:bigint>>").as("arr"),
+      lit(0L).as("prev"), lit(0L).as("idx"))
+    daily.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("ds"))
+      .withColumn("st", aggregate(col("ds"), acc0, (acc, d) => {
+        val e = when(acc.getField("idx") === 0L, d.getField("x"))
+          .otherwise(shiftright(acc.getField("prev") + d.getField("x"), 1))
+        struct(
+          concat(acc.getField("arr"),
+            array(struct(d.getField("day").as("day"),
+              d.getField("x").as("x"), e.as("e")))).as("arr"),
+          e.as("prev"), (acc.getField("idx") + 1).as("idx"))
+      }))
+      .select(col("event_type"), explode(col("st.arr")).as("r"))
+      .select(col("event_type"), col("r.day").as("day"),
+        col("r.x").as("x_cents"), col("r.e").as("ewma_cents"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val ewmaSmoothSql: String =
+    """WITH RECURSIVE d AS (
+         SELECT event_type,
+           CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+             AS day,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+       i AS (
+         SELECT event_type, day, x,
+           row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+         FROM d),
+       r AS (
+         SELECT event_type, day, x, rn, x AS e FROM i WHERE rn = 1
+         UNION ALL
+         SELECT i.event_type, i.day, i.x, i.rn, (r.e + i.x) // 2 AS e
+         FROM r JOIN i ON i.event_type = r.event_type AND i.rn = r.rn + 1)
+       SELECT event_type, day, CAST(x AS BIGINT) AS x_cents,
+         CAST(e AS BIGINT) AS ewma_cents
+       FROM r ORDER BY event_type, day"""
 }

@@ -1293,4 +1293,72 @@ object Tpch {
          FROM rev)
        SELECT n_name, CAST(rk AS INTEGER) AS rk, p_brand, revenue
        FROM r WHERE rk <= 3 ORDER BY n_name, rk, p_brand"""
+
+  /** Percent-of-parent hierarchy rollup — the drill-down tree every
+    * BI layer renders (region → nation → supplier revenue, each row
+    * carrying its share of its PARENT): supplier-of-nation,
+    * nation-of-region, and region-of-total shares in exact integer
+    * ppm over exact-cents sums. The nation/region parent totals are
+    * window sums over the ALREADY-AGGREGATED supplier frame
+    * (≤|suppliers| rows) — the fact shuffles once on the (region,
+    * nation, supplier) key and nothing row-scale ever enters a
+    * window; the grand total rides in as a 1-row aggregate broadcast
+    * cross-join rather than an empty-partition window (which would
+    * funnel the whole supplier frame through one task).
+    *
+    * Scale shape: two broadcast dim joins, ONE fact groupBy, two
+    * partition-sum windows on a dim-sized frame + one broadcast
+    * scalar. */
+  def hierarchyShares(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("r_name"))
+    val sup = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), Exact.cents(col("l_extendedprice")).as("cents"))
+      .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("r_name"), col("n_name"), col("s_name"))
+      .agg(sum(col("cents")).cast("long").as("cents"))
+      .transform(graft.util.Fence.lineage) // grand total + shares both read it
+    val wN = Window.partitionBy(col("r_name"), col("n_name"))
+    val wR = Window.partitionBy(col("r_name"))
+    val total = sup.agg(sum(col("cents")).cast("long").as("tot_cents"))
+    sup
+      .withColumn("nat_cents", sum(col("cents")).over(wN).cast("long"))
+      .withColumn("reg_cents", sum(col("cents")).over(wR).cast("long"))
+      .crossJoin(broadcast(total))
+      .select(col("r_name"), col("n_name"), col("s_name"), col("cents"),
+        expr("cents * 1000000 div nat_cents").as("share_of_nation_ppm"),
+        expr("nat_cents * 1000000 div reg_cents").as("nation_of_region_ppm"),
+        expr("reg_cents * 1000000 div tot_cents").as("region_of_total_ppm"))
+      .orderBy(col("r_name"), col("n_name"), col("s_name"))
+  }
+
+  val hierarchySharesSql: String =
+    """WITH sup AS (
+         SELECT r_name, n_name, s_name,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name, s_name),
+       w AS (
+         SELECT r_name, n_name, s_name, cents,
+           CAST(sum(cents) OVER (PARTITION BY r_name, n_name) AS BIGINT)
+             AS nat_cents,
+           CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT) AS reg_cents,
+           CAST(sum(cents) OVER () AS BIGINT) AS tot_cents
+         FROM sup)
+       SELECT r_name, n_name, s_name, cents,
+         CAST(cents * 1000000 // nat_cents AS BIGINT) AS share_of_nation_ppm,
+         CAST(nat_cents * 1000000 // reg_cents AS BIGINT)
+           AS nation_of_region_ppm,
+         CAST(reg_cents * 1000000 // tot_cents AS BIGINT)
+           AS region_of_total_ppm
+       FROM w ORDER BY r_name, n_name, s_name"""
 }
