@@ -636,4 +636,213 @@ object Intervals {
        SELECT event_type, day, CAST(x AS BIGINT) AS x_cents,
          CAST(e AS BIGINT) AS ewma_cents
        FROM r ORDER BY event_type, day"""
+
+  /** Hourly LINEAR-interpolation resample — the gap-fill
+    * [[resampleHourly]]'s LOCF deliberately does not do: each grid
+    * hour estimates its value on the straight line between the
+    * latest reading strictly before the grid instant and the first
+    * reading at/after it (sensor convention; edges where either
+    * bracket is missing stay null). All integer: cents slope times
+    * µs offset, floor-divided — `(v1−v0)·(g−t0) div (t1−t0)` — and
+    * the product is bounded by max_cents × corpus-span-µs, BIGINT-
+    * safe at any SF.
+    *
+    * Scale shape: raw rows collapse to per-(type, hour-bucket)
+    * first/last reading structs in ONE partial-aggregating groupBy;
+    * the bracket carries (last-before via a trailing window, first-
+    * after via a leading window) and the interpolation itself run on
+    * the timeline-bounded #types × #hours grid. */
+  def resampleLinear(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(spark, dir)
+      .select(col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        Exact.cents(col("value")).as("cents"))
+      .withColumn("hb", expr("us div 3600000000"))
+    val hourly = src.groupBy(col("event_type"), col("hb"))
+      .agg(min(struct(col("us"), col("event_id"), col("cents"))).as("f"),
+        max(struct(col("us"), col("event_id"), col("cents"))).as("l"))
+    val dense = hourly.groupBy(col("event_type"))
+      .agg(min(col("hb")).as("minh"), max(col("hb")).as("maxh"))
+      .select(col("event_type"),
+        explode(sequence(col("minh"), col("maxh"))).as("hb"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("hb"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    dense.join(hourly, Seq("event_type", "hb"), "left")
+      .withColumn("g_us", col("hb") * lit(3600000000L))
+      .withColumn("p", last(col("l"), ignoreNulls = true).over(wPrev))
+      .withColumn("nx", first(col("f"), ignoreNulls = true).over(wNext))
+      .select(col("event_type"), (col("hb") * 3600).as("hour_epoch"),
+        col("p")("cents").cast("long").as("prev_cents"),
+        col("nx")("cents").cast("long").as("next_cents"),
+        expr("""CAST(p.cents + ((nx.cents - p.cents) * (g_us - p.us))
+          div nullif(nx.us - p.us, 0) AS BIGINT)""").as("interp_cents"))
+      .orderBy(col("event_type"), col("hour_epoch"))
+  }
+
+  val resampleLinearSql: String =
+    s"""WITH src AS (
+         SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+           ${Exact.centsSql("value")} AS cents
+         FROM events),
+       s2 AS (SELECT *, us // 3600000000 AS hb FROM src),
+       hourly AS (
+         SELECT event_type, hb,
+           min(struct_pack(us := us, event_id := event_id, cents := cents))
+             AS f,
+           max(struct_pack(us := us, event_id := event_id, cents := cents))
+             AS l
+         FROM s2 GROUP BY 1, 2),
+       span AS (
+         SELECT event_type, min(hb) AS minh, max(hb) AS maxh
+         FROM hourly GROUP BY event_type),
+       dense AS (
+         SELECT s.event_type, unnest(generate_series(s.minh, s.maxh)) AS hb
+         FROM span s),
+       c AS (
+         SELECT d.event_type, d.hb, d.hb * 3600000000 AS g_us,
+           last_value(h.l IGNORE NULLS) OVER (
+             PARTITION BY d.event_type ORDER BY d.hb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+           first_value(h.f IGNORE NULLS) OVER (
+             PARTITION BY d.event_type ORDER BY d.hb
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+         FROM dense d LEFT JOIN hourly h
+           ON d.event_type = h.event_type AND d.hb = h.hb)
+       SELECT event_type, CAST(hb * 3600 AS BIGINT) AS hour_epoch,
+         CAST(p.cents AS BIGINT) AS prev_cents,
+         CAST(nx.cents AS BIGINT) AS next_cents,
+         CAST(p.cents + ((nx.cents - p.cents) * (g_us - p.us))
+           // nullif(nx.us - p.us, 0) AS BIGINT) AS interp_cents
+       FROM c ORDER BY event_type, hour_epoch"""
+
+  /** Alert episodes — consecutive anomalous hours merged into one
+    * incident row (what a pager actually wants: "3-hour spike peaking
+    * at N", not 3 rows). The flag is bit-identical to
+    * [[rateAnomaly]]'s full-baseline trailing-24h rule; the merge is
+    * the gaps-and-islands trick on the integer hour index
+    * (`hour − row_number()` is constant exactly on consecutive runs).
+    *
+    * Scale shape: one (type, hour) pre-aggregate, the ≤24-row-frame
+    * anomaly window, then row_number + groupBy on the FLAGGED subset
+    * of the bounded hourly frame — raw rows are touched once. */
+  def alertEpisodes(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600).cast("long").as("hidx"))
+      .groupBy(col("event_type"), col("hidx"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hidx"))
+      .rangeBetween(-24, -1)
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("hidx"))
+    hourly
+      .withColumn("trail_sum", sum(col("n")).over(w))
+      .withColumn("trail_hours", count(lit(1)).over(w))
+      .filter(col("trail_hours") === 24 &&
+        col("n") * 24 > col("trail_sum") * 2)
+      .withColumn("grp", col("hidx") - row_number().over(ord))
+      .groupBy(col("event_type"), col("grp"))
+      .agg((min(col("hidx")) * 3600).cast("long").as("start_epoch"),
+        (max(col("hidx")) * 3600).cast("long").as("end_epoch"),
+        count(lit(1)).cast("long").as("n_hours"),
+        max(col("n")).cast("long").as("peak_events"),
+        sum(col("n")).cast("long").as("total_events"))
+      .drop("grp")
+      .orderBy(col("event_type"), col("start_epoch"))
+  }
+
+  val alertEpisodesSql: String =
+    """WITH hourly AS (
+         SELECT event_type,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hidx,
+           count(*) AS n
+         FROM events GROUP BY 1, 2),
+       f AS (
+         SELECT event_type, hidx, n,
+           sum(n) OVER (PARTITION BY event_type ORDER BY hidx
+             RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_sum,
+           count(*) OVER (PARTITION BY event_type ORDER BY hidx
+             RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_hours
+         FROM hourly),
+       g AS (
+         SELECT event_type, hidx, n,
+           hidx - row_number() OVER (PARTITION BY event_type
+             ORDER BY hidx) AS grp
+         FROM f WHERE trail_hours = 24 AND n * 24 > trail_sum * 2)
+       SELECT event_type,
+         CAST(min(hidx) * 3600 AS BIGINT) AS start_epoch,
+         CAST(max(hidx) * 3600 AS BIGINT) AS end_epoch,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(max(n) AS BIGINT) AS peak_events,
+         CAST(sum(n) AS BIGINT) AS total_events
+       FROM g GROUP BY event_type, grp ORDER BY event_type, start_epoch"""
+
+  /** Pairwise Pearson correlation between event types' daily revenue
+    * series — "do these segments move together?", the input to any
+    * portfolio/cannibalization read. Moments stay exact BIGINTs
+    * (cents); only the final normalization touches doubles, via the
+    * ONE libm function CLAUDE.md admits (`sqrt` is bit-stable
+    * cross-engine) with identically-shaped expressions both sides —
+    * `sqrt(dx)·sqrt(dy)`, never `sqrt(dx·dy)`, because dx·dy
+    * overflows BIGINT while each factor fits. Zero-variance series
+    * null out through nullif.
+    *
+    * Scale shape: raw rows collapse to the (type, day) frame once
+    * (lineage-fenced — both join arms read it); the pair join is on
+    * the ≤#days key with ≤#types rows per day, so the pair frame is
+    * #days × #types² — bounded — and the moment groupBy partial-
+    * aggregates map-side. */
+  def dailyCorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+      .agg(sum(Exact.cents(col("value"))).cast("long").as("c"))
+      .transform(graft.util.Fence.lineage)
+    val a = daily.select(col("event_type").as("type_a"), col("day"),
+      col("c").as("x"))
+    val b = daily.select(col("event_type").as("type_b"), col("day"),
+      col("c").as("y"))
+    a.join(b, Seq("day")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y") * col("y")).cast("long").as("syy"))
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        expr("n_days * sxy - sx * sy").as("corr_num"),
+        expr("""CAST(floor(1000.0 * CAST(n_days * sxy - sx * sy AS DOUBLE)
+          / nullif(sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)), 0.0))
+          AS BIGINT)""").as("corr_milli"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val dailyCorrSql: String =
+    """WITH d AS (
+         SELECT event_type,
+           CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+             AS day,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+         FROM events GROUP BY 1, 2),
+       p AS (
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.c AS x, b.c AS y
+         FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type),
+       g AS (
+         SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+         FROM p GROUP BY type_a, type_b)
+       SELECT type_a, type_b, n_days,
+         CAST(n_days * sxy - sx * sy AS BIGINT) AS corr_num,
+         CAST(floor(1000.0 * CAST(n_days * sxy - sx * sy AS DOUBLE)
+           / nullif(sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)), 0.0))
+           AS BIGINT) AS corr_milli
+       FROM g ORDER BY type_a, type_b"""
 }
