@@ -36,7 +36,9 @@ object Retrieval {
   private val B  = 0.75
   private val TOPK = 20
 
-  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+  /** The scored BM25 frame (doc_id, source, score_micro > 0) shared
+    * by [[bm25Topk]] and [[hybridSearch]]'s lexical arm. */
+  private def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism) // single-split table, CPU-bound tf map
       .withColumn("t", toks(col("text")))
@@ -67,9 +69,12 @@ object Retrieval {
       .select(col("doc_id"), col("source"),
         QUERY.indices.map(termMicro).reduce(_ + _).as("score_micro"))
       .filter(col("score_micro") > 0)
+  }
+
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(TOPK)
-  }
 
   val bm25TopkSql: String = {
     val tfCols = QUERY.zipWithIndex.map { case (q, i) =>
@@ -92,6 +97,110 @@ object Retrieval {
        FROM d CROSS JOIN stats
        WHERE ($terms) > 0
        ORDER BY score_micro DESC, doc_id
+       LIMIT $TOPK"""
+  }
+
+  /** Shortlist depth per arm and the RRF smoothing constant (60 is
+    * the value from the original reciprocal-rank-fusion paper;
+    * Cormack et al., SIGIR'09). */
+  private val FUSE_N = 100
+  private val RRF_K = 60L
+
+  /** Hybrid search — reciprocal-rank fusion of the lexical BM25 arm
+    * and a dense cosine arm (the standard two-tower hybrid every
+    * retrieval stack ships: scores are incomparable across arms, so
+    * fuse RANKS: `Σ 1/(60 + rank)`). Kept exact as
+    * `10⁹ div (60 + rank)` BIGINT terms. The dense arm scores each
+    * document's embedding (vec_id aligns with doc_id in the corpus)
+    * against query vector 0 with the [[Similarity]] integer-quantized
+    * cosine; docs missing from an arm's top-[[FUSE_N]] shortlist
+    * contribute 0 from that arm (shortlist-RRF, the production
+    * variant — full-corpus RRF would force a total sort per arm).
+    *
+    * Scale shape: each arm is a bounded TakeOrdered head (the same
+    * plan as its standalone query), the fusion is a full outer join
+    * of two ≤[[FUSE_N]]-row frames, and the final top-k is again
+    * TakeOrdered — nothing corpus-sized is sorted or shuffled beyond
+    * the arms' own aggregates. */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // sort+limit FIRST (TakeOrderedAndProject — per-partition heads,
+    // no global sort), then rank inside the ≤FUSE_N-row head; the
+    // single-partition rank window only ever sees the bounded head
+    val wLex = Window.orderBy(col("score_micro").desc, col("doc_id"))
+    val lex = bm25Scores(spark, dir)
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(FUSE_N)
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("qv", Similarity.quant(col("embedding")))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("qv").as("qvec"))
+    def n2(c: Column): Column = graft.functions.LongDot(c, c)
+    val wDen = Window.orderBy(col("cosine").desc, col("doc_id"))
+    val dense = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        (floor(graft.functions.LongDot(col("qvec"), col("qv")).cast("double") /
+          (sqrt(n2(col("qvec")).cast("double")) *
+           sqrt(n2(col("qv")).cast("double"))) * 1000000 + 0.5) / 1000000)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id")).limit(FUSE_N)
+      .withColumn("dense_rank", row_number().over(wDen).cast("long"))
+      .select(col("doc_id"), col("dense_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        (coalesce(expr(s"1000000000 div ($RRF_K + lex_rank)"), lit(0L)) +
+         coalesce(expr(s"1000000000 div ($RRF_K + dense_rank)"), lit(0L)))
+          .as("rrf_nano"))
+      .orderBy(col("rrf_nano").desc, col("doc_id"))
+      .limit(TOPK)
+  }
+
+  val hybridSearchSql: String = {
+    val tfCols = QUERY.zipWithIndex.map { case (q, i) =>
+      s"len(list_filter(t, x -> x = '$q')) AS tf$i"
+    }.mkString(", ")
+    val dfCols = QUERY.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val terms = QUERY.indices.map { i =>
+      val idf = s"((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))"
+      val s = s"$idf * (CAST(tf$i AS DOUBLE) * ${K1 + 1.0}) / " +
+        s"(CAST(tf$i AS DOUBLE) + $K1 * (${1.0 - B} + $B * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+      s"CAST(floor(($s) * 1000000 + 0.5) AS BIGINT)"
+    }.mkString(" + ")
+    s"""WITH d AS (
+         SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, $tfCols
+         FROM (SELECT doc_id, ${toksSql("text")} AS t FROM documents)),
+       stats AS (
+         SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfCols FROM d),
+       lex AS (
+         SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+             AS BIGINT) AS lex_rank
+         FROM (SELECT doc_id, ($terms) AS score_micro
+               FROM d CROSS JOIN stats WHERE ($terms) > 0)
+         QUALIFY lex_rank <= $FUSE_N),
+       e AS (SELECT vec_id, ${Similarity.quantSql} AS qv FROM embeddings),
+       q AS (SELECT qv AS qvec FROM e WHERE vec_id = 0),
+       den AS (
+         SELECT vec_id AS doc_id,
+           CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+             AS BIGINT) AS dense_rank
+         FROM (
+           SELECT e.vec_id,
+             floor(CAST(list_sum(list_transform(generate_series(1, ${Similarity.DIM}), i -> qvec[i] * qv[i])) AS DOUBLE) /
+                   (sqrt(CAST(list_sum(list_transform(qvec, x -> x * x)) AS DOUBLE)) *
+                    sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cosine
+           FROM e CROSS JOIN q WHERE e.vec_id <> 0)
+         QUALIFY dense_rank <= $FUSE_N)
+       SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+         lex.lex_rank AS lex_rank, den.dense_rank AS dense_rank,
+         CAST(coalesce(1000000000 // ($RRF_K + lex.lex_rank), 0)
+            + coalesce(1000000000 // ($RRF_K + den.dense_rank), 0)
+           AS BIGINT) AS rrf_nano
+       FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+       ORDER BY rrf_nano DESC, doc_id
        LIMIT $TOPK"""
   }
 

@@ -33,7 +33,7 @@ import graft.model.Tables
   */
 object Similarity {
 
-  private val DIM = 64
+  private[ext] val DIM = 64
   private val PLANES = 8          // kNN: queries are broadcast, so 256 buckets keeps O(|Q|·N/256) linear
   private val DEDUP_PLANES = 16   // dedup self-join: 65,536 buckets — candidates are O(N²/2^16) per table
   private val NQUERIES = 8
