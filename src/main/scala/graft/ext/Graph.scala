@@ -322,4 +322,90 @@ object Graph {
          CAST(count(*) AS BIGINT) AS n_components,
          CAST(sum(sz) AS BIGINT) AS n_nodes
        FROM comp GROUP BY sz ORDER BY sz"""
+
+  private val KCORE = 6       // core threshold (graph is ~6-regular, so
+                              // the peel cascades instead of trivially
+                              // keeping or deleting everything)
+  private val PEEL_ROUNDS = 5
+
+  /** k-core peeling trajectory — iteratively delete nodes of degree
+    * < k from the undirected simple link graph and report
+    * (nodes, edges) after each round: the standard graph-density
+    * screen (spam farms and boilerplate rings survive deep cores;
+    * organic pages peel early). The graph is the canonicalized
+    * [[triangleCount]] edge set; one peel round = one degree count +
+    * one threshold filter + two semi-joins.
+    *
+    * Scale shape per round: degree is a node-keyed partial-sum
+    * groupBy over the SYMMETRIZED id-only edge frame; survivors
+    * filter edges via two left_semi equi-joins (never a collect of
+    * the keep-set); each round's frame is fenced with a non-eager
+    * localCheckpoint (the [[pagerankOf]] convention) because the
+    * next round AND the round's stats row both consume it. Rounds
+    * are a fixed constant, oracle = unrolled CTE chain. */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val und = edgesOf(nodes)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    var sym = und
+      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u").as("src"), col("v").as("dst"))
+      .localCheckpoint(eager = false)
+    val stats = (1 to PEEL_ROUNDS).map { r =>
+      val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCORE)
+        .select(col("src").as("id"))
+      sym = sym
+        .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(eager = false)
+      sym.agg(
+        lit(r.toLong).as("round"),
+        countDistinct(col("src")).cast("long").as("n_nodes"),
+        expr("count(1) div 2").cast("long").as("n_edges"))
+    }
+    stats.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  val kCoreSql: String = {
+    val rounds = (1 to PEEL_ROUNDS).map { i =>
+      s"""k$i AS (
+         SELECT src AS id FROM e${i - 1} GROUP BY src
+         HAVING count(*) >= $KCORE),
+       e$i AS (
+         SELECT e.src, e.dst FROM e${i - 1} e
+         JOIN k$i a ON e.src = a.id JOIN k$i b ON e.dst = b.id)"""
+    }.mkString(",\n       ")
+    val sel = (1 to PEEL_ROUNDS).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round,
+         CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+         CAST(count(*) // 2 AS BIGINT) AS n_edges FROM e$i"""
+    }.mkString("\n       UNION ALL ")
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       m AS (SELECT count(*) AS m FROM nodes),
+       probes AS (
+         -- unrolled as UNION ALL: an unnest-derived CTE feeding the
+         -- multi-way self-join chain below trips DuckDB's internal
+         -- binder (see CLAUDE.md / triangle_count's probes CTE)
+         SELECT id AS src, (id * 7 + 13) % m.m AS dst FROM nodes CROSS JOIN m
+         UNION ALL
+         SELECT id AS src, (id * 7 + 26) % m.m AS dst FROM nodes CROSS JOIN m
+         UNION ALL
+         SELECT id AS src, (id * 7 + 39) % m.m AS dst FROM nodes CROSS JOIN m),
+       raw AS (SELECT p.src, p.dst FROM probes p JOIN nodes t ON t.id = p.dst),
+       und AS (
+         SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         FROM raw WHERE src <> dst),
+       e0 AS (
+         SELECT u AS src, v AS dst FROM und
+         UNION ALL SELECT v AS src, u AS dst FROM und),
+       $rounds
+       $sel
+       ORDER BY round"""
+  }
 }

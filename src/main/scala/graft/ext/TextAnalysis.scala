@@ -489,4 +489,61 @@ object TextAnalysis {
          ${Hashing.phashSql("clean", "sm_")} AS clean_hash
        FROM c ORDER BY doc_id"""
   }
+  private val FH_BUCKETS = 64L
+
+  /** Hashing-trick collision audit — the table you read BEFORE fixing
+    * the feature width of a hashed-bag-of-words model: every corpus
+    * token maps to `phash(token) mod 64`, and each bucket reports how
+    * many distinct tokens collided into it, their total occurrence
+    * mass, the dominant token (struct-max argmax), and the dominant
+    * token's share of the bucket in ppm — a bucket whose top token
+    * owns <<10\u2076 ppm is blending unrelated features. Load is also
+    * reported vs the uniform share (10\u2076 = perfectly level).
+    *
+    * Scale shape: one explode into a token-keyed counting groupBy
+    * (vocab-sized shuffle, map-side combined), then the bucket rollup
+    * shuffles \u2264|vocab| rows onto a 64-key space; totals ride a 1-row
+    * broadcast. */
+  def featureHash(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-split table, CPU-bound explode
+      .select(explode_outer(toks(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("long").as("n_occ_total"))
+    vocab
+      .withColumn("bucket", pmod(Hashing.phash(col("token"), "fh_"), lit(FH_BUCKETS)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("cnt")).cast("long").as("n_occ"),
+        max(struct(col("cnt"), col("token"))).as("m"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_tokens"), col("n_occ"),
+        col("m")("token").as("top_token"),
+        col("m")("cnt").cast("long").as("top_occ"),
+        expr("m.cnt * 1000000 div n_occ").as("top_share_ppm"),
+        expr(s"n_occ * ${FH_BUCKETS}000000 div n_occ_total").as("load_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  val featureHashSql: String =
+    s"""WITH occ AS (
+         SELECT unnest(${toksSql("text")}) AS token FROM documents),
+       v AS (SELECT token, count(*) AS cnt FROM occ GROUP BY token),
+       t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_occ_total FROM v),
+       b AS (
+         SELECT ${Hashing.phashSql("token", "fh_")} % $FH_BUCKETS AS bucket,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(cnt) AS BIGINT) AS n_occ,
+           max(struct_pack(cnt := cnt, token := token)) AS m
+         FROM v GROUP BY 1)
+       SELECT bucket, n_tokens, n_occ,
+         m.token AS top_token,
+         CAST(m.cnt AS BIGINT) AS top_occ,
+         CAST(m.cnt * 1000000 // n_occ AS BIGINT) AS top_share_ppm,
+         CAST(n_occ * ${FH_BUCKETS}000000 // n_occ_total AS BIGINT)
+           AS load_ppm
+       FROM b CROSS JOIN t ORDER BY bucket"""
 }
+

@@ -363,4 +363,68 @@ object Quantiles {
          CAST(min(CASE WHEN cumw * 10 >= totw * 9 THEN len END) AS BIGINT)
            AS wp90_len
        FROM r GROUP BY source ORDER BY source"""
+
+  /** Calibration bins — the reliability-diagram table behind every
+    * "is this score calibrated?" check: events bucket into 10
+    * equal-population bands of their value (the "score"), and each
+    * band reports its observed purchase rate in exact ppm. A
+    * well-calibrated score shows rates monotone in the band index;
+    * this is the eval every ranking/propensity model ships with.
+    * Band edges are EXACT equal-population cuts via the
+    * histogram-selection pattern: the cumulative window walks the
+    * DISTINCT cents values (tied scores are inseparable and stay in
+    * one band — the correct discrete behavior), never raw rows.
+    *
+    * Scale shape: one (cents) histogram groupBy with map-side
+    * combine, a cumulative window over the bounded distinct-value
+    * frame, a 1-row total broadcast, and a ≤10-row final rollup. */
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Exact
+    val hist = Tables.events(spark, dir)
+      .select(Exact.cents(col("value")).as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("hit"))
+      .groupBy(col("cents"))
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("hits"))
+    val total = hist.agg(sum(col("n")).cast("long").as("n_total"))
+    val wCum = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_before", coalesce(sum(col("n")).over(wCum), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("score_bin", expr("(cum_before * 10) div n_total"))
+      .groupBy(col("score_bin"))
+      .agg(sum(col("n")).cast("long").as("n_events"),
+        sum(col("hits")).cast("long").as("n_purchases"),
+        min(col("cents")).cast("long").as("lo_cents"),
+        max(col("cents")).cast("long").as("hi_cents"),
+        sum(col("cents") * col("n")).cast("long").as("sum_cents"))
+      .select(col("score_bin"), col("n_events"), col("n_purchases"),
+        expr("n_purchases * 1000000 div n_events").as("purchase_ppm"),
+        col("lo_cents"), col("hi_cents"),
+        expr("sum_cents * 1000 div n_events").as("mean_millicents"))
+      .orderBy(col("score_bin"))
+  }
+
+  val calibrationBinsSql: String =
+    """WITH h AS (
+         SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           count(*) AS n,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hits
+         FROM events GROUP BY cents),
+       t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM h),
+       c AS (
+         SELECT cents, n, hits,
+           coalesce(sum(n) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before
+         FROM h)
+       SELECT CAST((cum_before * 10) // n_total AS BIGINT) AS score_bin,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(sum(hits) AS BIGINT) AS n_purchases,
+         CAST(sum(hits) * 1000000 // sum(n) AS BIGINT) AS purchase_ppm,
+         CAST(min(cents) AS BIGINT) AS lo_cents,
+         CAST(max(cents) AS BIGINT) AS hi_cents,
+         CAST(sum(cents * n) * 1000 // sum(n) AS BIGINT) AS mean_millicents
+       FROM c CROSS JOIN t
+       GROUP BY score_bin ORDER BY score_bin"""
 }
