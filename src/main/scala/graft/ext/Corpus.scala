@@ -1215,4 +1215,70 @@ object Corpus {
          n_purged,
          CAST(n_purged * 1000000 // (n_total - n_val) AS BIGINT) AS purged_ppm
        FROM g, t ORDER BY fold"""
+
+  private val PRI_K = 100       // sample size
+  private val PRI_U = 1000000L  // uniform-draw resolution
+
+  /** Weighted sampling WITHOUT replacement via priority sampling
+    * (Duffield-Lund-Thorup, JACM'07): each document draws a
+    * deterministic hash-uniform u in (0, 1] and competes with
+    * priority w/u (weight = n_chars, the doc's byte mass) — the top-k
+    * priorities ARE the sample, and the (k+1)-th priority tau turns
+    * it into an unbiased total estimator: each kept doc represents
+    * max(w, tau) units. This is the size-weighted corpus sample a
+    * byte-budgeted eval panel or inspection queue draws —
+    * reproducible on any engine/cluster because the draw is a pure
+    * content-hash function, and mergeable (top-k of per-shard top-ks
+    * is the global top-k).
+    *
+    * Exactness: u is an integer in [1, 10^6], the priority key is the
+    * integer floor (w * 10^6) div u, and ties break on doc_id — both
+    * engines compute bit-identical keys, so no float ever orders the
+    * sample. Scale shape: one narrow map then TakeOrderedAndProject
+    * over k+1 rows; the windows that derive rank and tau run on the
+    * 101-row bounded frame, never the corpus. */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").as("w"),
+        (Hashing.phash(col("doc_id").cast("string"), "pri_") % PRI_U + 1L)
+          .as("u"))
+      .select(col("doc_id"), col("w"),
+        expr(s"w * $PRI_U div u").as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(PRI_K + 1)
+    val ord = Window.orderBy(col("priority").desc, col("doc_id"))
+    val ranked = cand.withColumn("rank", row_number().over(ord).cast("long"))
+    val tau = ranked.agg(
+      coalesce(max(when(col("rank") === (PRI_K + 1).toLong, col("priority"))),
+        lit(0L)).as("tau"))
+    ranked.filter(col("rank") <= PRI_K.toLong)
+      .crossJoin(broadcast(tau))
+      .select(col("rank"), col("doc_id"), col("w").as("w_chars"),
+        col("priority"), greatest(col("w"), col("tau")).as("ht_weight"))
+      .orderBy(col("rank"))
+  }
+
+  val prioritySampleSql: String =
+    s"""WITH cand AS (
+         SELECT doc_id, n_chars AS w,
+           ${Hashing.phashSql("CAST(doc_id AS VARCHAR)", "pri_")}
+             % $PRI_U + 1 AS u
+         FROM documents),
+       keyed AS (
+         SELECT doc_id, w, w * $PRI_U // u AS priority FROM cand
+         ORDER BY priority DESC, doc_id LIMIT ${PRI_K + 1}),
+       ranked AS (
+         SELECT *, CAST(row_number() OVER
+           (ORDER BY priority DESC, doc_id) AS BIGINT) AS rank
+         FROM keyed),
+       t AS (
+         SELECT coalesce(max(CASE WHEN rank = ${PRI_K + 1}
+           THEN priority END), 0) AS tau FROM ranked)
+       SELECT rank, doc_id, CAST(w AS BIGINT) AS w_chars,
+         CAST(priority AS BIGINT) AS priority,
+         CAST(greatest(w, tau) AS BIGINT) AS ht_weight
+       FROM ranked CROSS JOIN t
+       WHERE rank <= $PRI_K
+       ORDER BY rank"""
 }

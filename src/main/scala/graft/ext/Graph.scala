@@ -408,4 +408,173 @@ object Graph {
        $sel
        ORDER BY round"""
   }
+
+  private val LP_TOPK = 20
+
+  /** Common-neighbor link prediction over the link graph — the
+    * "which edges are missing" shortlist behind crawl-frontier
+    * recommendation and related-document suggestion: for every
+    * NON-adjacent pair sharing at least one neighbor, score by
+    * common-neighbor count with Jaccard (|N(u)∩N(v)| /
+    * |N(u)∪N(v)|) in exact ppm, and keep the top-20 by (cn, u, v) —
+    * the Liben-Nowell/Kleinberg CIKM'03 baseline pair of predictors.
+    *
+    * Scale shape: candidates come from ONE wedge self-join on the
+    * symmetrized edge frame (both sides the same fenced frame, keyed
+    * on the shared-neighbor id, u<v emitted once) — Σdeg² work, the
+    * triangle_count bound, never |V|²; existing edges leave via a
+    * left_anti on the canonical edge set; degrees join on the node
+    * key; TakeOrderedAndProject caps the head. The degree-descending
+    * orientation refinement documented at [[triangleCount]] applies
+    * here unchanged for hub-heavy graphs. */
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val und = edgesOf(nodes)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val sym = und
+      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u").as("src"), col("v").as("dst"))
+      .localCheckpoint(eager = false)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val wedges = sym.select(col("src").as("w"), col("dst").as("cu"))
+      .join(sym.select(col("src").as("w"), col("dst").as("cv")), Seq("w"))
+      .filter(col("cu") < col("cv"))
+      .select(col("cu").as("u"), col("cv").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+    wedges
+      .join(und, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("src").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("src").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .select(col("u"), col("v"), col("cn").cast("long").as("cn"),
+        col("deg_u").cast("long").as("deg_u"),
+        col("deg_v").cast("long").as("deg_v"),
+        expr("cn * 1000000 div (deg_u + deg_v - cn)").as("jaccard_ppm"))
+      .orderBy(col("cn").desc, col("u"), col("v"))
+      .limit(LP_TOPK)
+  }
+
+  val linkPredictionSql: String =
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       m AS (SELECT count(*) AS m FROM nodes),
+       probes AS (
+         -- unrolled as UNION ALL around DuckDB's unnest/self-join binder bug
+         SELECT id AS src, (id * 7 + 13) % m.m AS dst FROM nodes CROSS JOIN m
+         UNION ALL
+         SELECT id AS src, (id * 7 + 26) % m.m AS dst FROM nodes CROSS JOIN m
+         UNION ALL
+         SELECT id AS src, (id * 7 + 39) % m.m AS dst FROM nodes CROSS JOIN m),
+       raw AS (SELECT p.src, p.dst FROM probes p JOIN nodes t ON t.id = p.dst),
+       und AS (
+         SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         FROM raw WHERE src <> dst),
+       sym AS (
+         SELECT u AS src, v AS dst FROM und
+         UNION ALL SELECT v AS src, u AS dst FROM und),
+       deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+       wedge AS (
+         SELECT a.dst AS u, b.dst AS v, count(*) AS cn
+         FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+         GROUP BY a.dst, b.dst),
+       cand AS (
+         SELECT w.* FROM wedge w
+         WHERE NOT EXISTS (
+           SELECT 1 FROM und e WHERE e.u = w.u AND e.v = w.v))
+       SELECT c.u, c.v, CAST(c.cn AS BIGINT) AS cn,
+         CAST(du.deg AS BIGINT) AS deg_u, CAST(dv.deg AS BIGINT) AS deg_v,
+         CAST(c.cn * 1000000 // (du.deg + dv.deg - c.cn) AS BIGINT)
+           AS jaccard_ppm
+       FROM cand c
+       JOIN deg du ON du.src = c.u JOIN deg dv ON dv.src = c.v
+       ORDER BY cn DESC, u, v LIMIT $LP_TOPK"""
+
+  /** Attribute-assortativity of the link graph by document source —
+    * Newman's modularity-by-attribute (PRE 67, 026126): does each
+    * feed link to itself more than a degree-preserving random rewire
+    * would? Per source: its intra-edge share of all edges in exact
+    * ppm, the null-model expectation (d_c / 2m)² in ppm, and their
+    * difference — the per-community modularity term, whose sum is Q.
+    * The crawl-health view: Q near 0 means sources interlink freely;
+    * large positive means the graph is siloed by feed (a re-scraped
+    * mirror shows up here before dedup sees it).
+    *
+    * Exactness: both ppm columns are floor-divs of NON-NEGATIVE
+    * integers, and the delta is their difference — never a negative
+    * integer division, whose truncate-vs-floor behavior differs
+    * between engines. Scale shape: two node-keyed label joins put
+    * sources on edge endpoints, one label groupBy each for degree
+    * mass and intra-edges; everything downstream runs on the
+    * |sources|-row frame with the 1-row edge total broadcast. */
+  def sourceAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), col("source"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val und = edgesOf(docs.select(col("id")))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val lab = docs.select(col("id"), col("source"))
+    val labeled = und
+      .join(lab.select(col("id").as("u"), col("source").as("su")), Seq("u"))
+      .join(lab.select(col("id").as("v"), col("source").as("sv")), Seq("v"))
+      .localCheckpoint(eager = false)
+    val m = labeled.agg(count(lit(1)).cast("long").as("m"))
+    val degMass = labeled
+      .select(explode(array(col("su"), col("sv"))).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).cast("long").as("d_c"))
+    val intra = labeled.filter(col("su") === col("sv"))
+      .groupBy(col("su").as("source"))
+      .agg(count(lit(1)).cast("long").as("e_c"))
+    degMass.join(intra, Seq("source"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("source"), col("d_c"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"), col("m"))
+      .select(col("source"), col("d_c"), col("e_c"),
+        expr("e_c * 1000000 div m").as("intra_ppm"),
+        expr("d_c * d_c * 1000000 div (4 * m * m)").as("expected_ppm"),
+        (expr("e_c * 1000000 div m")
+          - expr("d_c * d_c * 1000000 div (4 * m * m)")).as("modularity_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val sourceAssortativitySql: String =
+    """WITH nodes AS (SELECT doc_id AS id, source FROM documents),
+       m0 AS (SELECT count(*) AS m FROM nodes),
+       probes AS (
+         SELECT id AS src, (id * 7 + 13) % m0.m AS dst FROM nodes CROSS JOIN m0
+         UNION ALL
+         SELECT id AS src, (id * 7 + 26) % m0.m AS dst FROM nodes CROSS JOIN m0
+         UNION ALL
+         SELECT id AS src, (id * 7 + 39) % m0.m AS dst FROM nodes CROSS JOIN m0),
+       raw AS (SELECT p.src, p.dst FROM probes p JOIN nodes t ON t.id = p.dst),
+       und AS (
+         SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         FROM raw WHERE src <> dst),
+       lb AS (
+         SELECT e.u, e.v, a.source AS su, b.source AS sv
+         FROM und e JOIN nodes a ON a.id = e.u JOIN nodes b ON b.id = e.v),
+       mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lb),
+       dm AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS d_c FROM (
+           SELECT su AS source FROM lb UNION ALL SELECT sv AS source FROM lb)
+         GROUP BY source),
+       ic AS (
+         SELECT su AS source, CAST(count(*) AS BIGINT) AS e_c
+         FROM lb WHERE su = sv GROUP BY su)
+       SELECT dm.source, dm.d_c,
+         CAST(coalesce(ic.e_c, 0) AS BIGINT) AS e_c,
+         CAST(coalesce(ic.e_c, 0) * 1000000 // mm.m AS BIGINT) AS intra_ppm,
+         CAST(dm.d_c * dm.d_c * 1000000 // (4 * mm.m * mm.m) AS BIGINT)
+           AS expected_ppm,
+         CAST(coalesce(ic.e_c, 0) * 1000000 // mm.m
+           - dm.d_c * dm.d_c * 1000000 // (4 * mm.m * mm.m) AS BIGINT)
+           AS modularity_ppm
+       FROM dm LEFT JOIN ic ON ic.source = dm.source CROSS JOIN mm
+       ORDER BY dm.source"""
 }

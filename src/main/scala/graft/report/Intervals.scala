@@ -845,4 +845,274 @@ object Intervals {
                   * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)), 0.0))
            AS BIGINT) AS corr_milli
        FROM g ORDER BY type_a, type_b"""
+
+  /** Burstiness audit per event type — the variance-to-mean (Fano
+    * factor) of the DAILY arrival counts, the dispersion statistic
+    * that separates Poisson-like steady streams (Fano ≈ 1) from
+    * bursty/clumped ones (Fano >> 1) and from quota-smoothed ones
+    * (Fano < 1): the first check before alert thresholds or capacity
+    * plans assume independence. Days the stream was silent COUNT AS
+    * ZEROS — the grid is the full observed calendar crossed with the
+    * type set, because skipping silent days biases the variance down
+    * exactly when the stream is burstiest.
+    *
+    * Exactness: Fano = (D·Σx² − (Σx)²) / (D·Σx) in pure BIGINT ppm —
+    * no float moment anywhere. Scale shape: raw rows collapse once to
+    * the (type, day) count frame (map-side combined); the grid is
+    * #days × #types — calendar-bounded — so the zero-fill left join
+    * broadcasts. */
+  def overdispersion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+    val counts = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .transform(graft.util.Fence.lineage)
+    val days = counts.select(col("day")).distinct()
+    val types = counts.select(col("event_type")).distinct()
+    val grid = days.crossJoin(broadcast(types))
+    grid.join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), coalesce(col("n"), lit(0L)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("x")).cast("long").as("total"),
+        sum(col("x") * col("x")).cast("long").as("sxx"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        expr("total * 1000 div n_days").as("mean_milli"),
+        expr("n_days * sxx - total * total").as("var_num"),
+        expr("(n_days * sxx - total * total) * 1000000 div nullif(n_days * total, 0)")
+          .as("fano_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val overdispersionSql: String =
+    """WITH c AS (
+         SELECT event_type,
+           CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+             AS day,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       grid AS (
+         SELECT t.event_type, d.day
+         FROM (SELECT DISTINCT day FROM c) d
+         CROSS JOIN (SELECT DISTINCT event_type FROM c) t),
+       x AS (
+         SELECT g.event_type, coalesce(c.n, 0) AS x
+         FROM grid g LEFT JOIN c
+           ON c.event_type = g.event_type AND c.day = g.day),
+       m AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(x) AS BIGINT) AS total,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+         FROM x GROUP BY event_type)
+       SELECT event_type, n_days, total,
+         CAST(total * 1000 // n_days AS BIGINT) AS mean_milli,
+         CAST(n_days * sxx - total * total AS BIGINT) AS var_num,
+         CAST((n_days * sxx - total * total) * 1000000
+           // nullif(n_days * total, 0) AS BIGINT) AS fano_ppm
+       FROM m ORDER BY event_type"""
+
+  /** Single-changepoint detection on each type's daily count series —
+    * binary segmentation's first step (the CUSUM family's offline
+    * sibling): the split day k maximizing the between-segment
+    * variance reduction gain(k) = S₁²/n₁ + S₂²/n₂ − S²/n, i.e. "did
+    * this stream's level shift, and when?" — the question a drift
+    * alarm ([[cusumDrift]]) hands to a postmortem. The gain is
+    * computed as ONE exact non-negative rational
+    * (S₁²n₂ + S₂²n₁)·n − S²·n₁n₂ over n₁n₂n (≥ 0 by Cauchy-Schwarz),
+    * floored to milli only once; the argmax is a struct-max with an
+    * earliest-day tie-break, identical lexicographic semantics in
+    * both engines.
+    *
+    * Scale shape: raw rows collapse once to the (type, day) frame;
+    * the prefix sums and the candidate scan are windows over the
+    * calendar-bounded per-type series; the argmax partial-aggregates.
+    * Zero-activity days are genuine zeros of the grid (same
+    * [[overdispersion]] rule — a gap IS evidence of a level shift). */
+  def changepointDaily(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+    val counts = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .transform(graft.util.Fence.lineage)
+    val days = counts.select(col("day")).distinct()
+    val types = counts.select(col("event_type")).distinct()
+    val daily = days.crossJoin(broadcast(types))
+      .join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("x"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("n1", row_number().over(wOrd).cast("long"))
+      .withColumn("s1", sum(col("x")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("s", sum(col("x")).over(wAll))
+      .filter(col("n1") < col("n"))
+      .select(col("event_type"), col("day"), col("n1"), col("s1"),
+        col("n"), col("s"),
+        expr("""((s1 * s1 * (n - n1) + (s - s1) * (s - s1) * n1) * n
+          - s * s * n1 * (n - n1)) * 1000
+          div (n1 * (n - n1) * n)""").as("gain_milli"))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("gain_milli"), (-col("day")).as("neg_day"),
+        col("n1"), col("s1"), col("n"), col("s"))).as("m"))
+      .select(col("event_type"),
+        (-col("m")("neg_day")).cast("long").as("split_day"),
+        col("m")("n").cast("long").as("n_days"),
+        col("m")("n1").cast("long").as("n_left"),
+        col("m")("gain_milli").cast("long").as("gain_milli"),
+        expr("m.s1 * 1000 div m.n1").as("mean_left_milli"),
+        expr("(m.s - m.s1) * 1000 div (m.n - m.n1)").as("mean_right_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  val changepointDailySql: String =
+    """WITH c AS (
+         SELECT event_type,
+           CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+             AS day,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       grid AS (
+         SELECT t.event_type, d.day, coalesce(c.n, 0) AS x
+         FROM (SELECT DISTINCT day FROM c) d
+         CROSS JOIN (SELECT DISTINCT event_type FROM c) t
+         LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day),
+       pre AS (
+         SELECT event_type, day,
+           CAST(row_number() OVER w AS BIGINT) AS n1,
+           sum(x) OVER w AS s1,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+           sum(x) OVER (PARTITION BY event_type) AS s
+         FROM grid
+         WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       cand AS (
+         SELECT event_type, day, n1, s1, n, s,
+           CAST(((s1 * s1 * (n - n1) + (s - s1) * (s - s1) * n1) * n
+             - s * s * n1 * (n - n1)) * 1000
+             // (n1 * (n - n1) * n) AS BIGINT) AS gain_milli
+         FROM pre WHERE n1 < n),
+       am AS (
+         SELECT event_type,
+           max(struct_pack(gain_milli := gain_milli, neg_day := -day,
+             n1 := n1, s1 := s1, n := n, s := s)) AS m
+         FROM cand GROUP BY event_type)
+       SELECT event_type,
+         CAST(-(m.neg_day) AS BIGINT) AS split_day,
+         CAST(m.n AS BIGINT) AS n_days,
+         CAST(m.n1 AS BIGINT) AS n_left,
+         CAST(m.gain_milli AS BIGINT) AS gain_milli,
+         CAST(m.s1 * 1000 // m.n1 AS BIGINT) AS mean_left_milli,
+         CAST((m.s - m.s1) * 1000 // (m.n - m.n1) AS BIGINT)
+           AS mean_right_milli
+       FROM am ORDER BY event_type"""
+
+  /** Kaplan-Meier survival curves per experiment arm — retention
+    * with CENSORING done right: a user's lifetime is first→last
+    * active day, and users still active in the corpus' final week
+    * are censored (they exit the risk set without counting as
+    * churn) — the estimator every "did the feature improve
+    * retention" readout needs, because naive churn rates undercount
+    * exactly the long-lived users an experiment hopes to create
+    * (Kaplan & Meier, JASA 1958). Survival folds as the integer
+    * recurrence s ← s·(n−d) div n in ppm — deterministic floor at
+    * each step, the [[ewmaSmooth]]/[[cusumDrift]] convention — so
+    * the oracle replays it exactly as a recursive CTE.
+    *
+    * Scale shape: events collapse once per user (map-side
+    * combined), the duration histogram is (arms × ≤#days) rows, and
+    * the fold runs per arm over that bounded sorted array; the
+    * corpus horizon is a 1-row broadcast, never a driver probe. */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Hashing
+    val users = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .withColumn("arm",
+        Hashing.phash(col("user_id").cast("string"), "ab_") % 2L)
+    val horizon = users.agg(max(col("last_day")).as("m"))
+    val hist = users.crossJoin(broadcast(horizon))
+      .select(col("arm"), (col("last_day") - col("first_day")).as("t"),
+        when(col("last_day") <= col("m") - 8L, 1L).otherwise(0L).as("ev"))
+      .groupBy(col("arm"), col("t"))
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+    val acc0 = struct(
+      array().cast(
+        "array<struct<t:bigint,n_risk:bigint,d:bigint,c:bigint,s:bigint>>")
+        .as("arr"),
+      lit(1000000L).as("s"), lit(0L).as("rem"))
+    hist.groupBy(col("arm"))
+      .agg(array_sort(collect_list(struct(col("t"), col("d"), col("c"))))
+        .as("ds"), sum(col("d") + col("c")).as("total"))
+      .withColumn("st", aggregate(col("ds"),
+        struct(acc0.getField("arr").as("arr"), acc0.getField("s").as("s"),
+          col("total").as("rem")),
+        (acc, r) => {
+          val nRisk = acc.getField("rem")
+          // exact integral divide: x - (x mod n) is divisible by n, and
+          // double division of exactly-divisible longs is exact below
+          // 2^53 (s <= 1e6, so safe to ~9e9 users at risk; past that
+          // the rung is DECIMAL intermediates)
+          val x = acc.getField("s") * (nRisk - r.getField("d"))
+          val sFloor = ((x - pmod(x, nRisk)) / nRisk).cast("long")
+          struct(
+            concat(acc.getField("arr"), array(struct(
+              r.getField("t").as("t"), nRisk.as("n_risk"),
+              r.getField("d").as("d"), r.getField("c").as("c"),
+              sFloor.as("s")))).as("arr"),
+            sFloor.as("s"),
+            (acc.getField("rem") - r.getField("d") - r.getField("c"))
+              .as("rem"))
+        }))
+      .select(col("arm"), explode(col("st.arr")).as("r"))
+      .select(col("arm"), col("r.t").as("t_days"),
+        col("r.n_risk").as("n_risk"), col("r.d").as("d_churned"),
+        col("r.c").as("c_censored"), col("r.s").as("surv_ppm"))
+      .orderBy(col("arm"), col("t_days"))
+  }
+
+  val kaplanMeierSql: String = {
+    import graft.util.Hashing
+    s"""WITH RECURSIVE u AS (
+         SELECT user_id,
+           min(CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+             AS BIGINT)) AS first_day,
+           max(CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+             AS BIGINT)) AS last_day
+         FROM events GROUP BY user_id),
+       hz AS (SELECT max(last_day) AS m FROM u),
+       lab AS (
+         SELECT ${Hashing.phashSql("CAST(user_id AS VARCHAR)", "ab_")} % 2
+             AS arm,
+           last_day - first_day AS t,
+           CASE WHEN last_day <= hz.m - 8 THEN 1 ELSE 0 END AS ev
+         FROM u CROSS JOIN hz),
+       h AS (
+         SELECT arm, t, CAST(sum(ev) AS BIGINT) AS d,
+           CAST(sum(1 - ev) AS BIGINT) AS c
+         FROM lab GROUP BY arm, t),
+       i AS (
+         SELECT arm, t, d, c,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(sum(d + c) OVER (PARTITION BY arm) AS BIGINT)
+             - CAST(coalesce(sum(d + c) OVER (PARTITION BY arm ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+         FROM h WINDOW w AS (PARTITION BY arm ORDER BY t)),
+       r AS (
+         SELECT arm, t, d, c, rn, n_risk,
+           1000000 * (n_risk - d) // n_risk AS s
+         FROM i WHERE rn = 1
+         UNION ALL
+         SELECT i.arm, i.t, i.d, i.c, i.rn, i.n_risk,
+           r.s * (i.n_risk - i.d) // i.n_risk AS s
+         FROM r JOIN i ON i.arm = r.arm AND i.rn = r.rn + 1)
+       SELECT arm, t AS t_days, n_risk, d AS d_churned, c AS c_censored,
+         CAST(s AS BIGINT) AS surv_ppm
+       FROM r ORDER BY arm, t_days"""
+  }
 }

@@ -427,4 +427,164 @@ object Quantiles {
          CAST(sum(cents * n) * 1000 // sum(n) AS BIGINT) AS mean_millicents
        FROM c CROSS JOIN t
        GROUP BY score_bin ORDER BY score_bin"""
+
+  private val BOOT_B = 32
+  // Poisson(1) pmf cumulative thresholds on the 1e6 grid:
+  // P(X<=k) for k=0..6; a uniform draw h in [0,1e6) maps to the
+  // weight w = #{thresholds <= h}
+  private val POIS = Seq(367879L, 735758L, 919698L, 981011L,
+    996340L, 999406L, 999917L)
+
+  /** One-pass Poisson bootstrap CI for mean purchase value — the
+    * big-data bootstrap (Chamandy et al., Google 2012): instead of B
+    * resampling passes, each row draws B independent Poisson(1)
+    * pseudo-counts from content hashes (deterministic, engine-
+    * portable) and contributes w·x to resample b — all B=32 resample
+    * means materialize from ONE scan, and the 2nd/31st order
+    * statistics of the 32 means bracket a ~94% CI. THE way to put
+    * error bars on any mean at 100 TB: no per-resample shuffle of
+    * raw rows, just a 32-key groupBy that map-side combines to ≤B
+    * rows per partition.
+    *
+    * Exactness: draws compare integer hashes against the fixed
+    * Poisson cumulative grid; resample sums stay in BIGINT cents and
+    * divide once to milli-cents. The explode input is a FOLDABLE
+    * sequence literal, so the InferFiltersFromGenerate trap
+    * (CLAUDE.md) does not apply. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.{Exact, Hashing}
+    val x = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), Exact.cents(col("value")).as("cents"))
+    val point = x.agg(count(lit(1)).cast("long").as("n_rows"),
+      expr("sum(cents) * 1000 div count(1)").as("point_milli"))
+    val weighted = x
+      .select(col("event_id"), col("cents"),
+        explode(expr(s"sequence(1, $BOOT_B)")).as("b"))
+      .withColumn("h",
+        Hashing.phash(concat(col("b").cast("string"), lit("_"),
+          col("event_id").cast("string")), "boot_") % 1000000L)
+      .withColumn("w",
+        POIS.map(t => when(col("h") >= t, 1L).otherwise(0L))
+          .reduce(_ + _))
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("cents")).as("swx"), sum(col("w")).as("sw"))
+      .select(col("b"), expr("swx * 1000 div nullif(sw, 0)").as("mean_milli"))
+    val ord = Window.orderBy(col("mean_milli"), col("b"))
+    val ranked = weighted.withColumn("r", row_number().over(ord))
+    ranked.agg(
+        max(when(col("r") === 2, col("mean_milli"))).as("ci_lo_milli"),
+        max(when(col("r") === BOOT_B - 1, col("mean_milli"))).as("ci_hi_milli"))
+      .crossJoin(broadcast(point))
+      .select(col("n_rows"), col("point_milli"),
+        lit(BOOT_B.toLong).as("n_resamples"),
+        col("ci_lo_milli").cast("long").as("ci_lo_milli"),
+        col("ci_hi_milli").cast("long").as("ci_hi_milli"))
+  }
+
+  val bootstrapCiSql: String = {
+    import graft.util.Hashing
+    val wExpr = POIS.map(t => s"CASE WHEN h >= $t THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH x AS (
+         SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase'),
+       pt AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) * 1000 // count(*) AS BIGINT) AS point_milli
+         FROM x),
+       drawn AS (
+         SELECT t.b, x.cents,
+           ${Hashing.phashSql(
+             "CAST(t.b AS VARCHAR) || '_' || CAST(x.event_id AS VARCHAR)",
+             "boot_")} % 1000000 AS h
+         FROM x CROSS JOIN range(1, ${BOOT_B + 1}) t(b)),
+       means AS (
+         SELECT b, CAST(sum(($wExpr) * cents) * 1000
+             // nullif(sum($wExpr), 0) AS BIGINT) AS mean_milli
+         FROM drawn GROUP BY b),
+       ranked AS (
+         SELECT mean_milli,
+           row_number() OVER (ORDER BY mean_milli, b) AS r
+         FROM means)
+       SELECT pt.n_rows, pt.point_milli,
+         CAST($BOOT_B AS BIGINT) AS n_resamples,
+         CAST(max(CASE WHEN r = 2 THEN mean_milli END) AS BIGINT)
+           AS ci_lo_milli,
+         CAST(max(CASE WHEN r = ${BOOT_B - 1} THEN mean_milli END) AS BIGINT)
+           AS ci_hi_milli
+       FROM ranked CROSS JOIN pt
+       GROUP BY pt.n_rows, pt.point_milli"""
+  }
+
+  /** Mann-Whitney U rank-sum test between the two hash-split
+    * experiment arms' purchase values — the nonparametric "is arm A's
+    * value distribution shifted?" companion to ab_test_lift's
+    * conversion z²: robust to the heavy-tailed revenue distributions
+    * that break a t-test. Emits the EXACT U statistics (doubled, so
+    * tie midranks stay integral) and the common-language effect size
+    * U_A/(n_A·n_B) in ppm — everything a readout needs except the
+    * normal approximation, which would cost a libm sqrt.
+    *
+    * Scale shape: raw purchases collapse once to the (cents, arm)
+    * histogram; midranks come from ONE cumulative window over the
+    * DISTINCT value frame (the histogram-selection machinery — never
+    * a rank over raw rows); the final fold is a 1-row aggregate.
+    * Doubled midranks: 2·midrank = 2·cum_before + cnt + 1, exact for
+    * ties. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.{Exact, Hashing}
+    val x = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(Exact.cents(col("value")).as("cents"),
+        (Hashing.phash(col("user_id").cast("string"), "ab_") % 2L).as("arm"))
+    val hist = x.groupBy(col("cents"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("na_v"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("nb_v"))
+    val wCum = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_before",
+        coalesce(sum(col("na_v") + col("nb_v")).over(wCum), lit(0L)))
+      .agg(
+        sum(col("na_v")).cast("long").as("n_a"),
+        sum(col("nb_v")).cast("long").as("n_b"),
+        sum(col("na_v") * (col("cum_before") * 2 + col("na_v")
+          + col("nb_v") + 1)).cast("long").as("r_a2"))
+      .select(col("n_a"), col("n_b"),
+        expr("r_a2 - n_a * (n_a + 1)").as("u_a2"),
+        expr("2 * n_a * n_b - (r_a2 - n_a * (n_a + 1))").as("u_b2"),
+        expr("(r_a2 - n_a * (n_a + 1)) * 1000000 div (2 * n_a * n_b)")
+          .as("auc_ppm"))
+  }
+
+  val mannWhitneySql: String = {
+    import graft.util.Hashing
+    s"""WITH x AS (
+         SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           ${Hashing.phashSql("CAST(user_id AS VARCHAR)", "ab_")} % 2 AS arm
+         FROM events WHERE event_type = 'purchase'),
+       h AS (
+         SELECT cents,
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na_v,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb_v
+         FROM x GROUP BY cents),
+       c AS (
+         SELECT *, coalesce(sum(na_v + nb_v) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+         FROM h),
+       g AS (
+         SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+           CAST(sum(nb_v) AS BIGINT) AS n_b,
+           CAST(sum(na_v * (cum_before * 2 + na_v + nb_v + 1)) AS BIGINT)
+             AS r_a2
+         FROM c)
+       SELECT n_a, n_b,
+         CAST(r_a2 - n_a * (n_a + 1) AS BIGINT) AS u_a2,
+         CAST(2 * n_a * n_b - (r_a2 - n_a * (n_a + 1)) AS BIGINT) AS u_b2,
+         CAST((r_a2 - n_a * (n_a + 1)) * 1000000 // (2 * n_a * n_b)
+           AS BIGINT) AS auc_ppm
+       FROM g"""
+  }
 }

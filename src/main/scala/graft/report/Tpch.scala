@@ -1361,4 +1361,56 @@ object Tpch {
          CAST(reg_cents * 1000000 // tot_cents AS BIGINT)
            AS region_of_total_ppm
        FROM w ORDER BY r_name, n_name, s_name"""
+
+  /** Skyline (Pareto-frontier) query per part type — the multi-
+    * criteria shortlist a buyer report wants: within each p_type,
+    * keep exactly the parts no other part DOMINATES (cheaper-or-equal
+    * price AND bigger-or-equal size with at least one strict). The
+    * classic SKYLINE operator (Börzsönyi et al., ICDE'01) expressed
+    * as two window passes instead of the naive O(n²) self-join:
+    * ordered by price, a part is dominated iff the best size among
+    * STRICTLY cheaper parts already reaches its size (RANGE frame on
+    * the cents key), or a same-price part strictly exceeds it
+    * (per-(type, cents) max).
+    *
+    * Scale shape: one p_type-keyed shuffle serves both windows (the
+    * same-price max is a window over the identical sort, not a
+    * self-join); nothing pairwise anywhere, so a 10^9-part catalog
+    * costs one sort per type partition. Price is exact cents —
+    * dominance never hinges on a double compare. */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_type"),
+        Exact.cents(col("p_retailprice")).as("price_cents"),
+        col("p_size").cast("long").as("size"))
+    val cheaper = Window.partitionBy(col("p_type")).orderBy(col("price_cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val samePrice = Window.partitionBy(col("p_type"), col("price_cents"))
+    p.withColumn("best_cheaper", max(col("size")).over(cheaper))
+      .withColumn("best_same", max(col("size")).over(samePrice))
+      .filter((col("best_cheaper").isNull || col("best_cheaper") < col("size"))
+        && col("best_same") === col("size"))
+      .select(col("p_type"), col("p_partkey"), col("price_cents"), col("size"))
+      .orderBy(col("p_type"), col("price_cents"), col("p_partkey"))
+  }
+
+  val skylinePartsSql: String =
+    s"""WITH p AS (
+         SELECT p_partkey, p_type,
+           ${Exact.centsSql("p_retailprice")} AS price_cents,
+           CAST(p_size AS BIGINT) AS size
+         FROM part),
+       w AS (
+         SELECT *,
+           max(size) OVER (PARTITION BY p_type ORDER BY price_cents
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS best_cheaper,
+           max(size) OVER (PARTITION BY p_type, price_cents) AS best_same
+         FROM p)
+       SELECT p_type, p_partkey, price_cents, size
+       FROM w
+       WHERE (best_cheaper IS NULL OR best_cheaper < size)
+         AND best_same = size
+       ORDER BY p_type, price_cents, p_partkey"""
 }

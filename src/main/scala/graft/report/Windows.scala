@@ -1344,4 +1344,156 @@ object Windows {
        GROUP BY GROUPING SETS ((hour_b), (day_b), (week_b))
        ORDER BY gid, hour_b ASC NULLS FIRST, day_b ASC NULLS FIRST,
          week_b ASC NULLS FIRST"""
+
+  /** Point-in-time training-example assembly — the feature-store
+    * join every supervised model over behavioral data needs done
+    * WITHOUT temporal leakage: each purchase event (the label row)
+    * carries features computed STRICTLY BEFORE its own timestamp —
+    * prior view/click/event counts, the previous event's type, and
+    * the seconds since it — never the purchase itself or anything
+    * after (the "point-in-time correctness" rule; a plain as-of-now
+    * join would leak the future into training).
+    *
+    * Scale shape: one user-keyed shuffle; every feature shares ONE
+    * total (ts, event_id) sort per user — the strictly-prior frame is
+    * `rowsBetween(unboundedPreceding, -1)` so tied timestamps still
+    * split deterministically by event_id. The purchase filter runs
+    * AFTER the windows (it must: features count non-purchase rows),
+    * but nothing else is sorted — at 10^9 events this is exactly one
+    * sort-merge pass per user partition. */
+  def pitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("n_prior_events",
+        coalesce(sum(lit(1L)).over(prior), lit(0L)))
+      .withColumn("n_prior_views",
+        coalesce(sum(when(col("event_type") === "view", 1L)
+          .otherwise(0L)).over(prior), lit(0L)))
+      .withColumn("n_prior_clicks",
+        coalesce(sum(when(col("event_type") === "click", 1L)
+          .otherwise(0L)).over(prior), lit(0L)))
+      .withColumn("prev_type", coalesce(lag(col("event_type"), 1).over(ord),
+        lit("none")))
+      .withColumn("secs_since_prev",
+        coalesce(unix_timestamp(col("ts"))
+          - lag(unix_timestamp(col("ts")), 1).over(ord), lit(-1L)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("prev_type"), col("secs_since_prev").cast("long").as("secs_since_prev"),
+        col("n_prior_events").cast("long").as("n_prior_events"),
+        col("n_prior_views").cast("long").as("n_prior_views"),
+        col("n_prior_clicks").cast("long").as("n_prior_clicks"))
+      .orderBy(col("event_id"))
+  }
+
+  val pitFeaturesSql: String =
+    """WITH e AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+         FROM events),
+       f AS (
+         SELECT *,
+           coalesce(sum(1) OVER w_prior, 0) AS n_prior_events,
+           coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             OVER w_prior, 0) AS n_prior_views,
+           coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             OVER w_prior, 0) AS n_prior_clicks,
+           coalesce(lag(event_type) OVER w_ord, 'none') AS prev_type,
+           coalesce(CAST(floor(epoch(ts)) AS BIGINT)
+             - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w_ord, -1)
+             AS secs_since_prev
+         FROM e
+         WINDOW
+           w_ord AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w_prior AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       SELECT event_id, user_id, ts, prev_type,
+         CAST(secs_since_prev AS BIGINT) AS secs_since_prev,
+         CAST(n_prior_events AS BIGINT) AS n_prior_events,
+         CAST(n_prior_views AS BIGINT) AS n_prior_views,
+         CAST(n_prior_clicks AS BIGINT) AS n_prior_clicks
+       FROM f WHERE event_type = 'purchase'
+       ORDER BY event_id"""
+
+  /** A/B experiment readout — the two-proportion conversion report
+    * every product experiment ships: users split into arms by a pure
+    * content hash (reproducible on any engine — the split_assign
+    * rule applied to experimentation), each user converts iff they
+    * ever purchased, and the single result row carries both arms'
+    * exact counts, conversion rates in ppm, the lift, and the
+    * two-proportion z² statistic (z² > 3.84 ≈ p < 0.05) — computed
+    * as ONE exact rational (c₁n₂−c₂n₁)²·n / (n₁n₂c(n−c)) in
+    * DECIMAL(38,0): no float subtraction of near-equal rates, no
+    * libm sqrt. 38 digits hold to ~10⁸ users per arm; past that the
+    * rates pre-scale to ppm before squaring (documented rung).
+    *
+    * Scale shape: one user-keyed max-aggregate (map-side combined)
+    * collapses events to a (user, converted) row, the arm rollup is
+    * a 2-key groupBy, and everything after runs on a 2-row frame. */
+  def abTestLift(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+      .groupBy(col("user_id"))
+      .agg(max(col("conv")).as("converted"))
+      .withColumn("arm",
+        graft.util.Hashing.phash(col("user_id").cast("string"), "ab_") % 2L)
+    users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+      .agg(
+        sum(when(col("arm") === 0L, col("n"))).cast("long").as("n_a"),
+        sum(when(col("arm") === 0L, col("c"))).cast("long").as("c_a"),
+        sum(when(col("arm") === 1L, col("n"))).cast("long").as("n_b"),
+        sum(when(col("arm") === 1L, col("c"))).cast("long").as("c_b"))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        expr("c_a * 1000000 div n_a").as("conv_a_ppm"),
+        expr("c_b * 1000000 div n_b").as("conv_b_ppm"),
+        expr("c_a * 1000000 div n_a - c_b * 1000000 div n_b")
+          .as("lift_ppm"),
+        expr("""CAST(
+            (CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)
+          * (CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)
+          * (n_a + n_b) * 1000
+          div nullif(CAST(n_a AS DECIMAL(38,0)) * n_b * (c_a + c_b)
+              * (n_a + n_b - c_a - c_b), 0)
+          AS BIGINT)""").as("z2_milli"))
+  }
+
+  val abTestLiftSql: String =
+    s"""WITH u AS (
+         SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS converted
+         FROM events GROUP BY user_id),
+       armed AS (
+         SELECT ${graft.util.Hashing.phashSql("CAST(user_id AS VARCHAR)", "ab_")} % 2
+             AS arm,
+           converted
+         FROM u),
+       g AS (
+         SELECT arm, count(*) AS n, sum(converted) AS c
+         FROM armed GROUP BY arm),
+       w AS (
+         SELECT
+           CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS c_a,
+           CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS c_b
+         FROM g)
+       SELECT n_a, c_a, n_b, c_b,
+         CAST(c_a * 1000000 // n_a AS BIGINT) AS conv_a_ppm,
+         CAST(c_b * 1000000 // n_b AS BIGINT) AS conv_b_ppm,
+         CAST(c_a * 1000000 // n_a - c_b * 1000000 // n_b AS BIGINT)
+           AS lift_ppm,
+         CAST(
+             (CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a)
+           * (CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a)
+           * (n_a + n_b) * 1000
+           // nullif(CAST(n_a AS HUGEINT) * n_b * (c_a + c_b)
+               * (n_a + n_b - c_a - c_b), 0)
+           AS BIGINT) AS z2_milli
+       FROM w"""
 }

@@ -309,4 +309,279 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(cums.last == total)
     assert(rows.map(_.getLong(1)).sum == total)
   }
+
+  private def phashJvm(s0: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s0.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("skyline_parts equals the brute-force O(n^2) dominance sweep") {
+    val got = SparkEntry.queries("skyline_parts")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .collect()
+      .map(r => (r.getAs[String]("p_type"), r.getAs[Long]("p_partkey"),
+        math.floor(r.getAs[Double]("p_retailprice") * 100 + 0.5).toLong,
+        r.getAs[Int]("p_size").toLong))
+    val want = parts.filter { case (t, k, price, size) =>
+      !parts.exists { case (t2, k2, p2, s2) =>
+        t2 == t && k2 != k && p2 <= price && s2 >= size &&
+          (p2 < price || s2 > size)
+      }
+    }.map { case (t, k, p0, sz) => (t, k, p0, sz) }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("priority_sample: top-k by recomputed priorities, tau from k+1, ht >= w") {
+    val rows = SparkEntry.queries("priority_sample")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val keyed = docs.map { case (id, w) =>
+      val u = phashJvm("pri_" + id.toString) % 1000000L + 1L
+      (id, w, w * 1000000L / u)
+    }.sortBy { case (id, _, pri) => (-pri, id) }
+    val want = keyed.take(100)
+    assert(rows.length == math.min(100, docs.length))
+    rows.zip(want).foreach { case (r, (id, w, pri)) =>
+      assert(r.getLong(1) == id && r.getLong(2) == w && r.getLong(3) == pri)
+    }
+    val tau = if (keyed.length > 100) keyed(100)._3 else 0L
+    rows.foreach { r =>
+      assert(r.getLong(4) == math.max(r.getLong(2), tau)) // ht_weight
+      assert(r.getLong(4) >= r.getLong(2))
+    }
+  }
+
+  test("pit_features: strictly-prior frame never counts the label row or later") {
+    val rows = SparkEntry.queries("pit_features")(spark, sf).collect()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts").cast("timestamp")).as("s"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1)
+    assert(rows.length == ev.count(_._4 == "purchase"))
+    rows.foreach { r =>
+      val (eid, uid) = (r.getLong(0), r.getLong(1))
+      val all = byUser(uid).sortBy(t => (t._3, t._2))
+      val idx = all.indexWhere(_._2 == eid)
+      val prior = all.take(idx)
+      assert(r.getLong(5) == prior.length.toLong)               // n_prior_events
+      assert(r.getLong(6) == prior.count(_._4 == "view").toLong)
+      assert(r.getLong(7) == prior.count(_._4 == "click").toLong)
+      if (prior.isEmpty) {
+        assert(r.getString(3) == "none" && r.getLong(4) == -1L)
+      } else {
+        assert(r.getString(3) == prior.last._4)
+        assert(r.getLong(4) == all(idx)._3 - prior.last._3)
+      }
+    }
+  }
+
+  test("link_prediction equals brute-force common-neighbor scoring") {
+    val got = SparkEntry.queries("link_prediction")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val m = ids.size.toLong
+    val und = ids.flatMap(i => Seq(13L, 26L, 39L).map(k => (i, (i * 7 + k) % m)))
+      .filter { case (a, b) => ids(b) && a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val nbrs = (und.toSeq ++ und.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val cands = (for {
+      (u, nu) <- nbrs.toSeq; (v, nv) <- nbrs.toSeq
+      if u < v && !und((u, v))
+      cn = (nu & nv).size.toLong
+      if cn > 0
+    } yield (u, v, cn, nu.size.toLong, nv.size.toLong,
+      cn * 1000000L / (nu.size + nv.size - cn)))
+      .sortBy { case (u, v, cn, _, _, _) => (-cn, u, v) }
+    assert(got.toSeq == cands.take(20))
+  }
+
+  test("overdispersion: zero-filled daily Fano factor matches brute force") {
+    val got = SparkEntry.queries("overdispersion")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+      .toMap
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts").cast("timestamp")) / 86400L).cast("long")
+          .as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val days = ev.map(_._2).distinct
+    val d = days.length.toLong
+    ev.map(_._1).distinct.foreach { t =>
+      val counts = ev.filter(_._1 == t).groupBy(_._2).map(_._2.length.toLong)
+      val xs = days.map(day =>
+        ev.count(e => e._1 == t && e._2 == day).toLong)
+      val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      val varNum = d * sxx - sx * sx
+      val (nDays, total, meanMilli, vn, fano) = got(t)
+      assert(nDays == d && total == sx)
+      assert(meanMilli == sx * 1000 / d)
+      assert(vn == varNum)
+      assert(fano == varNum * 1000000L / (d * sx))
+      assert(counts.sum == sx)
+    }
+  }
+
+  test("ab_test_lift: exact rational z-squared vs BigInt recompute") {
+    val r = SparkEntry.queries("ab_test_lift")(spark, sf).head()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "event_type").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val byU = ev.groupBy(_._1).toSeq.map { case (u, rows) =>
+      (phashJvm("ab_" + u.toString) % 2, rows.exists(_._2 == "purchase"))
+    }
+    val nA = byU.count(_._1 == 0L).toLong
+    val cA = byU.count(t => t._1 == 0L && t._2).toLong
+    val nB = byU.count(_._1 == 1L).toLong
+    val cB = byU.count(t => t._1 == 1L && t._2).toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((nA, cA, nB, cB)))
+    assert(r.getLong(4) == cA * 1000000L / nA)
+    assert(r.getLong(5) == cB * 1000000L / nB)
+    val denom = BigInt(nA) * nB * (cA + cB) * (nA + nB - cA - cB)
+    if (denom == 0) {
+      // degenerate experiment (all or none converted): z2 must be NULL,
+      // never a division error or a fabricated number
+      assert(r.isNullAt(7))
+    } else {
+      val num = (BigInt(cA) * nB - BigInt(cB) * nA)
+      assert(BigInt(r.getLong(7)) == num * num * (nA + nB) * 1000 / denom)
+    }
+  }
+
+  test("source_assortativity: edge masses reconcile and Q terms are exact") {
+    val rows = SparkEntry.queries("source_assortativity")(spark, sf).collect()
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = ids.size.toLong
+    val und = ids.keySet
+      .flatMap(i => Seq(13L, 26L, 39L).map(k => (i, (i * 7 + k) % m)))
+      .filter { case (a, b) => ids.contains(b) && a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val mEdges = und.size.toLong
+    // invariants: sum(d_c) = 2m, sum(e_c) = m (every edge lands in
+    // exactly one intra bucket or none), and each row's ppm columns
+    // are the floor-divs of the recomputed masses
+    assert(rows.map(_.getLong(1)).sum == 2 * mEdges)
+    val eIntra = und.count { case (a, b) => ids(a) == ids(b) }.toLong
+    assert(rows.map(_.getLong(2)).sum == eIntra)
+    rows.foreach { r =>
+      val (dc, ec) = (r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) == ec * 1000000L / mEdges)
+      assert(r.getLong(4) == dc * dc * 1000000L / (4 * mEdges * mEdges))
+      assert(r.getLong(5) == r.getLong(3) - r.getLong(4))
+    }
+  }
+
+  test("mann_whitney: U_A + U_B = n_A*n_B and matches brute-force ranks") {
+    val r = SparkEntry.queries("mann_whitney")(spark, sf).head()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "value").collect()
+      .map(x => (phashJvm("ab_" + x.getLong(0).toString) % 2,
+        math.floor(x.getDouble(1) * 100 + 0.5).toLong))
+    val (nA, nB) = (ev.count(_._1 == 0L).toLong, ev.count(_._1 == 1L).toLong)
+    assert(r.getLong(0) == nA && r.getLong(1) == nB)
+    assert(r.getLong(2) + r.getLong(3) == 2 * nA * nB)
+    // brute force: doubled rank sum of arm A over the pooled sample
+    val sorted = ev.map(_._2).sorted
+    def midrank2(v: Long): Long = {
+      val lo = sorted.indexWhere(_ == v); val hi = sorted.lastIndexWhere(_ == v)
+      // 2 * average of 1-based ranks lo+1 .. hi+1
+      (lo + 1 + hi + 1).toLong
+    }
+    val rA2 = ev.filter(_._1 == 0L).map(t => midrank2(t._2)).sum
+    assert(r.getLong(2) == rA2 - nA * (nA + 1))
+    assert(r.getLong(4) == (rA2 - nA * (nA + 1)) * 1000000L / (2 * nA * nB))
+  }
+
+  test("bootstrap_ci: ordered CI brackets the point estimate plausibly") {
+    val r = SparkEntry.queries("bootstrap_ci")(spark, sf).head()
+    val vals = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select("value").collect()
+      .map(x => math.floor(x.getDouble(0) * 100 + 0.5).toLong)
+    assert(r.getLong(0) == vals.length.toLong)
+    assert(r.getLong(1) == vals.sum * 1000 / vals.length)
+    assert(r.getLong(2) == 32L)
+    val (lo, hi) = (r.getLong(3), r.getLong(4))
+    assert(lo <= hi)
+    // resample means must stay inside the sample's own value range
+    assert(lo >= vals.min * 1000 && hi <= vals.max * 1000)
+  }
+
+  test("changepoint_daily equals the brute-force best split per type") {
+    val got = SparkEntry.queries("changepoint_daily")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts").cast("timestamp")) / 86400L)
+          .cast("long").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val days = ev.map(_._2).distinct.sorted
+    ev.map(_._1).distinct.foreach { t =>
+      val xs = days.map(d => ev.count(e => e._1 == t && e._2 == d).toLong)
+      val n = xs.length.toLong; val sTot = xs.sum
+      val best = (1 until xs.length).map { k =>
+        val n1 = k.toLong; val s1 = xs.take(k).sum
+        val num = (BigInt(s1) * s1 * (n - n1) +
+          BigInt(sTot - s1) * (sTot - s1) * n1) * n -
+          BigInt(sTot) * sTot * n1 * (n - n1)
+        val gain = (num * 1000 / (BigInt(n1) * (n - n1) * n)).toLong
+        (gain, days(k - 1), n1)
+      }.maxBy { case (g, d, _) => (g, -d) }
+      val (splitDay, nDays, nLeft, gain) = got(t)
+      assert(nDays == n)
+      assert((gain, splitDay, nLeft) == ((best._1, best._2, best._3)))
+    }
+  }
+
+  test("kaplan_meier: risk sets telescope and survival matches brute force") {
+    val rows = SparkEntry.queries("kaplan_meier")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts").cast("timestamp")) / 86400L)
+          .cast("long").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byU = ev.groupBy(_._1).toSeq.map { case (u, ds) =>
+      val days = ds.map(_._2)
+      (phashJvm("ab_" + u.toString) % 2, days.min, days.max)
+    }
+    val m = byU.map(_._3).max
+    byU.map(_._1).distinct.foreach { arm =>
+      val subj = byU.filter(_._1 == arm)
+        .map { case (_, f, l) => (l - f, if (l <= m - 8) 1L else 0L) }
+      val grid = subj.map(_._1).distinct.sorted
+      var rem = subj.length.toLong
+      var s0 = 1000000L
+      grid.foreach { t =>
+        val d = subj.count(x => x._1 == t && x._2 == 1L).toLong
+        val c = subj.count(x => x._1 == t && x._2 == 0L).toLong
+        s0 = s0 * (rem - d) / rem
+        val row = rows.find(r => r._1 == arm && r._2 == t).get
+        assert(row._3 == rem && row._4 == d && row._5 == c && row._6 == s0)
+        rem -= d + c
+      }
+      assert(rem == 0L)
+    }
+  }
 }
