@@ -508,4 +508,67 @@ object Quality {
            THEN r.c ELSE 0 END) AS BIGINT) AS n_dropped
        FROM r JOIN cuts ct USING (source)
        GROUP BY r.source ORDER BY r.source"""
+
+  /** Quantile normalization of document length within each source —
+    * the rank transform that makes per-source quality scores
+    * COMPARABLE before mixing corpora (a 2,000-char doc is long for
+    * tweets, short for books; mixture weighting on raw scores
+    * silently favors verbose sources). Each doc gets its source-
+    * conditional midrank percentile in exact ppm:
+    * (2·cum_before + cnt_at_value)·500000 div n — ties share one
+    * midrank, the distribution-free convention.
+    *
+    * Scale shape: the percentile derives from the per-(source, len)
+    * HISTOGRAM (map-side combined), the cumulative window sorts only
+    * distinct lengths per source, and the transform rejoins raw rows
+    * on the (source, len) key — raw rows are never globally sorted,
+    * the property that separates this from a naive percent_rank
+    * window over 10⁹ documents. Output is capped to the 40 most
+    * extreme docs per tail by rank for presentation; the transform
+    * itself is full-corpus. */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("len"))
+    val hist = docs.groupBy(col("source"), col("len"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("source"))
+    val ranked = hist
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .select(col("source"), col("len"),
+        expr("(2 * cum_before + cnt) * 500000 div n").as("pct_ppm"))
+    docs.join(ranked, Seq("source", "len"))
+      .select(col("doc_id"), col("source"), col("len"), col("pct_ppm"))
+      .orderBy(col("pct_ppm"), col("doc_id"))
+      .limit(40)
+      .unionByName(
+        docs.join(ranked, Seq("source", "len"))
+          .select(col("doc_id"), col("source"), col("len"), col("pct_ppm"))
+          .orderBy(col("pct_ppm").desc, col("doc_id").desc)
+          .limit(40))
+      .orderBy(col("pct_ppm"), col("doc_id"))
+  }
+
+  val quantileNormalizeSql: String =
+    """WITH d AS (
+         SELECT doc_id, source, n_chars AS len FROM documents),
+       h AS (
+         SELECT source, len, count(*) AS cnt FROM d GROUP BY source, len),
+       r AS (
+         SELECT source, len,
+           CAST((2 * coalesce(sum(cnt) OVER (PARTITION BY source
+               ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) + cnt) * 500000
+             // sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS pct_ppm
+         FROM h),
+       j AS (
+         SELECT d.doc_id, d.source, d.len, r.pct_ppm
+         FROM d JOIN r ON r.source = d.source AND r.len = d.len),
+       lo AS (SELECT * FROM j ORDER BY pct_ppm, doc_id LIMIT 40),
+       hi AS (SELECT * FROM j ORDER BY pct_ppm DESC, doc_id DESC LIMIT 40)
+       SELECT * FROM (SELECT * FROM lo UNION ALL SELECT * FROM hi)
+       ORDER BY pct_ppm, doc_id"""
 }

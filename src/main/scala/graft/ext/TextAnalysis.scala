@@ -545,5 +545,59 @@ object TextAnalysis {
          CAST(n_occ * ${FH_BUCKETS}000000 // n_occ_total AS BIGINT)
            AS load_ppm
        FROM b CROSS JOIN t ORDER BY bucket"""
-}
 
+  private val BURST_TOPK = 50
+
+  /** Term burstiness — Church & Gale's cf/df contrast (also Katz's
+    * "burstiness"): for the 50 highest-collection-frequency terms,
+    * how many times a term repeats INSIDE the documents it touches
+    * (cf/df in exact milli) vs how widely it spreads (df share of
+    * the corpus in ppm). Function words spread wide and repeat
+    * little; topical/content words clump — the signal separating
+    * stopword lists, keyword candidates, and tokenizer merge
+    * priorities WITHOUT any language resource.
+    *
+    * Scale shape: one explode into a (token, doc) frame, ONE
+    * two-level aggregate (per-token df via count of distinct docs is
+    * avoided — the (token, doc) groupBy collapses first, map-side
+    * combined, then df = count and cf = sum per token);
+    * TakeOrderedAndProject caps the head at 50 with a token
+    * tie-break. */
+  def termBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode_outer(toks(col("text"))).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"),
+        sum(col("tf")).cast("long").as("cf"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"), col("df"), col("cf"),
+        expr("cf * 1000 div df").as("burstiness_milli"),
+        expr("df * 1000000 div n_docs").as("df_ppm"))
+      .orderBy(col("cf").desc, col("token"))
+      .limit(BURST_TOPK)
+  }
+
+  val termBurstinessSql: String =
+    s"""WITH occ AS (
+         SELECT doc_id, unnest(${toksSql("text")}) AS token FROM documents),
+       pd AS (
+         SELECT token, doc_id, count(*) AS tf
+         FROM occ WHERE token IS NOT NULL AND token <> ''
+         GROUP BY token, doc_id),
+       nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       t AS (
+         SELECT token, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf
+         FROM pd GROUP BY token)
+       SELECT token, df, cf,
+         CAST(cf * 1000 // df AS BIGINT) AS burstiness_milli,
+         CAST(df * 1000000 // n_docs AS BIGINT) AS df_ppm
+       FROM t CROSS JOIN nd
+       ORDER BY cf DESC, token LIMIT $BURST_TOPK"""
+}

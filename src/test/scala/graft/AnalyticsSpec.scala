@@ -584,4 +584,35 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(rem == 0L)
     }
   }
+
+  test("term_burstiness: cf >= df, ratios exact, head really is the cf head") {
+    val rows = SparkEntry.queries("term_burstiness")(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    rows.foreach { r =>
+      val (df, cf) = (r.getLong(1), r.getLong(2))
+      assert(cf >= df && df >= 1)
+      assert(r.getLong(3) == cf * 1000 / df)
+      assert(r.getLong(3) >= 1000L)
+      assert(r.getLong(4) == df * 1000000 / nDocs)
+    }
+    val cfs = rows.map(_.getLong(2))
+    cfs.zip(cfs.tail).foreach { case (a, b) => assert(a >= b) }
+  }
+
+  test("quantile_normalize: midrank ppm matches brute force per source") {
+    val rows = SparkEntry.queries("quantile_normalize")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = docs.groupBy(_._2)
+    rows.foreach { r =>
+      val (src, len, ppm) = (r.getString(1), r.getLong(2), r.getLong(3))
+      val lens = bySource(src).map(_._3)
+      val below = lens.count(_ < len).toLong
+      val at = lens.count(_ == len).toLong
+      assert(ppm == (2 * below + at) * 500000L / lens.length)
+      assert(ppm > 0L && ppm <= 1000000L)
+    }
+    assert(rows.length == math.min(80, docs.length))
+  }
 }
