@@ -379,4 +379,49 @@ class PlanSpec extends AnyFunSuite {
     // the 8-row broadcast query frame is the knn_bruteforce shape)
     assert(!planOf("pq_recall").contains("CartesianProduct"))
   }
+
+  test("round-6 batch ops: no cartesian products, no nested-loop joins") {
+    for (q <- Seq("pit_features", "skyline_parts", "overdispersion",
+                  "link_prediction", "source_assortativity", "k_core",
+                  "feature_hash", "calibration_bins", "mann_whitney",
+                  "changepoint_daily", "kaplan_meier", "term_burstiness",
+                  "quantile_normalize")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan has a cartesian product")
+      // broadcast nested-loop against a 1-row scalar frame is the
+      // sanctioned pattern; a SHUFFLED nested loop never is
+      assert(!p.contains("ShuffledNestedLoop"), s"$q has a shuffled nested loop")
+    }
+  }
+
+  test("priority_sample and term_burstiness cap heads via TakeOrderedAndProject") {
+    assert(planOf("priority_sample").contains("TakeOrderedAndProject"))
+    assert(planOf("term_burstiness").contains("TakeOrderedAndProject"))
+    assert(planOf("link_prediction").contains("TakeOrderedAndProject"))
+  }
+
+  test("pit_features: all windows share ONE user-keyed exchange and sort") {
+    val p = planOf("pit_features")
+    // Catalyst may emit separate Window nodes for the lag frame and
+    // the strictly-prior sum frame, but they must share a single
+    // hash exchange on user_id and a single per-partition sort — a
+    // second exchange would mean the features re-shuffle per frame
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges")
+    val sorts = "\\+- Sort \\[".r.findAllIn(p).length
+    assert(sorts <= 2, s"pit_features grew extra sorts: $sorts")
+  }
+
+  test("skyline_parts windows share one p_type sort, no self-join") {
+    val p = planOf("skyline_parts")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "skyline must be window-only, not a dominance self-join")
+  }
+
+  test("quantile_normalize rejoins on the histogram key, never sorts raw rows globally") {
+    val p = planOf("quantile_normalize")
+    // the only global sorts allowed are the two bounded presentation
+    // heads (TakeOrderedAndProject) — not a full-corpus Sort
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }
