@@ -1115,4 +1115,70 @@ object Intervals {
          CAST(s AS BIGINT) AS surv_ppm
        FROM r ORDER BY arm, t_days"""
   }
+
+  private val TS_OFF = 1000000000000000L // positive-shift for slope div
+
+  /** Theil-Sen robust trend per event type — the median of ALL
+    * pairwise daily-revenue slopes (Theil '50 / Sen JASA'68): the
+    * trend estimate one outlier day cannot move, where [[trendSlopes]]'
+    * OLS bends toward it (breakdown point 29% vs 0%). Slopes are
+    * exact integer micro-cents/day via the positive-shift floor
+    * division `(Δx·10⁶ + OFF·Δd) div Δd − OFF` — negative slopes
+    * never hit an integer division, whose truncate-vs-floor
+    * semantics differ between engines (OFF = 10¹⁵ holds to ~10⁹
+    * cents/day deltas; past that the shift widens to DECIMAL). The
+    * median is the lower median with a (slope, day-pair) total
+    * order.
+    *
+    * Scale shape: raw rows collapse once to the (type, day) frame
+    * (calendar-bounded); the pair generator is a self-join on that
+    * BOUNDED frame — ≤ #days²/2 pairs per type, never row-sized —
+    * and the median window sorts only the pair frame. */
+  def theilSenTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+      .agg(sum(Exact.cents(col("value"))).cast("long").as("x"))
+      .transform(graft.util.Fence.lineage)
+    val a = daily.select(col("event_type"), col("day").as("d1"), col("x").as("x1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"), col("x").as("x2"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+      .select(col("event_type"), col("d1"), col("d2"),
+        expr(s"((x2 - x1) * 1000000 + $TS_OFF * (d2 - d1)) div (d2 - d1)"
+          + s" - $TS_OFF").as("slope_micro"))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope_micro"), col("d1"), col("d2"))
+    val wAll = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n_pairs", count(lit(1)).over(wAll).cast("long"))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("event_type"), col("n_pairs"),
+        col("slope_micro").as("theil_slope_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  val theilSenTrendSql: String =
+    s"""WITH d AS (
+         SELECT event_type,
+           CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+             AS day,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+       p AS (
+         SELECT a.event_type, a.day AS d1, b.day AS d2,
+           ((b.x - a.x) * 1000000 + $TS_OFF * (b.day - a.day))
+             // (b.day - a.day) - $TS_OFF AS slope_micro
+         FROM d a JOIN d b
+           ON a.event_type = b.event_type AND a.day < b.day),
+       r AS (
+         SELECT event_type, slope_micro,
+           CAST(row_number() OVER (PARTITION BY event_type
+             ORDER BY slope_micro, d1, d2) AS BIGINT) AS rn,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+         FROM p)
+       SELECT event_type, n_pairs,
+         CAST(slope_micro AS BIGINT) AS theil_slope_micro
+       FROM r WHERE rn = (n_pairs + 1) // 2
+       ORDER BY event_type"""
 }

@@ -1496,4 +1496,76 @@ object Windows {
                * (n_a + n_b - c_a - c_b), 0)
            AS BIGINT) AS z2_milli
        FROM w"""
+
+  /** Conversion rate by session ENTRY event type — the landing-page
+    * funnel: sessions assemble exactly as [[sessionize]] (30-min
+    * gap, micros-exact boundary), each session's entry is the
+    * struct-MIN argmin on the (us, event_id) total order (partial-
+    * aggregating — no rank window over raw events), a session
+    * converts iff it contains a purchase, and the report rolls
+    * sessions up by what they STARTED with — the "which doors do
+    * buyers come through" table.
+    *
+    * Scale shape: one user-keyed sort serves lag + running sum (the
+    * sessionize pass); the per-session collapse is ONE groupBy on
+    * (user, sess) whose struct-min/max combine map-side; the final
+    * rollup's key space is |event types|. */
+  def sessionEntryConversion(spark: SparkSession, dir: String): DataFrame = {
+    val w  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+             col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("sess", sum(col("is_new")).over(wc))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(struct(col("us"), col("event_id"), col("event_type"))).as("entry"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"),
+        count(lit(1)).as("n_events"))
+      .groupBy(col("entry")("event_type").as("entry_type"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        sum(col("converted")).cast("long").as("n_converted"),
+        sum(col("n_events")).cast("long").as("n_events"))
+      .select(col("entry_type"), col("n_sessions"), col("n_converted"),
+        col("n_events"),
+        expr("n_converted * 1000000 div n_sessions").as("conv_ppm"))
+      .orderBy(col("entry_type"))
+  }
+
+  val sessionEntryConversionSql: String =
+    """WITH l AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+             (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             AS prev_us
+         FROM events),
+       s AS (
+         SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+           THEN 1 ELSE 0 END AS is_new
+         FROM l),
+       c AS (
+         SELECT *, sum(is_new) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+         FROM s),
+       per AS (
+         SELECT user_id, sess,
+           min(struct_pack(us := us, event_id := event_id,
+             event_type := event_type)) AS entry,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS converted,
+           count(*) AS n_events
+         FROM c GROUP BY user_id, sess),
+       g AS (
+         SELECT entry.event_type AS entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(sum(n_events) AS BIGINT) AS n_events
+         FROM per GROUP BY entry.event_type)
+       SELECT entry_type, n_sessions, n_converted, n_events,
+         CAST(n_converted * 1000000 // n_sessions AS BIGINT) AS conv_ppm
+       FROM g ORDER BY entry_type"""
 }

@@ -615,4 +615,46 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(rows.length == math.min(80, docs.length))
   }
+
+  test("theil_sen_trend equals the brute-force pairwise-slope median") {
+    val got = SparkEntry.queries("theil_sen_trend")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts").cast("timestamp")) / 86400L)
+          .cast("long").as("day"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val OFF = 1000000000000000L
+    ev.map(_._1).distinct.foreach { t =>
+      val daily = ev.filter(_._1 == t).groupBy(_._2).toSeq
+        .map { case (d, rows) => (d, rows.map(_._3).sum) }.sortBy(_._1)
+      val slopes = for {
+        i <- daily.indices; j <- daily.indices if i < j
+      } yield {
+        val (d1, x1) = daily(i); val (d2, x2) = daily(j)
+        (((x2 - x1) * 1000000L + OFF * (d2 - d1)) / (d2 - d1) - OFF, d1, d2)
+      }
+      val sorted = slopes.sortBy { case (sl, d1, d2) => (sl, d1, d2) }
+      val median = sorted((sorted.length + 1) / 2 - 1)._1
+      val (nPairs, slope) = got(t)
+      assert(nPairs == slopes.length.toLong)
+      assert(slope == median)
+    }
+  }
+
+  test("session_entry_conversion reconciles with sessionize totals") {
+    val rows = SparkEntry.queries("session_entry_conversion")(spark, sf)
+      .collect()
+    val sess = SparkEntry.queries("sessionize")(spark, sf).collect()
+    // every session counted exactly once across entry types, and every
+    // event lands in exactly one session
+    assert(rows.map(_.getLong(1)).sum == sess.map(_.getLong(1)).sum)
+    assert(rows.map(_.getLong(3)).sum == sess.map(_.getLong(2)).sum)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // converted <= sessions
+      assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(1))
+    }
+  }
 }
