@@ -714,4 +714,55 @@ object Audit {
        SELECT lm.source, lm.mode_len, lm.mode_len_freq,
          gm.mode_lang, gm.mode_lang_freq
        FROM lm JOIN gm USING (source) ORDER BY lm.source"""
+
+  /** l-diversity audit — k-anonymity's necessary companion (Machana-
+    * vajjhala et al., ICDE'06): a class of 50 identical quasi-
+    * identifiers is still a leak if all 50 share one sensitive value.
+    * Same equivalence classes as [[kAnonymity]] ((mktsegment,
+    * nationkey)), sensitive attribute = the account-balance band;
+    * per distinct-sensitive-count l: how many classes, how many
+    * customers sit in them, and whether that l is below the
+    * l >= 3 floor — the histogram a release decision reads next to
+    * the k one.
+    *
+    * Scale shape: one (class, band) groupBy collapses rows, the
+    * per-class distinct count is a second small groupBy over ≤
+    * classes × bands rows — no count-distinct over raw rows — and
+    * the final histogram keys on l. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val banded = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        when(col("c_acctbal") < 0.0, "debt")
+          .when(col("c_acctbal") < 5000.0, "mid")
+          .otherwise("high").as("band"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("band"))
+      .agg(count(lit(1)).as("n"))
+    banded.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("l"), sum(col("n")).as("class_size"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        sum(col("class_size")).cast("long").as("n_customers"),
+        max(when(col("l") < 3L, 1L).otherwise(0L)).as("below_l"))
+      .select(col("l").cast("long").as("l"), col("n_classes"),
+        col("n_customers"), col("below_l"))
+      .orderBy(col("l"))
+  }
+
+  val lDiversitySql: String =
+    """WITH banded AS (
+         SELECT c_mktsegment, c_nationkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS band,
+           count(*) AS n
+         FROM customer GROUP BY 1, 2, 3),
+       cls AS (
+         SELECT c_mktsegment, c_nationkey,
+           CAST(count(*) AS BIGINT) AS l,
+           CAST(sum(n) AS BIGINT) AS class_size
+         FROM banded GROUP BY 1, 2)
+       SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(sum(class_size) AS BIGINT) AS n_customers,
+         CAST(max(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS below_l
+       FROM cls GROUP BY l ORDER BY l"""
 }

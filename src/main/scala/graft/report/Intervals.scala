@@ -1123,9 +1123,11 @@ object Intervals {
     * trend estimate one outlier day cannot move, where [[trendSlopes]]'
     * OLS bends toward it (breakdown point 29% vs 0%). Slopes are
     * exact integer micro-cents/day via the positive-shift floor
-    * division `(Δx·10⁶ + OFF·Δd) div Δd − OFF` — negative slopes
-    * never hit an integer division, whose truncate-vs-floor
-    * semantics differ between engines (OFF = 10¹⁵ holds to ~10⁹
+    * division `(Δx·10⁶ + OFF·Δd) div Δd − OFF`: both engines
+    * truncate integer division toward zero (verified), so a negative
+    * slope would round toward zero instead of flooring — the shift
+    * keeps every quotient a true floor, so the median is the exact
+    * lower median of floored slopes (OFF = 10¹⁵ holds to ~10⁹
     * cents/day deltas; past that the shift widens to DECIMAL). The
     * median is the lower median with a (slope, day-pair) total
     * order.
@@ -1181,4 +1183,84 @@ object Intervals {
          CAST(slope_micro AS BIGINT) AS theil_slope_micro
        FROM r WHERE rn = (n_pairs + 1) // 2
        ORDER BY event_type"""
+
+  /** Weekday-adjusted (deseasonalized) trend — [[trendSlopes]]' OLS
+    * rerun on residuals after removing each type's weekday mean: a
+    * revenue series with a strong weekly cycle shows a spurious OLS
+    * slope whenever the observation window starts and ends on
+    * different weekday phases; subtracting the per-(type, weekday)
+    * mean first is the standard seasonal adjustment. Residuals are
+    * exact integer milli-cents (the weekday mean floors once), and
+    * the slope ships as the exact numerator/denominator pair PLUS a
+    * truncating micro quotient — integer division truncates toward
+    * zero IDENTICALLY on both engines (verified; CLAUDE.md), so the
+    * negative-capable numerator divides directly; the exact
+    * num/den pair rides alongside for any consumer that needs the
+    * unrounded rational.
+    *
+    * Scale shape: raw rows collapse once to the (type, day) frame;
+    * weekday means are a ≤ types×7 groupBy broadcast back; the
+    * moment sums for the slope aggregate the calendar-bounded daily
+    * frame. */
+  def deseasonalizedTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+      .agg(sum(Exact.cents(col("value"))).cast("long").as("x"))
+      .transform(graft.util.Fence.lineage)
+    val wd = daily
+      .withColumn("weekday", pmod(col("day"), lit(7L)))
+      .groupBy(col("event_type"), col("weekday"))
+      .agg(expr("sum(x) * 1000 div count(1)").as("wd_mean_milli"))
+    val wMin = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("weekday", pmod(col("day"), lit(7L)))
+      .join(broadcast(wd), Seq("event_type", "weekday"))
+      .withColumn("day0", col("day") - min(col("day")).over(wMin))
+      .select(col("event_type"), col("day0"),
+        (col("x") * 1000L - col("wd_mean_milli")).as("r"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("day0")).as("sd"), sum(col("r")).as("sr"),
+        sum(col("day0") * col("r")).as("sdr"),
+        sum(col("day0") * col("day0")).as("sdd"))
+      .select(col("event_type"), col("n_days"),
+        expr("n_days * sdr - sd * sr").as("slope_num"),
+        expr("n_days * sdd - sd * sd").as("slope_den"),
+        expr("(n_days * sdr - sd * sr) * 1000"
+          + " div nullif(n_days * sdd - sd * sd, 0)")
+          .as("slope_microcents_per_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val deseasonalizedTrendSql: String =
+    s"""WITH d AS (
+         SELECT event_type,
+           CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+             AS day,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+       wd AS (
+         SELECT event_type, day % 7 AS weekday,
+           CAST(sum(x) * 1000 // count(*) AS BIGINT) AS wd_mean_milli
+         FROM d GROUP BY 1, 2),
+       res AS (
+         SELECT d.event_type,
+           d.day - min(d.day) OVER (PARTITION BY d.event_type) AS day0,
+           d.x * 1000 - wd.wd_mean_milli AS r
+         FROM d JOIN wd
+           ON wd.event_type = d.event_type AND wd.weekday = d.day % 7),
+       g AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(day0) AS BIGINT) AS sd, CAST(sum(r) AS BIGINT) AS sr,
+           CAST(sum(day0 * r) AS BIGINT) AS sdr,
+           CAST(sum(day0 * day0) AS BIGINT) AS sdd
+         FROM res GROUP BY event_type)
+       SELECT event_type, n_days,
+         CAST(n_days * sdr - sd * sr AS BIGINT) AS slope_num,
+         CAST(n_days * sdd - sd * sd AS BIGINT) AS slope_den,
+         CAST((n_days * sdr - sd * sr) * 1000
+           // nullif(n_days * sdd - sd * sd, 0) AS BIGINT)
+           AS slope_microcents_per_day
+       FROM g ORDER BY event_type"""
 }

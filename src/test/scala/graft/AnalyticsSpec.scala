@@ -657,4 +657,50 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(1))
     }
   }
+
+  test("l_diversity: masses reconcile with k_anonymity and brute force") {
+    val rows = SparkEntry.queries("l_diversity")(spark, sf).collect()
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_mktsegment", "c_nationkey", "c_acctbal").collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        if (r.getDouble(2) < 0) "debt"
+        else if (r.getDouble(2) < 5000) "mid" else "high"))
+    val byClass = cust.groupBy(_._1).toSeq
+      .map { case (_, ms) => (ms.map(_._2).distinct.length.toLong, ms.length.toLong) }
+    assert(rows.map(_.getLong(2)).sum == cust.length.toLong)
+    rows.foreach { r =>
+      val l = r.getLong(0)
+      assert(r.getLong(1) == byClass.count(_._1 == l).toLong)
+      assert(r.getLong(2) == byClass.filter(_._1 == l).map(_._2).sum)
+      assert(r.getLong(3) == (if (l < 3) 1L else 0L))
+    }
+  }
+
+  test("deseasonalized_trend: residual moments match brute force") {
+    val got = SparkEntry.queries("deseasonalized_trend")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts").cast("timestamp")) / 86400L)
+          .cast("long").as("day"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    ev.map(_._1).distinct.foreach { t =>
+      val daily = ev.filter(_._1 == t).groupBy(_._2).toSeq
+        .map { case (d, rs) => (d, rs.map(_._3).sum) }.sortBy(_._1)
+      val wdMean = daily.groupBy(_._1 % 7).map { case (w, ds) =>
+        w -> ds.map(_._2).sum * 1000L / ds.length
+      }
+      val d0 = daily.map(_._1).min
+      val pts = daily.map { case (d, x) => (d - d0, x * 1000L - wdMean(d % 7)) }
+      val n = pts.length.toLong
+      val (sd, sr) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sdr = pts.map(p => p._1 * p._2).sum
+      val sdd = pts.map(p => p._1 * p._1).sum
+      val (nD, num, den, q) = got(t)
+      assert(nD == n && num == n * sdr - sd * sr && den == n * sdd - sd * sd)
+      assert(q == num * 1000 / den) // JVM / truncates toward zero too
+    }
+  }
 }
