@@ -1263,4 +1263,92 @@ object Intervals {
            // nullif(n_days * sdd - sd * sd, 0) AS BIGINT)
            AS slope_microcents_per_day
        FROM g ORDER BY event_type"""
+
+  /** Seasonality strength per type — STL's F_s statistic in exact
+    * integers: 1 − Var(residual)/Var(series) over the daily cents
+    * series, where residual = day's cents minus its weekday mean
+    * (the same adjustment [[deseasonalizedTrend]] regresses on).
+    * ~0 ppm means the weekly cycle explains nothing; near 10⁶ means
+    * the series IS its weekday profile — the triage number deciding
+    * whether forecasts/anomaly baselines must be weekday-conditioned.
+    * Both variances share the same n, so the ratio needs only the
+    * two integer variance NUMERATORS — which are first REDUCED by a
+    * common data-derived scale s = max(1, varO div 10⁹) so the ×10⁶
+    * ppm multiply can never overflow however large the series
+    * (reduction is identical on both engines, so the oracle agrees
+    * bit-for-bit); clamped at 0 (floor cross-talk can nick a
+    * pure-noise series a hair negative).
+    *
+    * Scale shape: identical to deseasonalized_trend — one (type,
+    * day) collapse, a ≤types×7 broadcast of weekday means, one
+    * moment aggregate over the calendar-bounded frame. Moments run
+    * in whole DOLLARS (cents div 100): n·Σx² stays in BIGINT to
+    * ~10⁸ dollars/day across a year; past that the moments widen to
+    * DECIMAL. */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+      .agg(expr("sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) div 100")
+        .as("x"))
+      .transform(graft.util.Fence.lineage)
+    val wd = daily
+      .withColumn("weekday", pmod(col("day"), lit(7L)))
+      .groupBy(col("event_type"), col("weekday"))
+      .agg(expr("sum(x) div count(1)").as("wd_mean"))
+    daily
+      .withColumn("weekday", pmod(col("day"), lit(7L)))
+      .join(broadcast(wd), Seq("event_type", "weekday"))
+      .select(col("event_type"), col("x"),
+        (col("x") - col("wd_mean")).as("r"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("r")).as("sr"), sum(col("r") * col("r")).as("srr"))
+      .select(col("event_type"), col("n_days"),
+        expr("n_days * sxx - sx * sx").as("var_o_num"),
+        expr("n_days * srr - sr * sr").as("var_r_num"))
+      .withColumn("s",
+        greatest(lit(1L), expr("var_o_num div 1000000000")))
+      .select(col("event_type"), col("n_days"), col("var_o_num"),
+        col("var_r_num"),
+        greatest(lit(0L),
+          expr("""(var_o_num div s - var_r_num div s) * 1000000
+            div nullif(var_o_num div s, 0)"""))
+          .as("strength_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val seasonalStrengthSql: String =
+    """WITH d AS (
+         SELECT event_type,
+           CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+             AS day,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) // 100
+             AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+       wd AS (
+         SELECT event_type, day % 7 AS weekday,
+           CAST(sum(x) // count(*) AS BIGINT) AS wd_mean
+         FROM d GROUP BY 1, 2),
+       res AS (
+         SELECT d.event_type, d.x, d.x - wd.wd_mean AS r
+         FROM d JOIN wd
+           ON wd.event_type = d.event_type AND wd.weekday = d.day % 7),
+       g AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(r) AS BIGINT) AS sr, CAST(sum(r * r) AS BIGINT) AS srr
+         FROM res GROUP BY event_type),
+       v AS (
+         SELECT event_type, n_days,
+           CAST(n_days * sxx - sx * sx AS BIGINT) AS var_o_num,
+           CAST(n_days * srr - sr * sr AS BIGINT) AS var_r_num
+         FROM g),
+       sc AS (
+         SELECT *, greatest(1, var_o_num // 1000000000) AS s FROM v)
+       SELECT event_type, n_days, var_o_num, var_r_num,
+         CAST(greatest(0, (var_o_num // s - var_r_num // s) * 1000000
+           // nullif(var_o_num // s, 0)) AS BIGINT) AS strength_ppm
+       FROM sc ORDER BY event_type"""
 }

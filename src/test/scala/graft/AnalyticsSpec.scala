@@ -703,4 +703,35 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(q == num * 1000 / den) // JVM / truncates toward zero too
     }
   }
+
+  test("seasonal_strength: variance numerators and reduced ratio match brute force") {
+    val got = SparkEntry.queries("seasonal_strength")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts").cast("timestamp")) / 86400L)
+          .cast("long").as("day"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    ev.map(_._1).distinct.foreach { t =>
+      val daily = ev.filter(_._1 == t).groupBy(_._2).toSeq
+        .map { case (d, rs) => (d, rs.map(_._3).sum / 100) }.sortBy(_._1)
+      val wdMean = daily.groupBy(_._1 % 7).map { case (w, ds) =>
+        w -> ds.map(_._2).sum / ds.length
+      }
+      val n = daily.length.toLong
+      val xs = daily.map(_._2)
+      val rs = daily.map { case (d, x) => x - wdMean(d % 7) }
+      val vo = n * xs.map(x => x * x).sum - xs.sum * xs.sum
+      val vr = n * rs.map(r => r * r).sum - rs.sum * rs.sum
+      val (nD, gotVo, gotVr, strength) = got(t)
+      assert(nD == n && gotVo == vo && gotVr == vr)
+      val sc = math.max(1L, vo / 1000000000L)
+      val want = math.max(0L,
+        if (vo / sc == 0) 0L else (vo / sc - vr / sc) * 1000000L / (vo / sc))
+      assert(strength == want)
+      assert(strength >= 0L && strength <= 1000000L)
+    }
+  }
 }
