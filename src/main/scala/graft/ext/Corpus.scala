@@ -1248,7 +1248,10 @@ object Corpus {
       .orderBy(col("priority").desc, col("doc_id"))
       .limit(PRI_K + 1)
     val ord = Window.orderBy(col("priority").desc, col("doc_id"))
+    // the 101-row ranked head feeds BOTH the tau aggregate and the
+    // final filter — fence it so the corpus TakeOrdered runs once
     val ranked = cand.withColumn("rank", row_number().over(ord).cast("long"))
+      .transform(graft.util.Fence.lineage)
     val tau = ranked.agg(
       coalesce(max(when(col("rank") === (PRI_K + 1).toLong, col("priority"))),
         lit(0L)).as("tau"))

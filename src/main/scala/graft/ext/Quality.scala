@@ -540,15 +540,13 @@ object Quality {
       .withColumn("n", sum(col("cnt")).over(wAll))
       .select(col("source"), col("len"),
         expr("(2 * cum_before + cnt) * 500000 div n").as("pct_ppm"))
-    docs.join(ranked, Seq("source", "len"))
+    val j = docs.join(ranked, Seq("source", "len"))
       .select(col("doc_id"), col("source"), col("len"), col("pct_ppm"))
-      .orderBy(col("pct_ppm"), col("doc_id"))
+      .transform(graft.util.Fence.lineage) // both tail heads read it
+    j.orderBy(col("pct_ppm"), col("doc_id"))
       .limit(40)
       .unionByName(
-        docs.join(ranked, Seq("source", "len"))
-          .select(col("doc_id"), col("source"), col("len"), col("pct_ppm"))
-          .orderBy(col("pct_ppm").desc, col("doc_id").desc)
-          .limit(40))
+        j.orderBy(col("pct_ppm").desc, col("doc_id").desc).limit(40))
       .orderBy(col("pct_ppm"), col("doc_id"))
   }
 

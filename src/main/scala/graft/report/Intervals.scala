@@ -1034,6 +1034,7 @@ object Intervals {
       .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
       .withColumn("arm",
         Hashing.phash(col("user_id").cast("string"), "ab_") % 2L)
+      .transform(graft.util.Fence.lineage) // horizon agg + hist both read it
     val horizon = users.agg(max(col("last_day")).as("m"))
     val hist = users.crossJoin(broadcast(horizon))
       .select(col("arm"), (col("last_day") - col("first_day")).as("t"),

@@ -456,6 +456,7 @@ object Quantiles {
     val x = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), Exact.cents(col("value")).as("cents"))
+      .transform(graft.util.Fence.lineage) // point agg + 32-draw explode both read it
     val point = x.agg(count(lit(1)).cast("long").as("n_rows"),
       expr("sum(cents) * 1000 div count(1)").as("point_milli"))
     val weighted = x
