@@ -1413,4 +1413,75 @@ object Tpch {
        WHERE (best_cheaper IS NULL OR best_cheaper < size)
          AND best_same = size
        ORDER BY p_type, price_cents, p_partkey"""
+
+  /** Supplier revenue concentration per nation — the Herfindahl-
+    * Hirschman index (HHI), the canonical market-concentration
+    * statistic (DOJ thresholds: <1,500 "unconcentrated", >2,500
+    * "highly concentrated", on the 10,000 scale — emitted here in
+    * ppm of 1): HHI = Σᵢ shareᵢ² over each nation's suppliers. The
+    * supply-chain-risk readout: a nation whose parts flow through
+    * two suppliers is fragile however many are nominally registered.
+    *
+    * Exactness at any size: revenues collapse to whole dollars, and
+    * both the squares and the total are REDUCED by a data-derived
+    * common scale s = max(1, total div 10⁶) before squaring
+    * (seasonal_strength's convention) — Σ(rᵢ div s)² ≤ 10¹² · |suppliers|
+    * and (T div s)² ≤ 10¹², both BIGINT-safe at any corpus, and the
+    * reduction is bit-identical cross-engine. Scale shape: one
+    * lineitem→supplier-keyed revenue aggregate, a nation-keyed
+    * rollup of ≤|suppliers| rows, nation dim broadcast. */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(expr(
+        "sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+        + " AS BIGINT)) div 100").as("r"))
+    val bySupp = rev
+      .join(Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+        Seq("l_suppkey"))
+      .transform(graft.util.Fence.lineage)
+    val natTotal = bySupp.groupBy(col("s_nationkey"))
+      .agg(sum(col("r")).as("total"), count(lit(1)).as("n_suppliers"))
+      .withColumn("s", greatest(lit(1L), expr("total div 1000000")))
+    bySupp.join(natTotal, Seq("s_nationkey"))
+      .groupBy(col("s_nationkey"), col("n_suppliers"), col("total"), col("s"))
+      .agg(sum(expr("(r div s) * (r div s)")).as("sq"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+        Seq("s_nationkey"))
+      .select(col("n_name"),
+        col("n_suppliers").cast("long").as("n_suppliers"),
+        col("total").cast("long").as("total_dollars"),
+        expr("sq * 1000000 div nullif((total div s) * (total div s), 0)")
+          .as("hhi_ppm"))
+      .orderBy(col("n_name"))
+  }
+
+  val supplierHhiSql: String =
+    """WITH rev AS (
+         SELECT l_suppkey,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+             AS BIGINT)) // 100 AS BIGINT) AS r
+         FROM lineitem GROUP BY l_suppkey),
+       bs AS (
+         SELECT s.s_nationkey, rev.r
+         FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey),
+       nt AS (
+         SELECT s_nationkey, CAST(sum(r) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           greatest(1, CAST(sum(r) AS BIGINT) // 1000000) AS s
+         FROM bs GROUP BY s_nationkey),
+       q AS (
+         SELECT bs.s_nationkey, nt.n_suppliers, nt.total, nt.s,
+           CAST(sum((bs.r // nt.s) * (bs.r // nt.s)) AS BIGINT) AS sq
+         FROM bs JOIN nt ON nt.s_nationkey = bs.s_nationkey
+         GROUP BY bs.s_nationkey, nt.n_suppliers, nt.total, nt.s)
+       SELECT n.n_name,
+         CAST(q.n_suppliers AS BIGINT) AS n_suppliers,
+         CAST(q.total AS BIGINT) AS total_dollars,
+         CAST(q.sq * 1000000 // nullif((q.total // q.s) * (q.total // q.s), 0)
+           AS BIGINT) AS hhi_ppm
+       FROM q JOIN nation n ON n.n_nationkey = q.s_nationkey
+       ORDER BY n.n_name"""
 }

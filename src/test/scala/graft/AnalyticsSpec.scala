@@ -734,4 +734,36 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(strength >= 0L && strength <= 1000000L)
     }
   }
+
+  test("supplier_hhi: bounded by [1/n, 1] and matches brute force") {
+    val rows = SparkEntry.queries("supplier_hhi")(spark, sf).collect()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_suppkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) * (1 - r.getDouble(2)) * 100 + 0.5).toLong))
+    val sup = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nat = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val bySupp = li.groupBy(_._1).map { case (k, rs) =>
+      (k, rs.map(_._2).sum / 100)
+    }
+    val byNation = bySupp.toSeq.groupBy { case (k, _) => sup(k) }
+    rows.foreach { row =>
+      val nk = nat.find(_._2 == row.getString(0)).get._1
+      val revs = byNation(nk).map(_._2)
+      val total = revs.sum
+      val sc = math.max(1L, total / 1000000L)
+      val want = revs.map(r => (r / sc) * (r / sc)).sum * 1000000L /
+        ((total / sc) * (total / sc))
+      assert(row.getLong(1) == revs.length.toLong)
+      assert(row.getLong(2) == total)
+      assert(row.getLong(3) == want)
+      // HHI in [1/n, ~1+rounding]
+      assert(row.getLong(3) >= 1000000L / revs.length - 1)
+      assert(row.getLong(3) <= 1000000L + 10000L)
+    }
+  }
 }
