@@ -1248,15 +1248,16 @@ object Corpus {
       .orderBy(col("priority").desc, col("doc_id"))
       .limit(PRI_K + 1)
     val ord = Window.orderBy(col("priority").desc, col("doc_id"))
-    // the 101-row ranked head feeds BOTH the tau aggregate and the
-    // final filter — fence it so the corpus TakeOrdered runs once
-    val ranked = cand.withColumn("rank", row_number().over(ord).cast("long"))
-      .transform(graft.util.Fence.lineage)
-    val tau = ranked.agg(
-      coalesce(max(when(col("rank") === (PRI_K + 1).toLong, col("priority"))),
-        lit(0L)).as("tau"))
-    ranked.filter(col("rank") <= PRI_K.toLong)
-      .crossJoin(broadcast(tau))
+    // tau rides a whole-frame window over the SAME 101-row head
+    // instead of a second aggregate consumer — the corpus
+    // TakeOrdered runs exactly once, no fence, no re-scan
+    val wSpan = Window.orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cand.withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("tau",
+        coalesce(max(when(col("rank") === (PRI_K + 1).toLong,
+          col("priority"))).over(wSpan), lit(0L)))
+      .filter(col("rank") <= PRI_K.toLong)
       .select(col("rank"), col("doc_id"), col("w").as("w_chars"),
         col("priority"), greatest(col("w"), col("tau")).as("ht_weight"))
       .orderBy(col("rank"))
