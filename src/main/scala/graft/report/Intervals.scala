@@ -1352,4 +1352,77 @@ object Intervals {
          CAST(greatest(0, (var_o_num // s - var_r_num // s) * 1000000
            // nullif(var_o_num // s, 0)) AS BIGINT) AS strength_ppm
        FROM sc ORDER BY event_type"""
+
+  /** Daily autocorrelation at lags 1 and 7 — the periodicity
+    * detector that justifies (or refutes) weekday conditioning
+    * before [[seasonalStrength]] assumes a 7-day cycle: r_k =
+    * lag-k Pearson over the (x_t, x_{t+k}) pairs of each type's
+    * daily dollar series. High r_7 with low r_1 is a weekly cycle;
+    * high r_1 is momentum/level-shift; both near zero says the
+    * daily series is noise and any seasonal model is overfit.
+    * Moments are exact BIGINTs over whole dollars; the quotient
+    * uses the [[dailyCorr]] convention — `sqrt(dx)·sqrt(dy)` double
+    * normalization, truncated to milli, zero-variance pairs nulled.
+    *
+    * Scale shape: one (type, day) collapse (lineage-fenced — both
+    * lag arms read it), then an equi-join of the bounded daily frame
+    * to itself on (type, day+k) per lag — ≤ #days rows per type per
+    * lag, never row-sized. */
+  def autocorrDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+      .agg(expr("sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) div 100")
+        .as("x"))
+      .transform(graft.util.Fence.lineage)
+    val lags = Seq(1L, 7L).map { k =>
+      val a = daily.select(col("event_type"), col("day"), col("x"))
+      val b = daily.select(col("event_type"),
+        (col("day") - k).as("day"), col("x").as("y"))
+      a.join(b, Seq("event_type", "day"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), lit(k).as("lag"), col("n_pairs"),
+          expr("n_pairs * sxy - sx * sy").as("acf_num"),
+          expr("""CAST(floor(1000.0 * CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+            / nullif(sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)), 0.0))
+            AS BIGINT)""").as("acf_milli"))
+    }
+    lags.reduce(_ unionByName _)
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  val autocorrDailySql: String = {
+    def leg(k: Long): String =
+      s"""SELECT a.event_type, CAST($k AS BIGINT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) * sum(a.x * b.x) - sum(a.x) * sum(b.x) AS BIGINT)
+             AS acf_num,
+           CAST(floor(1000.0 * CAST(count(*) * sum(a.x * b.x)
+               - sum(a.x) * sum(b.x) AS DOUBLE)
+             / nullif(sqrt(CAST(count(*) * sum(a.x * a.x)
+                 - sum(a.x) * sum(a.x) AS DOUBLE))
+               * sqrt(CAST(count(*) * sum(b.x * b.x)
+                 - sum(b.x) * sum(b.x) AS DOUBLE)), 0.0)) AS BIGINT)
+             AS acf_milli
+         FROM d a JOIN d b
+           ON b.event_type = a.event_type AND b.day = a.day + $k
+         GROUP BY a.event_type"""
+    s"""WITH d AS (
+         SELECT event_type,
+           CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+             AS day,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) // 100
+             AS BIGINT) AS x
+         FROM events GROUP BY 1, 2)
+       ${leg(1)}
+       UNION ALL
+       ${leg(7)}
+       ORDER BY event_type, lag"""
+  }
 }

@@ -1568,4 +1568,117 @@ object Windows {
        SELECT entry_type, n_sessions, n_converted, n_events,
          CAST(n_converted * 1000000 // n_sessions AS BIGINT) AS conv_ppm
        FROM g ORDER BY entry_type"""
+
+  /** CUPED variance-reduced experiment lift (Deng et al., WSDM'13) —
+    * the modern A/B readout: the corpus splits at its median day
+    * into pre/post periods, each user's PRE-period activity count is
+    * the covariate X, POST-period purchases the metric Y, and the
+    * adjusted lift (Ȳ_A − Ȳ_B) − θ(X̄_A − X̄_B) with θ =
+    * cov(X,Y)/var(X) removes the between-user variance the
+    * randomization already balanced — same expectation as the raw
+    * lift, tighter CI, the difference every mature experimentation
+    * platform ships. Only users SEEN pre-split enter (post-only
+    * users have no covariate; standard CUPED population). Everything
+    * is ONE exact rational: the adjusted lift's numerator/denominator
+    * in DECIMAL(38,0) (HUGEINT twin), milli quotients truncating
+    * identically cross-engine.
+    *
+    * Scale shape: events collapse once per user (map-side combined)
+    * with pre/post conditional sums; the split day is a 1-row
+    * broadcast off the same pass's min/max, never a driver probe;
+    * every moment after runs on the per-user frame, the final
+    * algebra on one row. */
+  def cupedLift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Hashing
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"),
+        col("event_type"))
+      .transform(graft.util.Fence.lineage)
+    val split = ev.agg(
+      expr("(min(day) + max(day) + 1) div 2").as("m"))
+    val users = ev.crossJoin(broadcast(split))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("day") < col("m"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("m")
+          && col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .filter(col("x") > 0L)
+      .withColumn("arm",
+        Hashing.phash(col("user_id").cast("string"), "ab_") % 2L)
+    users.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).cast("long").as("n_a"),
+        sum(when(col("arm") === 0L, col("x"))).cast("long").as("sx_a"),
+        sum(when(col("arm") === 0L, col("y"))).cast("long").as("sy_a"))
+      .select(col("n"), col("n_a"), (col("n") - col("n_a")).as("n_b"),
+        expr("n * sxy - sx * sy").as("theta_num"),
+        expr("n * sxx - sx * sx").as("theta_den"),
+        col("sx_a"), col("sy_a"), (col("sx") - col("sx_a")).as("sx_b"),
+        (col("sy") - col("sy_a")).as("sy_b"))
+      .select(col("n_a"), col("n_b"), col("theta_num"), col("theta_den"),
+        expr("(sy_a * n_b - sy_b * n_a) * 1000 div nullif(n_a * n_b, 0)")
+          .as("raw_lift_milli"),
+        expr("""CAST(
+            ((CAST(sy_a AS DECIMAL(38,0)) * n_b - CAST(sy_b AS DECIMAL(38,0)) * n_a)
+               * theta_den
+             - CAST(theta_num AS DECIMAL(38,0))
+               * (CAST(sx_a AS DECIMAL(38,0)) * n_b - CAST(sx_b AS DECIMAL(38,0)) * n_a))
+            * 1000
+            div nullif(CAST(n_a AS DECIMAL(38,0)) * n_b * theta_den, 0)
+            AS BIGINT)""").as("cuped_lift_milli"))
+  }
+
+  val cupedLiftSql: String = {
+    import graft.util.Hashing
+    s"""WITH e AS (
+         SELECT user_id,
+           CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+             AS day,
+           event_type
+         FROM events),
+       sp AS (SELECT (min(day) + max(day) + 1) // 2 AS m FROM e),
+       u AS (
+         SELECT user_id,
+           CAST(sum(CASE WHEN day < sp.m THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN day >= sp.m AND event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS BIGINT) AS y
+         FROM e CROSS JOIN sp GROUP BY user_id
+         HAVING sum(CASE WHEN day < sp.m THEN 1 ELSE 0 END) > 0),
+       armed AS (
+         SELECT x, y,
+           ${Hashing.phashSql("CAST(user_id AS VARCHAR)", "ab_")} % 2 AS arm
+         FROM u),
+       g AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS sx_a,
+           CAST(sum(CASE WHEN arm = 0 THEN y END) AS BIGINT) AS sy_a
+         FROM armed),
+       w AS (
+         SELECT n_a, n - n_a AS n_b,
+           CAST(n * sxy - sx * sy AS BIGINT) AS theta_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS theta_den,
+           sx_a, sy_a, sx - sx_a AS sx_b, sy - sy_a AS sy_b
+         FROM g)
+       SELECT n_a, n_b, theta_num, theta_den,
+         CAST((sy_a * n_b - sy_b * n_a) * 1000 // nullif(n_a * n_b, 0)
+           AS BIGINT) AS raw_lift_milli,
+         CAST(
+           ((CAST(sy_a AS HUGEINT) * n_b - CAST(sy_b AS HUGEINT) * n_a)
+              * theta_den
+            - CAST(theta_num AS HUGEINT)
+              * (CAST(sx_a AS HUGEINT) * n_b - CAST(sx_b AS HUGEINT) * n_a))
+           * 1000
+           // nullif(CAST(n_a AS HUGEINT) * n_b * theta_den, 0)
+           AS BIGINT) AS cuped_lift_milli
+       FROM w"""
+  }
 }

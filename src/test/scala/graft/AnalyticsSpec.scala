@@ -766,4 +766,59 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(row.getLong(3) <= 1000000L + 10000L)
     }
   }
+
+  test("autocorr_daily: moments match brute force, acf bounded by |1000|") {
+    val rows = SparkEntry.queries("autocorr_daily")(spark, sf).collect()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts").cast("timestamp")) / 86400L)
+          .cast("long").as("day"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    rows.foreach { row =>
+      val (t, k) = (row.getString(0), row.getLong(1))
+      val daily = ev.filter(_._1 == t).groupBy(_._2).toSeq
+        .map { case (d, rs) => (d, rs.map(_._3).sum / 100) }.toMap
+      val pairs = daily.toSeq.flatMap { case (d, x) =>
+        daily.get(d + k).map(y => (x, y))
+      }
+      val n = pairs.length.toLong
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      assert(row.getLong(2) == n)
+      assert(row.getLong(3) == n * sxy - sx * sy)
+      assert(math.abs(row.getLong(4)) <= 1000L)
+    }
+    assert(rows.length == ev.map(_._1).distinct.length * 2)
+  }
+
+  test("cuped_lift: theta and adjusted lift match a BigInt recompute") {
+    val r = SparkEntry.queries("cuped_lift")(spark, sf).head()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts").cast("timestamp")) / 86400L)
+          .cast("long").as("day"), col("event_type")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    val m = (ev.map(_._2).min + ev.map(_._2).max + 1) / 2
+    val users = ev.groupBy(_._1).toSeq.map { case (u, rs) =>
+      (phashJvm("ab_" + u.toString) % 2,
+        rs.count(_._2 < m).toLong,
+        rs.count(t => t._2 >= m && t._3 == "purchase").toLong)
+    }.filter(_._2 > 0)
+    val n = users.length.toLong
+    val (sx, sy) = (users.map(_._2).sum, users.map(_._3).sum)
+    val sxy = users.map(u => u._2 * u._3).sum
+    val sxx = users.map(u => u._2 * u._2).sum
+    val a = users.filter(_._1 == 0L); val b = users.filter(_._1 == 1L)
+    val (nA, nB) = (a.length.toLong, b.length.toLong)
+    assert((r.getLong(0), r.getLong(1)) == ((nA, nB)))
+    val thNum = n * sxy - sx * sy; val thDen = n * sxx - sx * sx
+    assert((r.getLong(2), r.getLong(3)) == ((thNum, thDen)))
+    val (sxA, syA) = (a.map(_._2).sum, a.map(_._3).sum)
+    val (sxB, syB) = (b.map(_._2).sum, b.map(_._3).sum)
+    assert(r.getLong(4) == (syA * nB - syB * nA) * 1000 / (nA * nB))
+    val num = (BigInt(syA) * nB - BigInt(syB) * nA) * thDen -
+      BigInt(thNum) * (BigInt(sxA) * nB - BigInt(sxB) * nA)
+    assert(BigInt(r.getLong(5)) == num * 1000 / (BigInt(nA) * nB * thDen))
+  }
 }
