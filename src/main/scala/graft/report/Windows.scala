@@ -1681,4 +1681,128 @@ object Windows {
            AS BIGINT) AS cuped_lift_milli
        FROM w"""
   }
+
+  /** Daily sample-ratio-mismatch monitor — the experiment-health
+    * check that catches broken randomization BEFORE anyone reads a
+    * lift: under a 50/50 hash split, each day's active users should
+    * split evenly between arms; the one-degree chi-square
+    * (n_A−n_B)²/(n_A+n_B) flags days where they don't (3.841 = the
+    * p<0.05 line). A crawler in one arm, a logging bug, or a
+    * client-version skew shows up here as a persistent SRM — and any
+    * lift read over those days is invalid (Fabijan et al.,
+    * KDD'19 diagnoses). Exact integers end to end: chi2_milli =
+    * (n_A−n_B)²·1000 div (n_A+n_B).
+    *
+    * Scale shape: events collapse to the distinct (day, user, arm)
+    * presence frame once, then a calendar-bounded per-day rollup —
+    * the monitor costs one dedup shuffle however large the log. */
+  def srmDaily(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Hashing
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .withColumn("arm",
+        Hashing.phash(col("user_id").cast("string"), "ab_") % 2L)
+      .groupBy(col("day"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_b"))
+      .select(col("day"), col("n_a"), col("n_b"),
+        expr("(n_a - n_b) * (n_a - n_b) * 1000 div nullif(n_a + n_b, 0)")
+          .as("chi2_milli"),
+        (expr("(n_a - n_b) * (n_a - n_b) * 1000 div nullif(n_a + n_b, 0)")
+          > 3841L).cast("long").as("srm_flag"))
+      .orderBy(col("day"))
+  }
+
+  val srmDailySql: String = {
+    import graft.util.Hashing
+    s"""WITH pres AS (
+         SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+         FROM events),
+       armed AS (
+         SELECT day,
+           ${Hashing.phashSql("CAST(user_id AS VARCHAR)", "ab_")} % 2 AS arm
+         FROM pres),
+       g AS (
+         SELECT day,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         FROM armed GROUP BY day)
+       SELECT day, n_a, n_b,
+         CAST((n_a - n_b) * (n_a - n_b) * 1000 // nullif(n_a + n_b, 0)
+           AS BIGINT) AS chi2_milli,
+         CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000
+             // nullif(n_a + n_b, 0) > 3841 THEN 1 ELSE 0 END AS BIGINT)
+           AS srm_flag
+       FROM g ORDER BY day"""
+  }
+
+  private val BURN_BUDGET_PPM = 200000L // SLO: <=20% error share
+  private val BURN_THRESH_X10 = 11L     // page at 1.1x budget burn
+
+  /** Multi-window SLO burn-rate alerts (Google SRE workbook ch.5) —
+    * the paging rule that replaces naive threshold alerts: page only
+    * when BOTH the trailing 24h window AND the current hour burn the
+    * error budget faster than 1.1× — the long window proves the burn
+    * is material, the short window proves it's still happening (no
+    * 3 a.m. page for an incident that already ended). Burn =
+    * error_share / budget_share, compared by exact integer
+    * cross-multiplication (e·10⁶·10 > n·budget_ppm·11), emitted in
+    * milli for the dashboard.
+    *
+    * Scale shape: raw events collapse once to the hourly
+    * (n, errors) frame; the trailing window is a RANGE frame over
+    * the integer hour index on that calendar-bounded frame — the
+    * [[graft.report.Intervals.rateAnomaly]] plan shape with SLO
+    * semantics on top. */
+  def burnRateAlerts(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(floor(unix_timestamp(col("ts")) / 3600L).cast("long")
+        .as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"))
+    val wTrail = Window.orderBy(col("hour"))
+      .rangeBetween(-23L, Window.currentRow)
+    hourly
+      .withColumn("n24", sum(col("n")).over(wTrail))
+      .withColumn("e24", sum(col("e")).over(wTrail))
+      .select(col("hour"), col("n").cast("long").as("n"),
+        col("e").cast("long").as("e"),
+        expr(s"e * 1000000000 div nullif(n * $BURN_BUDGET_PPM, 0)")
+          .as("burn_1h_milli"),
+        expr(s"e24 * 1000000000 div nullif(n24 * $BURN_BUDGET_PPM, 0)")
+          .as("burn_24h_milli"),
+        // burn > 1.1x ⟺ e·10^7 > n·budget_ppm·11 (both sides BIGINT)
+        (expr(s"e * 10000000 > n * $BURN_BUDGET_PPM * $BURN_THRESH_X10") &&
+         expr(s"e24 * 10000000 > n24 * $BURN_BUDGET_PPM * $BURN_THRESH_X10"))
+          .cast("long").as("page"))
+      .orderBy(col("hour"))
+  }
+
+  val burnRateAlertsSql: String =
+    s"""WITH h AS (
+         SELECT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 3600)
+             AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS BIGINT) AS e
+         FROM events GROUP BY 1),
+       t AS (
+         SELECT *,
+           CAST(sum(n) OVER w AS BIGINT) AS n24,
+           CAST(sum(e) OVER w AS BIGINT) AS e24
+         FROM h
+         WINDOW w AS (ORDER BY hour
+           RANGE BETWEEN 23 PRECEDING AND CURRENT ROW))
+       SELECT hour, n, e,
+         CAST(e * 1000000000 // nullif(n * $BURN_BUDGET_PPM, 0) AS BIGINT)
+           AS burn_1h_milli,
+         CAST(e24 * 1000000000 // nullif(n24 * $BURN_BUDGET_PPM, 0) AS BIGINT)
+           AS burn_24h_milli,
+         CAST(CASE WHEN e * 10000000 > n * $BURN_BUDGET_PPM * $BURN_THRESH_X10
+               AND e24 * 10000000 > n24 * $BURN_BUDGET_PPM * $BURN_THRESH_X10
+           THEN 1 ELSE 0 END AS BIGINT) AS page
+       FROM t ORDER BY hour"""
 }

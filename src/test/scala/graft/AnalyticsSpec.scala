@@ -821,4 +821,37 @@ class AnalyticsSpec extends AnyFunSuite {
       BigInt(thNum) * (BigInt(sxA) * nB - BigInt(sxB) * nA)
     assert(BigInt(r.getLong(5)) == num * 1000 / (BigInt(nA) * nB * thDen))
   }
+
+  test("srm_daily: chi-square matches brute force over distinct users") {
+    val rows = SparkEntry.queries("srm_daily")(spark, sf).collect()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(to_date(col("ts").cast("timestamp")).as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getDate(0).toString, phashJvm("ab_" + r.getLong(1)) % 2))
+    rows.foreach { r =>
+      val d = r.getDate(0).toString
+      val nA = ev.count(e => e._1 == d && e._2 == 0L).toLong
+      val nB = ev.count(e => e._1 == d && e._2 == 1L).toLong
+      assert(r.getLong(1) == nA && r.getLong(2) == nB)
+      val chi = (nA - nB) * (nA - nB) * 1000 / (nA + nB)
+      assert(r.getLong(3) == chi)
+      assert(r.getLong(4) == (if (chi > 3841) 1L else 0L))
+    }
+  }
+
+  test("burn_rate_alerts: page implies both windows over budget") {
+    val rows = SparkEntry.queries("burn_rate_alerts")(spark, sf).collect()
+    rows.foreach { r =>
+      val (page, b1, b24) = (r.getLong(5), r.getLong(3), r.getLong(4))
+      if (page == 1L) {
+        // 1100 milli = 1.1x; the flag uses exact cross-multiplication,
+        // the milli columns floor — page implies both floors >= 1100
+        assert(b1 >= 1100L && b24 >= 1100L)
+      }
+      assert(b1 >= 0L && b24 >= 0L)
+    }
+    // the trailing window really telescopes: first row's 24h == its own hour
+    val first = rows.head
+    assert(first.getLong(3) == first.getLong(4))
+  }
 }
