@@ -588,4 +588,77 @@ object Quantiles {
            AS BIGINT) AS auc_ppm
        FROM g"""
   }
+
+  /** Quantile treatment effects — the distributional experiment
+    * readout the mean lift hides: at each decile of the purchase-
+    * value distribution, how far arm A's quantile sits above arm
+    * B's (Athey & Imbens' heterogeneous-effect view): a lift
+    * concentrated in q80-q90 with a flat median is a whale effect,
+    * not a broad improvement, and ships a different decision. Each
+    * arm's deciles are EXACT discrete lower-quantiles via the
+    * histogram-selection pattern (cumulative window over DISTINCT
+    * cents, integer cross-multiplied rank cuts — never a sort of
+    * raw purchases); the one result row carries both arms' q10-q90
+    * and their differences in exact cents.
+    *
+    * Scale shape: one (arm, cents) histogram groupBy (map-side
+    * combined), one cumulative window per arm over distinct values,
+    * two 1-row conditional-min aggregates joined by cross product
+    * of broadcast singletons. */
+  def quantileTreatmentEffect(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.{Exact, Hashing}
+    val hist = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(Exact.cents(col("value")).as("cents"),
+        (Hashing.phash(col("user_id").cast("string"), "ab_") % 2L).as("arm"))
+      .groupBy(col("arm"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("arm")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("arm"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("tot", sum(col("cnt")).over(wAll))
+    def deciles(armVal: Long, pfx: String) = {
+      val cs = (1 to 9).map(d =>
+        min(when(col("cum") * 10 >= col("tot") * d, col("cents")))
+          .cast("long").as(s"${pfx}q${d}0"))
+      cum.filter(col("arm") === armVal).agg(cs.head, cs.tail: _*)
+    }
+    val outs = (1 to 9).flatMap(d => Seq(
+      col(s"a_q${d}0"), col(s"b_q${d}0"),
+      (col(s"a_q${d}0") - col(s"b_q${d}0")).as(s"qte_${d}0")))
+    deciles(0L, "a_").crossJoin(broadcast(deciles(1L, "b_")))
+      .select(outs: _*)
+  }
+
+  val quantileTreatmentEffectSql: String = {
+    import graft.util.Hashing
+    val mins = (p: String) => (1 to 9).map(d =>
+      s"CAST(min(CASE WHEN cum * 10 >= tot * $d THEN cents END) AS BIGINT) AS ${p}q${d}0"
+    ).mkString(",\n           ")
+    val outs = (1 to 9).map(d =>
+      s"a.a_q${d}0, b.b_q${d}0, CAST(a.a_q${d}0 - b.b_q${d}0 AS BIGINT) AS qte_${d}0"
+    ).mkString(",\n         ")
+    s"""WITH x AS (
+         SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           ${Hashing.phashSql("CAST(user_id AS VARCHAR)", "ab_")} % 2 AS arm
+         FROM events WHERE event_type = 'purchase'),
+       h AS (
+         SELECT arm, cents, count(*) AS cnt FROM x GROUP BY arm, cents),
+       c AS (
+         SELECT *,
+           sum(cnt) OVER (PARTITION BY arm ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(cnt) OVER (PARTITION BY arm) AS tot
+         FROM h),
+       a AS (
+         SELECT ${mins("a_")}
+         FROM c WHERE arm = 0),
+       b AS (
+         SELECT ${mins("b_")}
+         FROM c WHERE arm = 1)
+       SELECT ${outs}
+       FROM a CROSS JOIN b"""
+  }
 }

@@ -854,4 +854,28 @@ class AnalyticsSpec extends AnyFunSuite {
     val first = rows.head
     assert(first.getLong(3) == first.getLong(4))
   }
+
+  test("quantile_treatment_effect: deciles match sorted-array selection") {
+    val r = SparkEntry.queries("quantile_treatment_effect")(spark, sf).head()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "value").collect()
+      .map(x => (phashJvm("ab_" + x.getLong(0)) % 2,
+        math.floor(x.getDouble(1) * 100 + 0.5).toLong))
+    def decile(arm: Long, d: Int): Long = {
+      val vs = ev.filter(_._1 == arm).map(_._2).sorted
+      // smallest value whose cumulative count covers d/10 of the mass
+      vs(((vs.length * d + 9) / 10) - 1)
+    }
+    (1 to 9).foreach { d =>
+      val base = (d - 1) * 3
+      assert(r.getLong(base) == decile(0L, d), s"a_q${d}0")
+      assert(r.getLong(base + 1) == decile(1L, d), s"b_q${d}0")
+      assert(r.getLong(base + 2) == r.getLong(base) - r.getLong(base + 1))
+    }
+    // deciles are monotone within each arm
+    (1 to 8).foreach { d =>
+      assert(r.getLong((d - 1) * 3) <= r.getLong(d * 3))
+    }
+  }
 }
