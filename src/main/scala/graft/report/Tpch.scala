@@ -1484,4 +1484,43 @@ object Tpch {
            AS BIGINT) AS hhi_ppm
        FROM q JOIN nation n ON n.n_nationkey = q.s_nationkey
        ORDER BY n.n_name"""
+
+  /** Discount-band elasticity table — the promo-effectiveness
+    * readout: per discount level, how order-line quantity and
+    * revenue respond (does 7% off actually move more units than
+    * 5%?). Per band: line count, exact mean quantity in milli-units,
+    * exact-decimal revenue, revenue per line in cents — the marginal
+    * columns a pricing decision reads across rows. Quantity response
+    * is the elasticity signal; revenue per line shows where deeper
+    * discounts stop paying for themselves.
+    *
+    * Scale shape: ONE pass over lineitem into a ≤|discount levels|
+    * groupBy (map-side combined); discount bands are exact cents of
+    * the discount fraction, so no float ever keys a group. */
+  def discountElasticity(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(Exact.cents(col("l_discount")).as("discount_pct"))
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        sum(col("l_quantity").cast("long")).cast("long").as("sum_qty"),
+        expr("sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+          + " AS BIGINT))").as("revenue_cents"))
+      .select(col("discount_pct"), col("n_lines"),
+        expr("sum_qty * 1000 div n_lines").as("mean_qty_milli"),
+        col("revenue_cents").cast("long").as("revenue_cents"),
+        expr("revenue_cents div n_lines").as("rev_per_line_cents"))
+      .orderBy(col("discount_pct"))
+
+  val discountElasticitySql: String =
+    """WITH g AS (
+         SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS discount_pct,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+             AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem GROUP BY 1)
+       SELECT discount_pct, n_lines,
+         CAST(sum_qty * 1000 // n_lines AS BIGINT) AS mean_qty_milli,
+         revenue_cents,
+         CAST(revenue_cents // n_lines AS BIGINT) AS rev_per_line_cents
+       FROM g ORDER BY discount_pct"""
 }

@@ -878,4 +878,21 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getLong((d - 1) * 3) <= r.getLong(d * 3))
     }
   }
+
+  test("discount_elasticity: bands partition lineitem, means exact") {
+    val rows = SparkEntry.queries("discount_elasticity")(spark, sf).collect()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_discount", "l_quantity", "l_extendedprice").collect()
+      .map(r => (math.floor(r.getDouble(0) * 100 + 0.5).toLong,
+        r.getDouble(1).toLong,
+        math.floor(r.getDouble(2) * (1 - r.getDouble(0)) * 100 + 0.5).toLong))
+    assert(rows.map(_.getLong(1)).sum == li.length.toLong)
+    rows.foreach { r =>
+      val band = li.filter(_._1 == r.getLong(0))
+      assert(r.getLong(1) == band.length.toLong)
+      assert(r.getLong(2) == band.map(_._2).sum * 1000 / band.length)
+      assert(r.getLong(3) == band.map(_._3).sum)
+      assert(r.getLong(4) == band.map(_._3).sum / band.length)
+    }
+  }
 }
