@@ -505,7 +505,12 @@ object Graph {
     * Exactness: both ppm columns are floor-divs of NON-NEGATIVE
     * integers, and the delta is their difference — never a negative
     * integer division, whose truncate-vs-floor behavior differs
-    * between engines. Scale shape: two node-keyed label joins put
+    * between engines. The null-model square is REDUCED by the
+    * data-derived common scale s = max(1, m div 10⁶) before squaring
+    * (the supplier_hhi/seasonal_strength convention): (d_c div s) ≤
+    * 2·10⁶ so its square times 10⁶ stays under BIGINT at ANY edge
+    * count — unreduced, d_c²·10⁶ overflows once m exceeds ~1.5·10⁶
+    * edges. Scale shape: two node-keyed label joins put
     * sources on edge endpoints, one label groupBy each for degree
     * mass and intra-edges; everything downstream runs on the
     * |sources|-row frame with the 1-row edge total broadcast. */
@@ -534,12 +539,17 @@ object Graph {
     degMass.join(intra, Seq("source"), "left")
       .crossJoin(broadcast(m))
       .select(col("source"), col("d_c"),
-        coalesce(col("e_c"), lit(0L)).as("e_c"), col("m"))
+        coalesce(col("e_c"), lit(0L)).as("e_c"), col("m"),
+        greatest(lit(1L), expr("m div 1000000")).as("s"))
       .select(col("source"), col("d_c"), col("e_c"),
         expr("e_c * 1000000 div m").as("intra_ppm"),
-        expr("d_c * d_c * 1000000 div (4 * m * m)").as("expected_ppm"),
+        expr("""(d_c div s) * (d_c div s) * 1000000
+          div nullif((2 * (m div s)) * (2 * (m div s)), 0)""")
+          .as("expected_ppm"),
         (expr("e_c * 1000000 div m")
-          - expr("d_c * d_c * 1000000 div (4 * m * m)")).as("modularity_ppm"))
+          - expr("""(d_c div s) * (d_c div s) * 1000000
+            div nullif((2 * (m div s)) * (2 * (m div s)), 0)"""))
+          .as("modularity_ppm"))
       .orderBy(col("source"))
   }
 
@@ -566,15 +576,18 @@ object Graph {
          GROUP BY source),
        ic AS (
          SELECT su AS source, CAST(count(*) AS BIGINT) AS e_c
-         FROM lb WHERE su = sv GROUP BY su)
+         FROM lb WHERE su = sv GROUP BY su),
+       ms AS (SELECT m, greatest(1, m // 1000000) AS s FROM mm)
        SELECT dm.source, dm.d_c,
          CAST(coalesce(ic.e_c, 0) AS BIGINT) AS e_c,
-         CAST(coalesce(ic.e_c, 0) * 1000000 // mm.m AS BIGINT) AS intra_ppm,
-         CAST(dm.d_c * dm.d_c * 1000000 // (4 * mm.m * mm.m) AS BIGINT)
-           AS expected_ppm,
-         CAST(coalesce(ic.e_c, 0) * 1000000 // mm.m
-           - dm.d_c * dm.d_c * 1000000 // (4 * mm.m * mm.m) AS BIGINT)
-           AS modularity_ppm
-       FROM dm LEFT JOIN ic ON ic.source = dm.source CROSS JOIN mm
+         CAST(coalesce(ic.e_c, 0) * 1000000 // ms.m AS BIGINT) AS intra_ppm,
+         CAST((dm.d_c // ms.s) * (dm.d_c // ms.s) * 1000000
+           // nullif((2 * (ms.m // ms.s)) * (2 * (ms.m // ms.s)), 0)
+           AS BIGINT) AS expected_ppm,
+         CAST(coalesce(ic.e_c, 0) * 1000000 // ms.m
+           - (dm.d_c // ms.s) * (dm.d_c // ms.s) * 1000000
+             // nullif((2 * (ms.m // ms.s)) * (2 * (ms.m // ms.s)), 0)
+           AS BIGINT) AS modularity_ppm
+       FROM dm LEFT JOIN ic ON ic.source = dm.source CROSS JOIN ms
        ORDER BY dm.source"""
 }

@@ -581,8 +581,10 @@ object Intervals {
        FROM src GROUP BY event_type, day ORDER BY event_type, day"""
 
   /** Exact EWMA smoothing of the daily revenue series — α = 1/2 kept
-    * in pure integers (`e_i = (e_{i-1} + x_i) >> 1`, floor-exact on
-    * the non-negative cents; no libm pow, the CLAUDE.md rule), seeded
+    * in pure integers (`e_i = trunc((e_{i-1} + x_i) / 2)`, matching
+    * DuckDB's `//` truncation toward zero even when a daily sum is
+    * negative — shiftright alone would FLOOR and diverge by one on
+    * negative odd sums; no libm pow, the CLAUDE.md rule), seeded
     * at the series head. Emits the full smoothed series, not just the
     * endpoint — the dashboard overlay line.
     *
@@ -603,8 +605,12 @@ object Intervals {
     daily.groupBy(col("event_type"))
       .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("ds"))
       .withColumn("st", aggregate(col("ds"), acc0, (acc, d) => {
+        // trunc-toward-zero halving: floor (shiftright) plus one when
+        // the sum is negative and odd — bit-identical to DuckDB `// 2`
+        val s = acc.getField("prev") + d.getField("x")
         val e = when(acc.getField("idx") === 0L, d.getField("x"))
-          .otherwise(shiftright(acc.getField("prev") + d.getField("x"), 1))
+          .otherwise(shiftright(s, 1) +
+            when(s < 0, s.bitwiseAND(lit(1L))).otherwise(lit(0L)))
         struct(
           concat(acc.getField("arr"),
             array(struct(d.getField("day").as("day"),

@@ -471,7 +471,11 @@ object Quantiles {
       .groupBy(col("b"))
       .agg(sum(col("w") * col("cents")).as("swx"), sum(col("w")).as("sw"))
       .select(col("b"), expr("swx * 1000 div nullif(sw, 0)").as("mean_milli"))
-    val ord = Window.orderBy(col("mean_milli"), col("b"))
+    // a zero-total-weight resample yields NULL mean_milli; pin NULLS
+    // FIRST explicitly on BOTH engines (Spark's ascending default,
+    // DuckDB's is NULLS LAST) so a freak all-zero draw can't silently
+    // shift which rows land at ranks 2 and 31
+    val ord = Window.orderBy(col("mean_milli").asc_nulls_first, col("b"))
     val ranked = weighted.withColumn("r", row_number().over(ord))
     ranked.agg(
         max(when(col("r") === 2, col("mean_milli"))).as("ci_lo_milli"),
@@ -506,7 +510,7 @@ object Quantiles {
          FROM drawn GROUP BY b),
        ranked AS (
          SELECT mean_milli,
-           row_number() OVER (ORDER BY mean_milli, b) AS r
+           row_number() OVER (ORDER BY mean_milli ASC NULLS FIRST, b) AS r
          FROM means)
        SELECT pt.n_rows, pt.point_milli,
          CAST($BOOT_B AS BIGINT) AS n_resamples,

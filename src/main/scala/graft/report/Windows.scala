@@ -1308,23 +1308,27 @@ object Windows {
     * The oracle encodes gid as grouping()-bit arithmetic (DuckDB's
     * grouping_id argument order matches Spark's here). */
   def timeGrainRollup(spark: SparkSession, dir: String): DataFrame = {
+    // Spark 4's Dataset.groupingSets DSL — no named temp view, so the
+    // builder is side-effect-free and safe under concurrent
+    // construction in one session (ADVICE r6: a fixed global view
+    // name could race or clobber another caller's).
     Tables.events(spark, dir)
       .select(
         floor(unix_timestamp(col("ts")) / 3600).cast("long").as("hour_b"),
         floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day_b"),
         floor(unix_timestamp(col("ts")) / 604800).cast("long").as("week_b"),
         col("value"))
-      .createOrReplaceTempView("graft_tg_events")
-    spark.sql(
-      """SELECT hour_b, day_b, week_b,
-           CAST(grouping_id(hour_b, day_b, week_b) AS BIGINT) AS gid,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
-             AS sum_value
-         FROM graft_tg_events
-         GROUP BY GROUPING SETS ((hour_b), (day_b), (week_b))
-         ORDER BY gid, hour_b ASC NULLS FIRST, day_b ASC NULLS FIRST,
-           week_b ASC NULLS FIRST""")
+      .groupingSets(
+        Seq(Seq(col("hour_b")), Seq(col("day_b")), Seq(col("week_b"))),
+        col("hour_b"), col("day_b"), col("week_b"))
+      .agg(
+        grouping_id(col("hour_b"), col("day_b"), col("week_b"))
+          .cast("long").as("gid"),
+        count(lit(1)).cast("long").as("n"),
+        expr("CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)")
+          .as("sum_value"))
+      .orderBy(col("gid"), col("hour_b").asc_nulls_first,
+        col("day_b").asc_nulls_first, col("week_b").asc_nulls_first)
   }
 
   val timeGrainRollupSql: String =
