@@ -998,8 +998,10 @@ object Tpch {
     * ppm of the grand total (derived in-query, 1-row broadcast).
     *
     * Scale shape: one custkey aggregate collapses orders; the rank
-    * window is the documented unpartitioned-|customers| trade
-    * (valueDeciles/rfm); the band rollup is 5 rows via one
+    * is the exact distributed one
+    * ([[graft.report.DistributedRank.withRank]] on negated cents —
+    * chunked prefix sums, no unpartitioned window ever sorts the
+    * |customers| frame); the band rollup is 5 rows via one
     * conditional-sum pass — no per-band re-scan. */
   def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.orders(spark, dir)
@@ -1008,9 +1010,11 @@ object Tpch {
       .transform(graft.util.Fence.lineage)
     val tot = perCust.agg(sum(col("cents")).as("total_cents"),
       count(lit(1)).as("n_cust"))
-    val ranked = perCust.crossJoin(broadcast(tot))
-      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
-        .Window.orderBy(col("cents").desc, col("o_custkey"))))
+    // cents DESC, custkey ASC == (-cents, custkey) ASC
+    val ranked = graft.report.DistributedRank.withRank(
+      perCust.crossJoin(broadcast(tot))
+        .withColumn("neg_cents", -col("cents")),
+      Nil, "neg_cents", "o_custkey", "rk")
     val bands = Seq(1, 5, 10, 25, 50)
     val exprs = bands.map { p =>
       struct(

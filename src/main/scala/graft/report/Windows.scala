@@ -436,19 +436,18 @@ object Windows {
     * convention), rolled up to per-(segment, decile) counts and
     * exact money bounds.
     *
-    * Scale shape: the window partitions on c_mktsegment — a
-    * low-cardinality key, so each segment sorts within one task; at
-    * a 10⁹-customer table the decile boundaries would come from
-    * [[graft.report.Quantiles]]' histogram grid instead (documented
-    * trade — ntile is exact but single-task-per-segment). The rollup
-    * after it is map-side combined on ≤ segments×10 keys. */
+    * Scale shape: the ntile is the exact distributed one
+    * ([[DistributedRank.withNtile]] partitioned by segment — chunked
+    * prefix sums, never a single-task-per-segment sort; acctbal
+    * rides as exact cents, a monotone injective map for 2-decimal
+    * money, so the bucket order is the oracle's). The rollup after
+    * it is map-side combined on ≤ segments×10 keys. */
   def valueDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(spark, dir)
-      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val base = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        graft.util.Exact.cents(col("c_acctbal")).as("bal_cents"))
+    DistributedRank.withNtile(base, Seq("c_mktsegment"), "bal_cents",
+        "c_custkey", 10, "decile")
       .groupBy(col("c_mktsegment"), col("decile"))
       .agg(count(lit(1)).as("n_customers"),
         graft.util.Exact.pround2(min(col("c_acctbal"))).as("lo_bal"),
@@ -690,11 +689,12 @@ object Windows {
     * edges are deterministic in both engines.
     *
     * Scale shape: one custkey aggregate collapses orders to one row
-    * per customer before any window; the three ntile(5) windows are
-    * UNPARTITIONED over that |customers| frame — the documented
-    * valueDeciles trade: exact quintiles sort within one task, and at
-    * a 10⁹-customer table the cut points would come from
-    * [[graft.report.Quantiles]]' histogram grid instead. The final
+    * per customer; each quintile is then an exact distributed ntile
+    * via [[DistributedRank.withNtile]] (chunked prefix sums — NO
+    * unpartitioned window ever sees the |customers| frame; the only
+    * unbounded-partition windows run over per-chunk aggregate frames
+    * bounded by the value domain). The fenced per-customer frame
+    * feeds three rank pipelines, re-joined on custkey; the final
     * rollup is ≤ 5³ cells, map-side combined. */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -707,13 +707,19 @@ object Windows {
           .cast("long").as("recency_days"),
         count(lit(1)).cast("long").as("frequency"),
         sum(col("cents")).cast("long").as("monetary_cents"))
-    val rW = Window.orderBy(col("recency_days").desc, col("o_custkey"))
-    val fW = Window.orderBy(col("frequency"), col("o_custkey"))
-    val mW = Window.orderBy(col("monetary_cents"), col("o_custkey"))
+      .transform(graft.util.Fence.lineage)
+    // recency DESC == negated-recency ASC; each score frame is
+    // (custkey, score) only, so the three rejoins stay narrow
+    def quintile(metric: org.apache.spark.sql.Column,
+                 name: String, out: String): DataFrame =
+      DistributedRank.withNtile(
+        perCust.select(col("o_custkey"), metric.as(name)),
+        Nil, name, "o_custkey", 5, out)
+        .select(col("o_custkey"), col(out))
     perCust
-      .withColumn("r_score", ntile(5).over(rW))
-      .withColumn("f_score", ntile(5).over(fW))
-      .withColumn("m_score", ntile(5).over(mW))
+      .join(quintile(-col("recency_days"), "neg_r", "r_score"), "o_custkey")
+      .join(quintile(col("frequency"), "f_v", "f_score"), "o_custkey")
+      .join(quintile(col("monetary_cents"), "m_v", "m_score"), "o_custkey")
       .withColumn("rfm", concat_ws("", col("r_score"), col("f_score"), col("m_score")))
       .groupBy(col("rfm"))
       .agg(count(lit(1)).cast("long").as("n_customers"),

@@ -424,4 +424,25 @@ class PlanSpec extends AnyFunSuite {
     // heads (TakeOrderedAndProject) — not a full-corpus Sort
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("customer-grain ntile/rank queries never window the raw customer frame") {
+    // rfm_segments / revenue_concentration / value_deciles went through
+    // DistributedRank: the ONLY unpartitioned windows allowed are the
+    // chunk-offset prefix sums, which order by the synthetic __rng chunk
+    // id over a per-chunk AGGREGATE frame (bounded by value-domain/2^20,
+    // not by |customers|). A windowspecdefinition whose FIRST argument
+    // is already a sort order (contains ASC/DESC before the first comma)
+    // has an empty partition spec — every such window must be a __rng one.
+    for (q <- Seq("rfm_segments", "revenue_concentration", "value_deciles")) {
+      val p = planOf(q)
+      val specs = "windowspecdefinition\\(([^,]*)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(specs.nonEmpty, s"$q lost its windows entirely")
+      val unpartitioned = specs.filter(a => a.contains(" ASC") || a.contains(" DESC"))
+      unpartitioned.foreach { a =>
+        assert(a.startsWith("__rng"),
+          s"$q has an unpartitioned window over a non-chunk frame: $a")
+      }
+    }
+  }
 }
