@@ -81,6 +81,9 @@ object Bench {
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_OUT", "."), "bench.json")
     java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
+    // unpersist every staged table (keeper/signature/IVF caches)
+    // before teardown — the lifecycle a long-lived driver must follow
+    graft.util.Staged.clearSession(spark)
     spark.stop()
   }
 }

@@ -43,6 +43,9 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // unpersist every staged table (keeper/signature/IVF caches)
+    // before teardown — the lifecycle a long-lived driver must follow
+    graft.util.Staged.clearSession(spark)
     spark.stop()
   }
 }

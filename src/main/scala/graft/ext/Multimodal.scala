@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.util.Hashing
@@ -348,4 +348,291 @@ object Multimodal {
       }
     }
   }
+
+  // ---- Real decode path: RIFF/WAVE 16-bit PCM audio -----------------
+  //
+  // The reference's domain is audio STREAMING (real_parse.pl:296-316
+  // parses audio_format and bandwidth stats from RealServer logs) —
+  // this is the audio twin of the PPM kernel: a real byte-level
+  // container parse (RIFF chunk walk, little-endian fields, two's-
+  // complement 16-bit samples) whose decoded content the DuckDB
+  // oracle recomputes from the ASCII source text.
+
+  /** Per-byte hex (two uppercase digits) of a 0..255 column. */
+  private def byteHex(b: Column): Column = lpad(hex(b), 2, "0")
+
+  /** Little-endian hex of a non-negative 16-/32-bit value — the
+    * in-plan byte packer (unhex of the concatenated string is the
+    * only way to synthesize bytes ≥ 0x80 in-plan; encode(utf-8)
+    * would multi-byte them). */
+  private def le16hex(x: Column): Column =
+    concat(byteHex(pmod(x, lit(256))), byteHex(pmod(shiftright(x, 8), lit(256))))
+  private def le32hex(x: Column): Column =
+    concat(byteHex(pmod(x, lit(256))),
+      byteHex(pmod(shiftright(x, 8), lit(256))),
+      byteHex(pmod(shiftright(x, 16), lit(256))),
+      byteHex(pmod(shiftright(x, 24), lit(256))))
+
+  private def asciiHex(s: String): Column =
+    lit(s.getBytes("US-ASCII").map("%02X".format(_)).mkString)
+
+  /** Deterministic REAL-audio media table: each document becomes a
+    * valid canonical RIFF/WAVE file — 44-byte PCM header (chunk
+    * sizes, channel count, sample rate, byte rate, block align all
+    * consistent and varying per row, so the header parse is
+    * load-bearing) followed by interleaved 16-bit little-endian
+    * samples. Sample k is `ascii(text[k mod len]) * 256 − 16000`:
+    * negative for most ASCII text, so two's-complement packing and
+    * sign extension are exercised, and the DuckDB oracle can
+    * recompute every decoded statistic from the text without a
+    * decoder. Channels ∈ {1,2}, rate ∈ {8000, 11025, 16000, 22050},
+    * 40–62 frames per doc. Precondition (pure-ASCII, non-empty text)
+    * is asserted in-plan, the [[ppmMediaTable]] convention. */
+  def wavMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val wellFormed =
+      col("text").isNotNull && length(col("text")) >= 1 &&
+        !col("text").rlike("[^\\x00-\\x7F]")
+    val text = when(wellFormed, col("text")).otherwise(
+      raise_error(concat(
+        lit("wavMediaTable: text must be pure ASCII and non-empty, doc_id="),
+        col("doc_id").cast("string"))))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), text.as("src"))
+      .withColumn("c", expr("CAST(doc_id % 2 + 1 AS INT)"))
+      .withColumn("rate", expr(
+        """CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 11025
+           WHEN 2 THEN 16000 ELSE 22050 END"""))
+      .withColumn("nf", expr("CAST(40 + doc_id % 23 AS INT)"))
+      .withColumn("len", length(col("src")))
+    val dataBytes = col("nf") * col("c") * 2
+    // interleaved samples, LE two's complement via pmod 2^16
+    val samplesHex = expr(
+      """array_join(transform(sequence(0, nf * c - 1), k ->
+           concat(
+             lpad(hex(pmod(ascii(substring(src, CAST(k % len AS INT) + 1, 1))
+               * 256 - 16000, 65536) % 256), 2, '0'),
+             lpad(hex(pmod(ascii(substring(src, CAST(k % len AS INT) + 1, 1))
+               * 256 - 16000, 65536) div 256), 2, '0'))), '')""")
+    base.select(
+      col("doc_id").as("media_id"),
+      unhex(concat(
+        asciiHex("RIFF"), le32hex(lit(36) + dataBytes), asciiHex("WAVE"),
+        asciiHex("fmt "), le32hex(lit(16)),
+        le16hex(lit(1)), le16hex(col("c")), le32hex(col("rate")),
+        le32hex(col("rate") * col("c") * 2), le16hex(col("c") * 2),
+        le16hex(lit(16)),
+        asciiHex("data"), le32hex(dataBytes),
+        samplesHex)).as("blob"))
+  }
+
+  /** Minimal strict RIFF/WAVE reader: verifies the RIFF size, walks
+    * word-aligned chunks, requires a consistent 16-bit PCM `fmt `
+    * chunk, finds `data`. Returns (channels, sampleRate, dataOffset,
+    * dataLength). Malformed media fails loudly — a decode kernel
+    * must reject, not fabricate. */
+  private[graft] def parseWavHeader(b: Array[Byte]): (Int, Int, Int, Int) = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+    require(b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a RIFF/WAVE file")
+    require(le32(4) == b.length - 8, s"RIFF size ${le32(4)} != ${b.length - 8}")
+    var i = 12
+    var ch = 0; var rate = 0; var fmtSeen = false
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= b.length) {
+      val t = tag(i); val sz = le32(i + 4)
+      require(sz >= 0 && i + 8 + sz <= b.length, s"chunk $t overruns the file")
+      if (t == "fmt ") {
+        require(sz >= 16, "fmt chunk too short")
+        require(le16(i + 8) == 1, s"not PCM (format ${le16(i + 8)})")
+        ch = le16(i + 10); rate = le32(i + 12)
+        require(ch >= 1 && rate > 0, "degenerate fmt")
+        require(le16(i + 22) == 16, s"unsupported bit depth ${le16(i + 22)}")
+        require(le16(i + 20) == ch * 2, "blockAlign inconsistent")
+        require(le32(i + 16) == rate * ch * 2, "byteRate inconsistent")
+        fmtSeen = true
+      } else if (t == "data") {
+        dataOff = i + 8; dataLen = sz
+      }
+      i += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    require(fmtSeen, "missing fmt chunk")
+    require(dataOff >= 0 && dataLen % (ch * 2) == 0,
+      "missing or misaligned data chunk")
+    (ch, rate, dataOff, dataLen)
+  }
+
+  /** Decoded-audio record, one per (media, channel): header fields
+    * plus exact integer sample statistics the oracle recomputes. */
+  case class DecodedAudio(media_id: Long, channel: Long, sample_rate: Long,
+                          n_samples: Long, duration_ms: Long, sum_pcm: Long,
+                          min_pcm: Long, max_pcm: Long, sumsq_pcm: Long)
+
+  /** The audio decode kernel — same production shape as
+    * [[decodeImages]] (repartition to decoder count, one decoder
+    * scope per partition, stream rows): RIFF header parse, then one
+    * interleaved two's-complement sample walk accumulating per-
+    * channel sum/min/max/sum-of-squares. An MP3/AAC deployment swaps
+    * the walk for the codec call; schema and layout stay. */
+  def decodeAudio(spark: SparkSession, dir: String,
+                  parallelism: Int = 8): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    val m = wavMediaTable(spark, dir)
+      .select(col("media_id").cast("long"), col("blob"))
+      .repartition(parallelism)
+    m.as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.flatMap { case (id, blob) =>
+        val (c, rate, off, len) = parseWavHeader(blob)
+        val nFrames = len / (c * 2)
+        val sum = new Array[Long](c); val sq = new Array[Long](c)
+        val mn = Array.fill(c)(Long.MaxValue)
+        val mx = Array.fill(c)(Long.MinValue)
+        var k = 0; val n = len / 2
+        while (k < n) {
+          val lo = blob(off + 2 * k) & 0xff
+          val hi = blob(off + 2 * k + 1) // signed byte → sign-extends
+          val v = ((hi << 8) | lo).toLong
+          val ch = k % c
+          sum(ch) += v; sq(ch) += v * v
+          if (v < mn(ch)) mn(ch) = v
+          if (v > mx(ch)) mx(ch) = v
+          k += 1
+        }
+        (0 until c).map(ch => DecodedAudio(id, ch.toLong, rate.toLong,
+          nFrames.toLong, nFrames.toLong * 1000L / rate, sum(ch), mn(ch),
+          mx(ch), sq(ch)))
+      }
+    }
+  }
+
+  /** Decoded-audio query surface — the oracle twin recomputes every
+    * column from the ASCII source text with the same interleaving
+    * arithmetic, so a mistake anywhere in the synthesize → LE pack →
+    * chunk walk → sign-extend chain hash-mismatches. */
+  def mediaAudio(spark: SparkSession, dir: String): DataFrame =
+    decodeAudio(spark, dir).toDF()
+      .select(col("media_id"), col("channel"), col("sample_rate"),
+        col("n_samples"), col("duration_ms"), col("sum_pcm"),
+        col("min_pcm"), col("max_pcm"), col("sumsq_pcm"))
+      .orderBy(col("media_id"), col("channel"))
+
+  /** Per-media segmentation summary from [[audioSegments]]. */
+  case class AudioSegments(media_id: Long, n_blocks: Long, n_silent: Long,
+                           n_segments: Long, longest_blocks: Long)
+
+  /** Silence detection / segmentation over the decoded PCM — the
+    * VAD-shaped preprocessing step an audio training pipeline runs
+    * before transcription (split on silence, drop dead air): channel
+    * 0 samples walk in 8-frame blocks; a block is SILENT when its
+    * mean |sample| falls below 6000 (integer cross-multiplied —
+    * `sum|v| < 6000·blockLen`, no division), and maximal runs of
+    * loud blocks are the segments. Emits per media the block count,
+    * silent-block count, segment count and longest segment — all
+    * integers the oracle recomputes from the ASCII source (longest
+    * run via a cur·1000+best encoded list_reduce). Same kernel shape
+    * as [[decodeAudio]]. */
+  def audioSegments(spark: SparkSession, dir: String,
+                    parallelism: Int = 8): Dataset[AudioSegments] = {
+    import spark.implicits._
+    val m = wavMediaTable(spark, dir)
+      .select(col("media_id").cast("long"), col("blob"))
+      .repartition(parallelism)
+    m.as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.map { case (id, blob) =>
+        val (c, _, off, len) = parseWavHeader(blob)
+        val nf = len / (c * 2)
+        val nBlocks = (nf + 7) / 8
+        var b = 0; var nSilent = 0L; var nSeg = 0L
+        var cur = 0L; var best = 0L
+        while (b < nBlocks) {
+          val end = math.min(nf, b * 8 + 8)
+          var f = b * 8; var sumAbs = 0L
+          while (f < end) {
+            val k = f * c // channel 0 of frame f
+            val lo = blob(off + 2 * k) & 0xff
+            val hi = blob(off + 2 * k + 1)
+            sumAbs += math.abs(((hi << 8) | lo).toLong)
+            f += 1
+          }
+          if (sumAbs < 6000L * (end - b * 8)) {
+            nSilent += 1; cur = 0
+          } else {
+            if (cur == 0) nSeg += 1
+            cur += 1; if (cur > best) best = cur
+          }
+          b += 1
+        }
+        AudioSegments(id, nBlocks.toLong, nSilent, nSeg, best)
+      }
+    }
+  }
+
+  /** Query surface over [[audioSegments]]. */
+  def mediaAudioSegments(spark: SparkSession, dir: String): DataFrame =
+    audioSegments(spark, dir).toDF()
+      .select(col("media_id"), col("n_blocks"), col("n_silent"),
+        col("n_segments"), col("longest_blocks"))
+      .orderBy(col("media_id"))
+
+  val mediaAudioSegmentsSql: String =
+    """WITH m AS (
+         SELECT doc_id AS media_id,
+           CAST(doc_id % 2 + 1 AS BIGINT) AS c,
+           CAST(40 + doc_id % 23 AS BIGINT) AS nf,
+           text, length(text) AS len
+         FROM documents),
+       fl AS (
+         SELECT media_id, nf,
+           list_transform(generate_series(0, CAST((nf + 7) // 8 - 1 AS INTEGER)),
+             b -> CASE WHEN
+               list_sum(list_transform(
+                 generate_series(CAST(b * 8 AS INTEGER),
+                   CAST(least(nf, b * 8 + 8) - 1 AS INTEGER)),
+                 f -> abs(unicode(substr(text,
+                   CAST((f * c) % len AS INTEGER) + 1, 1)) * 256 - 16000)))
+               < 6000 * (least(nf, b * 8 + 8) - b * 8)
+               THEN 0 ELSE 1 END) AS flags
+         FROM m)
+       SELECT media_id,
+         CAST(len(flags) AS BIGINT) AS n_blocks,
+         CAST(len(list_filter(flags, f -> f = 0)) AS BIGINT) AS n_silent,
+         CAST(list_sum(list_transform(
+           generate_series(1, CAST(len(flags) AS INTEGER)),
+           i -> CASE WHEN flags[i] = 1 AND (i = 1 OR flags[i - 1] = 0)
+                THEN 1 ELSE 0 END)) AS BIGINT) AS n_segments,
+         CAST(list_reduce(list_prepend(0, flags),
+           (s, x) -> CASE WHEN x = 1
+             THEN (s // 1000 + 1) * 1000
+               + greatest(s % 1000, s // 1000 + 1)
+             ELSE s % 1000 END) % 1000 AS BIGINT) AS longest_blocks
+       FROM fl ORDER BY media_id"""
+
+  val mediaAudioSql: String =
+    """WITH m AS (
+         SELECT doc_id AS media_id,
+           CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+                WHEN 2 THEN 16000 ELSE 22050 END AS BIGINT) AS sample_rate,
+           CAST(40 + doc_id % 23 AS BIGINT) AS n_frames,
+           text, length(text) AS len
+         FROM documents),
+       chs AS (SELECT 0 AS ch UNION ALL SELECT 1),
+       s AS (
+         SELECT media_id, chs.ch AS channel, sample_rate, n_frames,
+           list_transform(generate_series(0, CAST(n_frames - 1 AS INTEGER)),
+             f -> unicode(substr(text,
+               CAST((f * channels + chs.ch) % len AS INTEGER) + 1, 1))
+               * 256 - 16000) AS vals
+         FROM m JOIN chs ON chs.ch < m.channels)
+       SELECT media_id, CAST(channel AS BIGINT) AS channel, sample_rate,
+         n_frames AS n_samples,
+         CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms,
+         CAST(list_sum(vals) AS BIGINT) AS sum_pcm,
+         CAST(list_min(vals) AS BIGINT) AS min_pcm,
+         CAST(list_max(vals) AS BIGINT) AS max_pcm,
+         CAST(list_sum(list_transform(vals, v -> v * v)) AS BIGINT)
+           AS sumsq_pcm
+       FROM s ORDER BY media_id, channel"""
 }

@@ -1,6 +1,6 @@
 package graft.report
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
@@ -36,6 +36,25 @@ object Intervals {
     * into at most LEN/W + 1 = 3 buckets. */
   private val W = 3600L
   private val LEN = 7200L
+
+  /** In-plan series-length contract for the fold-based ops
+    * ([[cusumDrift]], [[ewmaSmooth]], [[kaplanMeier]]): their
+    * per-group `collect_list` arrays are CALENDAR-bounded (daily
+    * buckets / duration days), which is an implicit property of the
+    * grouping key — a key-cardinality bug (say, grouping by user_id
+    * instead of event_type) would silently OOM one task at 100 TB.
+    * Per the repo's raise_error convention (dedupIncremental's id
+    * floor), the bound is asserted IN the plan, evaluated once per
+    * aggregated group: ≤ [[SERIES_CAP]] elements (≈274 years of
+    * days — generous) passes through unchanged; a violating group
+    * fails the job loudly instead of spilling. */
+  private[graft] val SERIES_CAP = 100000
+  private def boundedSeries(ds: Column, op: String): Column =
+    when(size(ds) <= SERIES_CAP, ds).otherwise(
+      raise_error(concat(
+        lit(s"$op: per-group series exceeds $SERIES_CAP elements ("),
+        size(ds).cast("string"),
+        lit(") — calendar-bound contract violated"))))
 
   /** Maintenance-window enrichment: every `event_id % 199 == 0` event
     * opens a 2 h window for its event_type (deterministic, so the
@@ -347,9 +366,13 @@ object Intervals {
     * Scale shape: one (type, day) count groupBy (map-side combined),
     * then |types| rows each folding a ≤|days| array on the executor.
     * The DAY series is bounded by the calendar, not the corpus —
-    * this is the canonical "big data, small state" monitor. */
-  def cusumDrift(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+    * this is the canonical "big data, small state" monitor; the
+    * bound is ASSERTED in-plan by [[boundedSeries]]. */
+  def cusumDrift(spark: SparkSession, dir: String): DataFrame =
+    cusumDriftOf(Tables.events(spark, dir))
+
+  private[graft] def cusumDriftOf(events: DataFrame): DataFrame = {
+    val daily = events
       .groupBy(col("event_type"),
         floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
       .agg(count(lit(1)).cast("long").as("x"))
@@ -358,7 +381,9 @@ object Intervals {
     daily.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n_days"),
         sum(col("x")).cast("long").as("total"),
-        array_sort(collect_list(struct(col("day"), col("x")))).as("ds"))
+        boundedSeries(
+          array_sort(collect_list(struct(col("day"), col("x")))),
+          "cusumDrift").as("ds"))
       .withColumn("mean_daily", expr("total div n_days"))
       .withColumn("slack", expr("mean_daily div 20"))
       .withColumn("st", aggregate(
@@ -586,7 +611,8 @@ object Intervals {
     * negative — shiftright alone would FLOOR and diverge by one on
     * negative odd sums; no libm pow, the CLAUDE.md rule), seeded
     * at the series head. Emits the full smoothed series, not just the
-    * endpoint — the dashboard overlay line.
+    * endpoint — the dashboard overlay line. The per-type day series
+    * is calendar-bounded — asserted in-plan by [[boundedSeries]].
     *
     * Scale shape: the cusum_drift "big data, small state" pattern —
     * raw rows collapse to one (type, day) groupBy, the inherently
@@ -594,8 +620,11 @@ object Intervals {
     * day array (≤ #days elements) via `aggregate`, and the series
     * re-explodes from the accumulator. The oracle replays the same
     * recurrence as a recursive CTE. */
-  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame =
+    ewmaSmoothOf(Tables.events(spark, dir))
+
+  private[graft] def ewmaSmoothOf(events: DataFrame): DataFrame = {
+    val daily = events
       .groupBy(col("event_type"),
         floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
       .agg(sum(Exact.cents(col("value"))).cast("long").as("x"))
@@ -603,7 +632,9 @@ object Intervals {
       array().cast("array<struct<day:bigint,x:bigint,e:bigint>>").as("arr"),
       lit(0L).as("prev"), lit(0L).as("idx"))
     daily.groupBy(col("event_type"))
-      .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("ds"))
+      .agg(boundedSeries(
+        array_sort(collect_list(struct(col("day"), col("x")))),
+        "ewmaSmooth").as("ds"))
       .withColumn("st", aggregate(col("ds"), acc0, (acc, d) => {
         // trunc-toward-zero halving: floor (shiftright) plus one when
         // the sum is negative and odd — bit-identical to DuckDB `// 2`
@@ -1029,11 +1060,15 @@ object Intervals {
     *
     * Scale shape: events collapse once per user (map-side
     * combined), the duration histogram is (arms × ≤#days) rows, and
-    * the fold runs per arm over that bounded sorted array; the
+    * the fold runs per arm over that bounded sorted array — the
+    * calendar bound asserted in-plan by [[boundedSeries]]; the
     * corpus horizon is a 1-row broadcast, never a driver probe. */
-  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame =
+    kaplanMeierOf(Tables.events(spark, dir))
+
+  private[graft] def kaplanMeierOf(events: DataFrame): DataFrame = {
     import graft.util.Hashing
-    val users = Tables.events(spark, dir)
+    val users = events
       .select(col("user_id"),
         floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
       .groupBy(col("user_id"))
@@ -1053,8 +1088,10 @@ object Intervals {
         .as("arr"),
       lit(1000000L).as("s"), lit(0L).as("rem"))
     hist.groupBy(col("arm"))
-      .agg(array_sort(collect_list(struct(col("t"), col("d"), col("c"))))
-        .as("ds"), sum(col("d") + col("c")).as("total"))
+      .agg(boundedSeries(
+          array_sort(collect_list(struct(col("t"), col("d"), col("c")))),
+          "kaplanMeier").as("ds"),
+        sum(col("d") + col("c")).as("total"))
       .withColumn("st", aggregate(col("ds"),
         struct(acc0.getField("arr").as("arr"), acc0.getField("s").as("s"),
           col("total").as("rem")),

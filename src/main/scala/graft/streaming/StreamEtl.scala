@@ -233,7 +233,9 @@ object StreamEtl {
     * self-terminates — it keeps scheduling timeout-processing batches
     * forever. Run a TTL'd gate on a periodic trigger (the live-crawl
     * shape) or drain with single-batch `Trigger.Once` runs; reserve
-    * AvailableNow for the untimed (`stateTtlMs = None`) variant. */
+    * AvailableNow for the untimed (`stateTtlMs = None`) variant — or
+    * use [[nearDupStreamEventTime]], whose watermark-driven aging has
+    * no such trap and drains cleanly under AvailableNow. */
   def nearDupStream(spark: SparkSession, inputGlob: String, maxHamming: Int = 3,
                     stateTtlMs: Option[Long] = None,
                     seedIndex: Option[org.apache.spark.sql.Dataset[(Long, Long)]] = None)
@@ -299,6 +301,108 @@ object StreamEtl {
       case None =>
         grouped.flatMapGroupsWithState[BandMembers, NearDupHit](
           OutputMode.Append(), timeoutConf)(kernel)
+    }
+  }
+
+  /** Event-time variant of [[nearDupStream]] — the aging option that
+    * removes the ProcessingTimeTimeout scheduling trap documented
+    * there. Input lines are `id \t epoch_millis \t text` (a crawl
+    * feed's fetch timestamp); buckets age by WATERMARK: each bucket
+    * re-arms its timeout at (max event time it has seen) + `ttlMs`,
+    * and is evicted when the watermark passes that instant — wall
+    * clock and trigger cadence are irrelevant, replays age
+    * identically (the determinism processing-time TTL can't give).
+    *
+    * Because `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` under
+    * `EventTimeTimeout` re-fires only while the watermark ADVANCES,
+    * a `Trigger.AvailableNow` drain terminates: data batches, then at
+    * most one timeout-processing batch per watermark step, then done
+    * — no self-scheduling-forever. Late rows (event time at or below
+    * the current watermark) may arrive while their bucket still
+    * lives; the re-arm clamps to watermark + 1 so Spark's "timeout
+    * must be ahead of the watermark" contract holds. */
+  def nearDupStreamEventTime(spark: SparkSession, inputGlob: String,
+                             ttlMs: Long, maxHamming: Int = 3,
+                             watermarkDelay: String = "0 milliseconds",
+                             seedIndex: Option[org.apache.spark.sql.Dataset[(Long, Long)]] = None)
+      : org.apache.spark.sql.Dataset[NearDupHit] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val docs = spark.readStream.text(inputGlob)
+      .as[String]
+      .flatMap { line =>
+        line.split("\t", 3) match {
+          case Array(idS, tsS, text) =>
+            for { id <- idS.toLongOption; ts <- tsS.toLongOption }
+              yield (id, ts, graft.ext.Dedup.simhash64(text))
+          case _ => None
+        }
+      }
+      .toDF("id", "ts_ms", "sh")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", watermarkDelay)
+    // banding stays in DataFrame ops: a typed flatMap would mint new
+    // attributes WITHOUT the watermark metadata and the stateful op
+    // would reject the event-time timeout ("watermark must be
+    // specified"). The & 0xffff mask makes arithmetic shiftright
+    // equal to >>> here (shift ≤ 48 bits).
+    val banded = docs
+      .withColumn("band", explode(lit((0 until 4).toArray)))
+      .select(col("band"),
+        expr("shiftright(sh, 16 * band) & 65535").as("bucket"),
+        col("id"), col("sh"), col("ts_ms"), col("event_time"))
+      .as[(Int, Long, Long, Long, Long, java.sql.Timestamp)]
+
+    val kernel: ((Int, Long),
+                 Iterator[(Int, Long, Long, Long, Long, java.sql.Timestamp)],
+                 GroupState[BandMembers]) => Iterator[NearDupHit] = {
+      case (_, _, state) if state.hasTimedOut =>
+        // the watermark passed this bucket's last activity + TTL:
+        // its history is the batch index's from here on
+        state.remove()
+        Iterator.empty
+      case (_, rows, state) =>
+        val st = state.getOption.getOrElse(BandMembers(Array.empty, Array.empty))
+        val ids = scala.collection.mutable.ArrayBuffer(st.memberIds.toSeq: _*)
+        val hs = scala.collection.mutable.ArrayBuffer(st.memberSims.toSeq: _*)
+        val out = scala.collection.mutable.ArrayBuffer[NearDupHit]()
+        var maxTs = Long.MinValue
+        rows.toSeq.sortBy(_._3).foreach { case (b, _, id, sh, ts, _) =>
+          if (ts > maxTs) maxTs = ts
+          if (!ids.contains(id)) {
+            var k = 0
+            while (k < ids.length) {
+              val d = java.lang.Long.bitCount(sh ^ hs(k))
+              if (d <= maxHamming) out += NearDupHit(b, id, ids(k), d)
+              k += 1
+            }
+            ids += id; hs += sh
+          }
+        }
+        state.update(BandMembers(ids.toArray, hs.toArray))
+        state.setTimeoutTimestamp(
+          math.max(state.getCurrentWatermarkMs() + 1, maxTs + ttlMs))
+        out.iterator
+    }
+
+    val grouped = banded.groupByKey(r => (r._1, r._2))
+    seedIndex match {
+      case Some(seed) =>
+        val init = seed
+          .flatMap { case (id, sh) =>
+            (0 until 4).map(b => (b, (sh >>> (16 * b)) & 0xffffL, id, sh))
+          }
+          .groupByKey(r => (r._1, r._2))
+          .mapGroups { (k: (Int, Long), rows: Iterator[(Int, Long, Long, Long)]) =>
+            val rs = rows.toArray.sortBy(_._3)
+            (k, BandMembers(rs.map(_._3), rs.map(_._4)))
+          }
+          .groupByKey(_._1).mapValues(_._2)
+        grouped.flatMapGroupsWithState[BandMembers, NearDupHit](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout, init)(kernel)
+      case None =>
+        grouped.flatMapGroupsWithState[BandMembers, NearDupHit](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(kernel)
     }
   }
 

@@ -353,6 +353,59 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeAudio recovers header fields and sample stats from real WAV bytes") {
+    // independent content oracle from the raw text — the same
+    // interleaving arithmetic the DuckDB twin runs
+    val want = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val id = r.getLong(0); val text = r.getString(1)
+        val c = (id % 2 + 1).toInt
+        val rate = Seq(8000L, 11025L, 16000L, 22050L)((id % 4).toInt)
+        val nf = 40 + id % 23
+        (0 until c).map { ch =>
+          val vals = (0L until nf).map(f =>
+            text(((f * c + ch) % text.length).toInt).toLong * 256 - 16000)
+          (id, ch.toLong) -> ((rate, nf, vals.sum, vals.min, vals.max,
+            vals.map(v => v * v).sum))
+        }
+      }.toMap
+    val got = Multimodal.decodeAudio(spark, sf, parallelism = 4).collect()
+    assert(got.length == want.size)
+    got.foreach { d =>
+      val (rate, nf, s, mn, mx, sq) = want((d.media_id, d.channel))
+      assert(d.sample_rate == rate && d.n_samples == nf, s"header diverged: $d")
+      assert(d.duration_ms == nf * 1000 / rate, s"duration diverged: $d")
+      assert((d.sum_pcm, d.min_pcm, d.max_pcm, d.sumsq_pcm) == ((s, mn, mx, sq)),
+        s"sample stats diverged: $d")
+    }
+    // strict rejection: bad magic, non-PCM format, inconsistent sizes
+    val good = {
+      // hand-built minimal mono 8000 Hz file with one sample (0x0102)
+      val data = Array[Byte](2, 1)
+      val bb = java.nio.ByteBuffer.allocate(46)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(38); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+      bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(2); bb.put(data)
+      bb.array()
+    }
+    assert(Multimodal.parseWavHeader(good) == ((1, 8000, 44, 2)))
+    intercept[IllegalArgumentException] { // bad magic
+      Multimodal.parseWavHeader("JUNK".getBytes ++ good.drop(4))
+    }
+    intercept[IllegalArgumentException] { // RIFF size lie
+      val bad = good.clone(); bad(4) = 99; Multimodal.parseWavHeader(bad)
+    }
+    intercept[IllegalArgumentException] { // non-PCM format tag
+      val bad = good.clone(); bad(20) = 3; Multimodal.parseWavHeader(bad)
+    }
+    intercept[IllegalArgumentException] { // byteRate inconsistent
+      val bad = good.clone(); bad(28) = 1; Multimodal.parseWavHeader(bad)
+    }
+  }
+
   test("kmeans_embeddings assigns every vector to an in-range cluster") {
     val rows = SparkEntry.queries("kmeans_embeddings")(spark, sf).collect()
     assert(rows.length == graft.model.Tables.embeddings(spark, sf).count())

@@ -56,6 +56,31 @@ class StagedSpec extends AnyFunSuite {
     assert(Similarity.stagedIvfKeys.isEmpty)
   }
 
+  test("a Verify-style run leaves no staged persisted blocks behind") {
+    // mimic the Verify/Bench main-loop lifecycle (now wired in both
+    // mains): run staged-table consumers, then clearSession — nothing
+    // those queries persisted through the staged caches may survive,
+    // and the caches must be re-entrant afterwards
+    graft.util.Staged.clearSession(spark) // clean slate from earlier tests
+    SparkEntry.queries("dedup_groups")(spark, sf).count()
+    SparkEntry.queries("dedup_minhash_lsh")(spark, sf).count()
+    SparkEntry.queries("knn_ivf_kmeans")(spark, sf).count()
+    val during = spark.sparkContext.getPersistentRDDs.keySet
+    graft.util.Staged.clearSession(spark)
+    assert(Dedup.stagedKeeperKeys.isEmpty)
+    assert(Dedup.stagedSigKeys.isEmpty)
+    assert(Similarity.stagedIvfKeys.isEmpty)
+    // the staged persist()s must actually leave the block registry
+    // (unpersist removes from persistentRdds synchronously even with
+    // blocking=false; lineage localCheckpoints are unmanaged and stay)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((during -- after).size >= 3,
+      s"expected the keeper/signature/IVF blocks evicted; " +
+        s"during=${during.size} after=${after.size}")
+    // re-entrant: a fresh consumer rebuilds cleanly
+    assert(SparkEntry.queries("dedup_groups")(spark, sf).count() > 0)
+  }
+
   test("ppmMediaTable raises on non-ASCII text (in-plan contract)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ppm").toString
     import spark.implicits._

@@ -669,6 +669,78 @@ class StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDupStreamEventTime: watermark eviction drains under AvailableNow") {
+    val base = Files.createTempDirectory("graft_neardup_et").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val twins = docs.filter(_._1 % 5 == 0)
+      .map { case (id, t) => (id + 100000, t + " zqxj") }
+    val T0 = 1000000L; val TTL = 10000L
+
+    def runAvailableNow(cp: String, dir: String)
+        : (Seq[StreamEtl.NearDupHit], Int) = {
+      val buf = new scala.collection.mutable.ArrayBuffer[StreamEtl.NearDupHit]()
+      val q = StreamEtl.nearDupStreamEventTime(spark, s"$dir/*", ttlMs = TTL)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamEtl.NearDupHit], _: Long) =>
+          buf.synchronized { buf ++= batch.collect() }; ()
+        }
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // the trap this variant removes: under ProcessingTimeTimeout an
+      // AvailableNow query schedules timeout batches FOREVER; under
+      // EventTimeTimeout it must self-terminate once the watermark
+      // stops advancing
+      assert(q.awaitTermination(180000),
+        "AvailableNow drain did not self-terminate under EventTimeTimeout")
+      (buf.synchronized(buf.toSeq), q.recentProgress.length)
+    }
+
+    // run 1: originals at T0 populate bucket state and terminate
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/f1"),
+      docs.map { case (id, t) => s"$id\t$T0\t$t" }.mkString("", "\n", "\n"))
+    val (_, b1) = runAvailableNow(s"$base/cp1", in)
+    assert(b1 <= 4, s"run 1 scheduled $b1 batches — timeout loop is back")
+
+    // run 2: one unrelated doc past the TTL advances the watermark —
+    // every T0 bucket's armed timeout (T0 + TTL) is now behind it
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/f2"),
+      s"999999\t${T0 + TTL + 5000}\tzzz yyy xxx www unrelated filler only\n")
+    val (_, b2) = runAvailableNow(s"$base/cp1", in)
+    assert(b2 <= 4, s"run 2 scheduled $b2 batches — timeout loop is back")
+
+    // run 3: twins arrive after the eviction — no cross-file hit may
+    // emit (their originals' history belongs to the batch index now)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/f3"),
+      twins.map { case (id, t) => s"$id\t${T0 + TTL + 6000}\t$t" }
+        .mkString("", "\n", "\n"))
+    val (e3, _) = runAvailableNow(s"$base/cp1", in)
+    val crossAfterEvict = e3.filter(h => h.doc_id >= 100000 && h.dup_of < 100000)
+    assert(crossAfterEvict.isEmpty,
+      s"watermark-aged state still matched: ${crossAfterEvict.take(3)}")
+
+    // control (fresh dir + checkpoint): twins WITHIN the TTL window do
+    // match — eviction above was the watermark's doing, not a broken gate
+    val in2 = s"$base/in2"; new java.io.File(in2).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in2/f1"),
+      docs.map { case (id, t) => s"$id\t$T0\t$t" }.mkString("", "\n", "\n"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in2/f2"),
+      twins.map { case (id, t) => s"$id\t${T0 + 100}\t$t" }
+        .mkString("", "\n", "\n"))
+    val (eIn, _) = runAvailableNow(s"$base/cp2", in2)
+    val crossLive = eIn.filter(h => h.doc_id >= 100000 && h.dup_of < 100000)
+    assert(crossLive.nonEmpty, "in-window twins produced no matches")
+    crossLive.foreach { h =>
+      val sh1 = graft.ext.Dedup.simhash64(docs.find(_._1 == h.dup_of).get._2)
+      val sh2 = graft.ext.Dedup.simhash64(twins.find(_._1 == h.doc_id).get._2)
+      assert(java.lang.Long.bitCount(sh1 ^ sh2) == h.hamming)
+    }
+  }
+
   test("jdbcIngest is exactly-once into JDBC across rotation AND batch replay") {
     val base = Files.createTempDirectory("graft_jdbc_stream").toString
     val in = s"$base/in"; val cp = s"$base/cp"
