@@ -401,30 +401,33 @@ object Audit {
     * z-buckets — map-side combine collapses every partition to
     * ≤256 rows; this audit never sorts the data it would lay out
     * (the actual rewrite would `repartitionByRange(zvalue)`). */
+  // spread the low 16 bits of x to even bit positions (Morton half) —
+  // shared by zorderLayout and pruningAudit
+  private def spread(x0: Column): Column = {
+    val m  = x0.bitwiseAND(lit(0xFFFFL))
+    val s1 = m.bitwiseOR(shiftleft(m, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+  // scale-free: keys normalize to the 16-bit domain against their
+  // in-query maxima (1-row broadcast, the no-driver-probe rule), so
+  // the z-ranges stay meaningful at any corpus size. floor of a
+  // double quotient — products ≤ 65535·key stay exactly
+  // representable, and floor-first is the cross-engine convention.
+  private def norm16(x: Column, mx: Column): Column =
+    floor(x.cast("double") * 65535 / mx).cast("long")
+  private def zval(a: Column, maxA: Column, b: Column, maxB: Column): Column =
+    spread(norm16(a, maxA)).bitwiseOR(shiftleft(spread(norm16(b, maxB)), 1))
+
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
-    // spread the low 16 bits of x to even bit positions (Morton half)
-    def spread(x0: Column): Column = {
-      val m  = x0.bitwiseAND(lit(0xFFFFL))
-      val s1 = m.bitwiseOR(shiftleft(m, 8)).bitwiseAND(lit(0x00FF00FFL))
-      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
-      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
-      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
-    }
-    // scale-free: keys normalize to the 16-bit domain against their
-    // in-query maxima (1-row broadcast, the no-driver-probe rule), so
-    // the 256 z-ranges stay meaningful at any corpus size. floor of a
-    // double quotient — products ≤ 65535·key stay exactly
-    // representable, and floor-first is the cross-engine convention.
-    def norm(x: Column, mx: Column): Column =
-      floor(x.cast("double") * 65535 / mx).cast("long")
     val li = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"))
     val mx = li.agg(max(col("l_partkey")).as("maxp"),
       max(col("l_suppkey")).as("maxs"))
     li.crossJoin(broadcast(mx))
       .withColumn("z",
-        spread(norm(col("l_partkey"), col("maxp")))
-          .bitwiseOR(shiftleft(spread(norm(col("l_suppkey"), col("maxs"))), 1)))
+        zval(col("l_partkey"), col("maxp"), col("l_suppkey"), col("maxs")))
       .groupBy(shiftright(col("z"), 25).cast("long").as("z_bucket"))
       .agg(count(lit(1)).cast("long").as("n_rows"),
         min(col("l_partkey")).cast("long").as("min_part"),
@@ -465,6 +468,125 @@ object Audit {
          max_part - min_part AS part_span,
          max_supp - min_supp AS supp_span
        FROM g ORDER BY z_bucket"""
+  }
+
+  /** Min/max data-skipping audit — the measurement behind the layout
+    * decision [[zorderLayout]] demonstrates: for the SAME two point-
+    * range predicates (a ~2%-of-domain partkey band and a suppkey
+    * band, bounds derived in-query), how many shards — and how many
+    * rows — each of three physical layouts lets a min/max-stats scan
+    * skip. Layouts: insertion order (shards = orderkey ranges — the
+    * do-nothing baseline), single-key sort (partkey ranges — perfect
+    * for its own key, useless for the other), and Morton/Z-order
+    * (both keys interleaved — the multi-dimensional compromise).
+    * A shard is skippable when its [min, max] on the predicate column
+    * misses the band — exactly the parquet row-group / Delta file
+    * pruning rule. The result is the 3-row table that answers "is
+    * Z-ordering this table worth it for this workload".
+    *
+    * Scale shape: ONE fact scan fans ×3 through a generator (the
+    * honest cost of auditing 3 layouts), one (layout, shard) groupBy
+    * with map-side combine — stats frames are ≤ 3·64 rows; knob
+    * maxima ride a 1-row broadcast. */
+  def pruningAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val mx = li.agg(max(col("l_orderkey")).as("maxo"),
+      max(col("l_partkey")).as("maxp"), max(col("l_suppkey")).as("maxs"))
+    val sh = li.crossJoin(broadcast(mx))
+      .select(explode(array(
+        struct(lit("1_natural").as("layout"),
+          expr("(l_orderkey * 64) div (maxo + 1)").as("shard"),
+          col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+          col("maxp"), col("maxs")),
+        struct(lit("2_by_part").as("layout"),
+          expr("(l_partkey * 64) div (maxp + 1)").as("shard"),
+          col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+          col("maxp"), col("maxs")),
+        struct(lit("3_zorder").as("layout"),
+          shiftright(zval(col("l_partkey"), col("maxp"),
+            col("l_suppkey"), col("maxs")), 26).as("shard"),
+          col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+          col("maxp"), col("maxs")))).as("r"))
+      .select(col("r.*"))
+    val g = sh.groupBy(col("layout"), col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
+        min(col("sk")).as("min_sk"), max(col("sk")).as("max_sk"),
+        first(col("maxp")).as("maxp"), first(col("maxs")).as("maxs"))
+      // predicate bands: (40%, 42%] of each key domain
+      .withColumn("plo", expr("maxp * 40 div 100 + 1"))
+      .withColumn("phi", expr("maxp * 42 div 100"))
+      .withColumn("slo", expr("maxs * 40 div 100 + 1"))
+      .withColumn("shi", expr("maxs * 42 div 100"))
+      .withColumn("p_skip", col("max_pk") < col("plo") || col("min_pk") > col("phi"))
+      .withColumn("s_skip", col("max_sk") < col("slo") || col("min_sk") > col("shi"))
+    g.groupBy(col("layout"))
+      .agg(count(lit(1)).cast("long").as("n_shards"),
+        sum(col("n_rows")).cast("long").as("total_rows"),
+        sum(when(col("p_skip"), 1L).otherwise(0L)).cast("long")
+          .as("part_skip_shards"),
+        sum(when(col("p_skip"), 0L).otherwise(col("n_rows"))).cast("long")
+          .as("part_scan_rows"),
+        sum(when(col("s_skip"), 1L).otherwise(0L)).cast("long")
+          .as("supp_skip_shards"),
+        sum(when(col("s_skip"), 0L).otherwise(col("n_rows"))).cast("long")
+          .as("supp_scan_rows"))
+      .orderBy(col("layout"))
+  }
+
+  val pruningAuditSql: String = {
+    def spreadSql(x: String): String = {
+      val m  = s"($x & 65535)"
+      val s1 = s"(($m | ($m << 8)) & 16711935)"
+      val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
+      val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
+      s"(($s3 | ($s3 << 1)) & 1431655765)"
+    }
+    def normSql(x: String, mx: String): String =
+      s"CAST(floor(CAST($x AS DOUBLE) * 65535 / $mx) AS BIGINT)"
+    val zv = s"(${spreadSql(normSql("l_partkey", "maxp"))} | " +
+      s"(${spreadSql(normSql("l_suppkey", "maxs"))} << 1))"
+    s"""WITH mx AS (
+         SELECT max(l_orderkey) AS maxo, max(l_partkey) AS maxp,
+                max(l_suppkey) AS maxs
+         FROM lineitem),
+       base AS (
+         SELECT l_orderkey, l_partkey AS pk, l_suppkey AS sk,
+           maxo, maxp, maxs, $zv AS zv
+         FROM lineitem CROSS JOIN mx),
+       sh AS (
+         SELECT '1_natural' AS layout, (l_orderkey * 64) // (maxo + 1) AS shard,
+                pk, sk, maxp, maxs FROM base
+         UNION ALL
+         SELECT '2_by_part', (pk * 64) // (maxp + 1), pk, sk, maxp, maxs
+         FROM base
+         UNION ALL
+         SELECT '3_zorder', zv >> 26, pk, sk, maxp, maxs FROM base),
+       g AS (
+         SELECT layout, shard, count(*) AS n_rows,
+           min(pk) AS min_pk, max(pk) AS max_pk,
+           min(sk) AS min_sk, max(sk) AS max_sk,
+           any_value(maxp) AS maxp, any_value(maxs) AS maxs
+         FROM sh GROUP BY 1, 2),
+       f AS (
+         SELECT layout, n_rows,
+           (max_pk < maxp * 40 // 100 + 1 OR min_pk > maxp * 42 // 100)
+             AS p_skip,
+           (max_sk < maxs * 40 // 100 + 1 OR min_sk > maxs * 42 // 100)
+             AS s_skip
+         FROM g)
+       SELECT layout, CAST(count(*) AS BIGINT) AS n_shards,
+         CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         CAST(sum(CASE WHEN p_skip THEN 1 ELSE 0 END) AS BIGINT)
+           AS part_skip_shards,
+         CAST(sum(CASE WHEN p_skip THEN 0 ELSE n_rows END) AS BIGINT)
+           AS part_scan_rows,
+         CAST(sum(CASE WHEN s_skip THEN 1 ELSE 0 END) AS BIGINT)
+           AS supp_skip_shards,
+         CAST(sum(CASE WHEN s_skip THEN 0 ELSE n_rows END) AS BIGINT)
+           AS supp_scan_rows
+       FROM f GROUP BY layout ORDER BY layout"""
   }
 
   /** Hot-key skew report — the measurement that decides WHERE the
