@@ -589,6 +589,87 @@ object Audit {
        FROM f GROUP BY layout ORDER BY layout"""
   }
 
+  /** Shard-rebalance movement audit — the planning number behind
+    * growing a 100 TB table's shard count (12 → 16 here): what
+    * fraction of rows MOVE under plain mod-hash assignment (nearly
+    * everything — `h mod 12` and `h mod 16` agree only by luck)
+    * versus rendezvous/HRW hashing (`argmax over shards of
+    * hash(key, shard)` — provably only the rows whose argmax lands
+    * on one of the 4 NEW shards move, ≈ 25%). Per-row shard hashes
+    * come from the portable md5 family ([[graft.util.Hashing]]);
+    * the argmax is the struct-max convention (lexicographic on
+    * (hash, shard) — identical in both engines). Also emits the
+    * post-rebalance HRW load spread (max/min shard load) — the
+    * balance check that makes the movement saving trustworthy.
+    *
+    * Scale shape: one fact scan computing 16 md5s per row (the
+    * honest price of HRW; a production system caches them per key),
+    * ONE groupBy on the 16-value new-shard key with every movement
+    * flag partial-aggregated map-side, then a 16-row final fold —
+    * nothing row-scale passes the shuffle. */
+  def rebalancePlan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Hashing
+    val key = col("l_orderkey").cast("string")
+    def hs(s: Column): Column =
+      conv(substring(md5(concat(key, lit("#"), s.cast("string"))), 1, 15),
+        16, 10).cast("long")
+    val h0 = Hashing.phash(key, "rb_")
+    val hashes = transform(sequence(lit(0), lit(15)),
+      s => struct(hs(s).as("h"), s.cast("long").as("s")))
+    val per = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"))
+      .select(
+        pmod(h0, lit(12L)).as("mod_old"), pmod(h0, lit(16L)).as("mod_new"),
+        array_max(slice(hashes, 1, 12)).getField("s").as("hrw_old"),
+        array_max(hashes).getField("s").as("hrw_new"))
+    val byShard = per.groupBy(col("hrw_new"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("mod_old") =!= col("mod_new"), 1L).otherwise(0L))
+          .as("mod_mv"),
+        sum(when(col("hrw_old") =!= col("hrw_new"), 1L).otherwise(0L))
+          .as("hrw_mv"))
+    byShard.agg(
+        sum(col("n")).cast("long").as("n_rows"),
+        sum(col("mod_mv")).cast("long").as("mod_moved"),
+        sum(col("hrw_mv")).cast("long").as("hrw_moved"),
+        max(col("n")).cast("long").as("hrw_max_load"),
+        min(col("n")).cast("long").as("hrw_min_load"))
+      .select(col("n_rows"), col("mod_moved"),
+        expr("mod_moved * 1000000 div n_rows").as("mod_moved_ppm"),
+        col("hrw_moved"),
+        expr("hrw_moved * 1000000 div n_rows").as("hrw_moved_ppm"),
+        col("hrw_max_load"), col("hrw_min_load"))
+  }
+
+  val rebalancePlanSql: String = {
+    def hsSql(s: String) =
+      s"CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#' || $s), 1, 15)) AS BIGINT)"
+    val h0 = "CAST(('0x' || substr(md5('rb_' || CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+    s"""WITH per AS (
+         SELECT
+           $h0 % 12 AS mod_old, $h0 % 16 AS mod_new,
+           struct_extract(list_max(list_transform(generate_series(0, 11),
+             s -> struct_pack(h := ${hsSql("s")}, s := CAST(s AS BIGINT)))),
+             's') AS hrw_old,
+           struct_extract(list_max(list_transform(generate_series(0, 15),
+             s -> struct_pack(h := ${hsSql("s")}, s := CAST(s AS BIGINT)))),
+             's') AS hrw_new
+         FROM lineitem),
+       g AS (
+         SELECT hrw_new, count(*) AS n,
+           sum(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END) AS mod_mv,
+           sum(CASE WHEN hrw_old <> hrw_new THEN 1 ELSE 0 END) AS hrw_mv
+         FROM per GROUP BY hrw_new)
+       SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(sum(mod_mv) AS BIGINT) AS mod_moved,
+         CAST(sum(mod_mv) * 1000000 // sum(n) AS BIGINT) AS mod_moved_ppm,
+         CAST(sum(hrw_mv) AS BIGINT) AS hrw_moved,
+         CAST(sum(hrw_mv) * 1000000 // sum(n) AS BIGINT) AS hrw_moved_ppm,
+         CAST(max(n) AS BIGINT) AS hrw_max_load,
+         CAST(min(n) AS BIGINT) AS hrw_min_load
+       FROM g"""
+  }
+
   /** Hot-key skew report — the measurement that decides WHERE the
     * salting patterns ([[graft.report.Incremental.saltedAgg]],
     * `skew_join`) are worth their overhead: the 20 heaviest join/agg

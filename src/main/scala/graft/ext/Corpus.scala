@@ -210,6 +210,75 @@ object Corpus {
          CAST(sum(CASE WHEN h < quota THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_sampled
        FROM d GROUP BY source ORDER BY source"""
 
+  /** Neyman-optimal sample allocation — where a fixed
+    * annotation/eval budget (10,000 docs here) should go across
+    * sources: proportional allocation oversamples homogeneous
+    * sources, while Neyman allocation n_h ∝ N_h·σ_h (Neyman 1934)
+    * spends budget where the stratum is big AND internally varied —
+    * the classic survey-sampling rule a curation pipeline uses to
+    * budget human review. σ_h is the per-source std-dev of document
+    * token length from EXACT integer moments (count/sum/sum-of-
+    * squares — BIGINT-safe to ~10¹² docs at these lengths); the
+    * variance/sqrt step is the identical IEEE expression on both
+    * engines (sqrt is bit-stable; ln/exp are not), and the
+    * denominator Σ N_h·σ_h folds over the source-sorted list so the
+    * double summation ORDER is pinned cross-engine (the CLAUDE.md
+    * fixed-fold-order rule). Both allocations emitted side by side.
+    *
+    * Scale shape: one doc scan into a per-source moments groupBy
+    * (map-side combined, |sources| rows); the ordered fold and the
+    * broadcast join run on that bounded frame. */
+  def sampleAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), size(toks(col("text"))).cast("long").as("v"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+      .withColumn("sd", sqrt(greatest(
+        col("s2").cast("double") / col("n")
+          - (col("s1").cast("double") / col("n"))
+            * (col("s1").cast("double") / col("n")),
+        lit(0.0))))
+      .withColumn("w", col("n").cast("double") * col("sd"))
+    val tot = per.agg(
+      sum(col("n")).as("ntot"),
+      aggregate(array_sort(collect_list(struct(col("source"), col("w")))),
+        lit(0.0), (a, x) => a + x.getField("w")).as("wtot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        col("n").cast("long").as("n_docs"),
+        floor(col("sd") * 1000).cast("long").as("sd_milli"),
+        floor(lit(10000) * col("w") / col("wtot")).cast("long").as("neyman_n"),
+        expr("n * 10000 div ntot").cast("long").as("proportional_n"))
+      .orderBy(col("source"))
+  }
+
+  val sampleAllocationSql: String =
+    s"""WITH d AS (
+         SELECT source, CAST(len(${toksSql("text")}) AS BIGINT) AS v
+         FROM documents),
+       g AS (
+         SELECT source, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+         FROM d GROUP BY source),
+       s AS (
+         SELECT source, n,
+           sqrt(greatest(CAST(s2 AS DOUBLE) / n
+             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+             0.0)) AS sd
+         FROM g),
+       w AS (SELECT source, n, sd, CAST(n AS DOUBLE) * sd AS w FROM s),
+       t AS (
+         SELECT sum(n) AS ntot,
+           list_reduce(list_prepend(0.0, list_transform(
+             list(struct_pack(source := source, w := w) ORDER BY source),
+             x -> struct_extract(x, 'w'))), (a, b) -> a + b) AS wtot
+         FROM w)
+       SELECT w.source, CAST(w.n AS BIGINT) AS n_docs,
+         CAST(floor(w.sd * 1000) AS BIGINT) AS sd_milli,
+         CAST(floor(10000 * w.w / t.wtot) AS BIGINT) AS neyman_n,
+         CAST(w.n * 10000 // t.ntot AS BIGINT) AS proportional_n
+       FROM w CROSS JOIN t ORDER BY w.source"""
+
   /** Corpus-trained bigram language-model scoring — the count-based
     * skeleton of KenLM-style quality filtering: pass 1 counts every
     * bigram's occurrences across the corpus (one shuffle with

@@ -895,4 +895,46 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getLong(4) == band.map(_._3).sum / band.length)
     }
   }
+  test("rebalance_plan: HRW movement targets only the new shards and beats mod") {
+    val r = SparkEntry.queries("rebalance_plan")(spark, sf).head()
+    val n = r.getAs[Long]("n_rows")
+    val modMoved = r.getAs[Long]("mod_moved"); val hrwMoved = r.getAs[Long]("hrw_moved")
+    assert(n > 0 && hrwMoved < modMoved,
+      s"rendezvous must move fewer rows than mod ($hrwMoved vs $modMoved)")
+    // HRW theory: a row moves iff its 16-shard argmax is one of the 4
+    // NEW shards -> expected moved fraction ~4/16; allow wide slack
+    val frac = hrwMoved.toDouble / n
+    assert(frac > 0.15 && frac < 0.35, s"HRW moved fraction off theory: $frac")
+    assert(r.getAs[Long]("hrw_max_load") >= r.getAs[Long]("hrw_min_load"))
+    // independent brute-force twin on a sample of keys
+    import graft.util.Hashing
+    val keys = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey").limit(200).collect().map(_.getLong(0))
+    def md5h(s0: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        .take(15), 16)
+    val movedSample = keys.count { k =>
+      def arg(nSh: Int) = (0 until nSh).maxBy(sh => (md5h(s"$k#$sh"), sh.toLong))
+      arg(12) != arg(16)
+    }
+    // every sampled mover's destination must be a NEW shard (12..15)
+    keys.foreach { k =>
+      def arg(nSh: Int) = (0 until nSh).maxBy(sh => (md5h(s"$k#$sh"), sh.toLong))
+      if (arg(12) != arg(16)) assert(arg(16) >= 12, s"mover landed on an old shard for key $k")
+    }
+    assert(movedSample >= 0) // sample sanity (the hash twin ran)
+  }
+
+  test("sample_allocation: allocations exhaust the budget within floor loss") {
+    val rows = SparkEntry.queries("sample_allocation")(spark, sf).collect()
+    val k = rows.length
+    val ney = rows.map(_.getAs[Long]("neyman_n")).sum
+    val prop = rows.map(_.getAs[Long]("proportional_n")).sum
+    assert(ney <= 10000 && ney >= 10000 - k, s"neyman sum $ney out of floor band")
+    assert(prop <= 10000 && prop >= 10000 - k, s"proportional sum $prop out of floor band")
+    // a source with zero spread must get zero Neyman budget share only
+    // if its sd is zero; all sds here are nonnegative
+    rows.foreach(r => assert(r.getAs[Long]("sd_milli") >= 0))
+  }
 }
