@@ -39,7 +39,12 @@ object Bench {
     // stable value) because all three back-to-back samples landed
     // inside one stall window.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // optional comma-separated restriction (builder-side iteration on
+    // one query's cost); the driver's unfiltered run times them all
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples =
       scala.collection.mutable.Map.empty[String, List[Double]]
         .withDefaultValue(Nil)

@@ -489,12 +489,20 @@ object Audit {
     * with map-side combine — stats frames are ≤ 3·64 rows; knob
     * maxima ride a 1-row broadcast. */
   def pruningAudit(spark: SparkSession, dir: String): DataFrame = {
+    // the test parquets are single-split: spread the scan before the
+    // ×3 generator + per-row Morton work runs in one task
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val mx = li.agg(max(col("l_orderkey")).as("maxo"),
       max(col("l_partkey")).as("maxp"), max(col("l_suppkey")).as("maxs"))
+    // explode_outer, not explode: the plain form makes
+    // InferFiltersFromGenerate synthesize a size()>0 filter that
+    // re-inlines the whole 3-struct array below the projection
+    // (CLAUDE.md trap); the literal array is never empty so the
+    // outer variant is behavior-identical
     val sh = li.crossJoin(broadcast(mx))
-      .select(explode(array(
+      .select(explode_outer(array(
         struct(lit("1_natural").as("layout"),
           expr("(l_orderkey * 64) div (maxo + 1)").as("shard"),
           col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
@@ -602,31 +610,48 @@ object Audit {
     * post-rebalance HRW load spread (max/min shard load) — the
     * balance check that makes the movement saving trustworthy.
     *
-    * Scale shape: one fact scan computing 16 md5s per row (the
-    * honest price of HRW; a production system caches them per key),
-    * ONE groupBy on the 16-value new-shard key with every movement
-    * flag partial-aggregated map-side, then a 16-row final fold —
-    * nothing row-scale passes the shuffle. */
+    * Scale shape: assignment is a property of the KEY, so hashing
+    * runs on the DISTINCT-key frame (one narrow groupBy carries each
+    * key's row weight) — at TPC-H fanout that is 4× less hashing
+    * than per-row, and the 16 rendezvous words cost only 8 md5s
+    * (low/high 60-bit word split, the phash/phashHi trick). The hash
+    * array is hoisted behind a fence so both argmax consumers read
+    * ONE materialized column (CollapseProject would otherwise inline
+    * the 8-md5 expression per consumer — the Style5 lesson). Then
+    * ONE groupBy on the 16-value new-shard key with weighted movement
+    * flags partial-aggregated map-side, and a 16-row final fold. */
   def rebalancePlan(spark: SparkSession, dir: String): DataFrame = {
-    import graft.util.Hashing
+    import graft.util.{Fence, Hashing}
+    val keys = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("w"))
     val key = col("l_orderkey").cast("string")
-    def hs(s: Column): Column =
-      conv(substring(md5(concat(key, lit("#"), s.cast("string"))), 1, 15),
-        16, 10).cast("long")
-    val h0 = Hashing.phash(key, "rb_")
-    val hashes = transform(sequence(lit(0), lit(15)),
-      s => struct(hs(s).as("h"), s.cast("long").as("s")))
-    val per = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"))
-      .select(
-        pmod(h0, lit(12L)).as("mod_old"), pmod(h0, lit(16L)).as("mod_new"),
-        array_max(slice(hashes, 1, 12)).getField("s").as("hrw_old"),
-        array_max(hashes).getField("s").as("hrw_new"))
+    // the 8 md5 digests land as NAMED columns behind a fence (an
+    // array-of-structs HOF build measured 3× slower — higher-order
+    // lambdas stay interpreted, and the argmax consumers would
+    // re-inline the build); shard 2p ← hex chars 1-15 of m_p,
+    // shard 2p+1 ← chars 17-31, argmax via codegen'd greatest()
+    // over (h, s) structs — struct ordering is lexicographic on
+    // both engines
+    val withMd5 = keys.select(
+      Seq(col("w"), Hashing.phash(key, "rb_").as("h0")) ++
+        (0 to 7).map(p => md5(concat(key, lit(s"#$p"))).as(s"m$p")): _*)
+    val fenced = Fence.barrier(withMd5)
+    def shardStruct(s: Int): Column = {
+      val off = if (s % 2 == 0) 1 else 17
+      struct(conv(substring(col(s"m${s / 2}"), off, 15), 16, 10)
+        .cast("long").as("h"), lit(s.toLong).as("s"))
+    }
+    val structs = (0 until 16).map(shardStruct)
+    val per = fenced.select(col("w"),
+      pmod(col("h0"), lit(12L)).as("mod_old"),
+      pmod(col("h0"), lit(16L)).as("mod_new"),
+      greatest(structs.take(12): _*).getField("s").as("hrw_old"),
+      greatest(structs: _*).getField("s").as("hrw_new"))
     val byShard = per.groupBy(col("hrw_new"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("mod_old") =!= col("mod_new"), 1L).otherwise(0L))
+      .agg(sum(col("w")).as("n"),
+        sum(when(col("mod_old") =!= col("mod_new"), col("w")).otherwise(0L))
           .as("mod_mv"),
-        sum(when(col("hrw_old") =!= col("hrw_new"), 1L).otherwise(0L))
+        sum(when(col("hrw_old") =!= col("hrw_new"), col("w")).otherwise(0L))
           .as("hrw_mv"))
     byShard.agg(
         sum(col("n")).cast("long").as("n_rows"),
@@ -642,23 +667,27 @@ object Audit {
   }
 
   val rebalancePlanSql: String = {
-    def hsSql(s: String) =
-      s"CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#' || $s), 1, 15)) AS BIGINT)"
+    def word(p: String, off: Int) =
+      s"CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#' || $p), $off, 15)) AS BIGINT)"
     val h0 = "CAST(('0x' || substr(md5('rb_' || CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)"
-    s"""WITH per AS (
-         SELECT
-           $h0 % 12 AS mod_old, $h0 % 16 AS mod_new,
-           struct_extract(list_max(list_transform(generate_series(0, 11),
-             s -> struct_pack(h := ${hsSql("s")}, s := CAST(s AS BIGINT)))),
-             's') AS hrw_old,
-           struct_extract(list_max(list_transform(generate_series(0, 15),
-             s -> struct_pack(h := ${hsSql("s")}, s := CAST(s AS BIGINT)))),
-             's') AS hrw_new
-         FROM lineitem),
+    s"""WITH k AS (
+         SELECT l_orderkey, count(*) AS w FROM lineitem GROUP BY l_orderkey),
+       hashed AS (
+         SELECT w, $h0 AS h0,
+           flatten(list_transform(generate_series(0, 7), p ->
+             [struct_pack(h := ${word("p", 1)}, s := CAST(2 * p AS BIGINT)),
+              struct_pack(h := ${word("p", 17)}, s := CAST(2 * p + 1 AS BIGINT))]))
+             AS hs
+         FROM k),
+       per AS (
+         SELECT w, h0 % 12 AS mod_old, h0 % 16 AS mod_new,
+           struct_extract(list_max(hs[1:12]), 's') AS hrw_old,
+           struct_extract(list_max(hs), 's') AS hrw_new
+         FROM hashed),
        g AS (
-         SELECT hrw_new, count(*) AS n,
-           sum(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END) AS mod_mv,
-           sum(CASE WHEN hrw_old <> hrw_new THEN 1 ELSE 0 END) AS hrw_mv
+         SELECT hrw_new, sum(w) AS n,
+           sum(CASE WHEN mod_old <> mod_new THEN w ELSE 0 END) AS mod_mv,
+           sum(CASE WHEN hrw_old <> hrw_new THEN w ELSE 0 END) AS hrw_mv
          FROM per GROUP BY hrw_new)
        SELECT CAST(sum(n) AS BIGINT) AS n_rows,
          CAST(sum(mod_mv) AS BIGINT) AS mod_moved,

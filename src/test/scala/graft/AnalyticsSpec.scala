@@ -906,24 +906,28 @@ class AnalyticsSpec extends AnyFunSuite {
     val frac = hrwMoved.toDouble / n
     assert(frac > 0.15 && frac < 0.35, s"HRW moved fraction off theory: $frac")
     assert(r.getAs[Long]("hrw_max_load") >= r.getAs[Long]("hrw_min_load"))
-    // independent brute-force twin on a sample of keys
-    import graft.util.Hashing
+    // independent brute-force twin on a sample of keys: shard 2p takes
+    // md5 hex chars 1-15, shard 2p+1 chars 17-31 (the low/high split)
     val keys = spark.read.parquet(s"$sf/lineitem.parquet")
-      .select("l_orderkey").limit(200).collect().map(_.getLong(0))
-    def md5h(s0: String): Long =
-      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
-        .digest(s0.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-        .take(15), 16)
-    val movedSample = keys.count { k =>
-      def arg(nSh: Int) = (0 until nSh).maxBy(sh => (md5h(s"$k#$sh"), sh.toLong))
-      arg(12) != arg(16)
+      .select("l_orderkey").limit(200).collect().map(_.getLong(0)).distinct
+    def md5hex(s0: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shardHash(k: Long, sh: Int): Long = {
+      val hex = md5hex(s"$k#${sh / 2}")
+      java.lang.Long.parseLong(
+        if (sh % 2 == 0) hex.substring(0, 15) else hex.substring(16, 31), 16)
     }
-    // every sampled mover's destination must be a NEW shard (12..15)
+    var moversSeen = 0
     keys.foreach { k =>
-      def arg(nSh: Int) = (0 until nSh).maxBy(sh => (md5h(s"$k#$sh"), sh.toLong))
-      if (arg(12) != arg(16)) assert(arg(16) >= 12, s"mover landed on an old shard for key $k")
+      def arg(nSh: Int) = (0 until nSh).maxBy(sh => (shardHash(k, sh), sh.toLong))
+      if (arg(12) != arg(16)) {
+        moversSeen += 1
+        // every mover's destination must be a NEW shard (12..15)
+        assert(arg(16) >= 12, s"mover landed on an old shard for key $k")
+      }
     }
-    assert(movedSample >= 0) // sample sanity (the hash twin ran)
+    assert(moversSeen >= 0) // sample sanity (the hash twin ran)
   }
 
   test("sample_allocation: allocations exhaust the budget within floor loss") {

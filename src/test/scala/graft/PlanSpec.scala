@@ -425,6 +425,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("round-7 additions keep broadcast-only products and no cartesians") {
+    // media_audio / media_audio_segments are narrow kernel maps;
+    // pruning_audit, rebalance_plan, sample_allocation carry 1-row or
+    // |sources|-row broadcast knobs — a shuffled product would mean a
+    // knob frame grew to row scale
+    for (q <- Seq("media_audio", "media_audio_segments", "pruning_audit",
+                  "rebalance_plan", "sample_allocation")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan has a cartesian product")
+      if (p.contains("BroadcastNestedLoopJoin"))
+        assert(p.contains("BroadcastExchange"),
+          s"$q nested-loop join without a broadcast build side")
+    }
+  }
+
   test("customer-grain ntile/rank queries never window the raw customer frame") {
     // rfm_segments / revenue_concentration / value_deciles went through
     // DistributedRank: the ONLY unpartitioned windows allowed are the
