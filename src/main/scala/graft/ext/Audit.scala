@@ -653,7 +653,14 @@ object Audit {
           .as("mod_mv"),
         sum(when(col("hrw_old") =!= col("hrw_new"), col("w")).otherwise(0L))
           .as("hrw_mv"))
-    byShard.agg(
+    // left-join against the literal 16-shard list so a shard that
+    // received ZERO keys surfaces as load 0 — min-load over only
+    // NON-EMPTY shards would let the balance check look healthy
+    // while a shard is empty
+    val allShards = spark.range(16).toDF("hrw_new")
+      .join(byShard, Seq("hrw_new"), "left")
+      .na.fill(0L, Seq("n", "mod_mv", "hrw_mv"))
+    allShards.agg(
         sum(col("n")).cast("long").as("n_rows"),
         sum(col("mod_mv")).cast("long").as("mod_moved"),
         sum(col("hrw_mv")).cast("long").as("hrw_moved"),
@@ -688,7 +695,11 @@ object Audit {
          SELECT hrw_new, sum(w) AS n,
            sum(CASE WHEN mod_old <> mod_new THEN w ELSE 0 END) AS mod_mv,
            sum(CASE WHEN hrw_old <> hrw_new THEN w ELSE 0 END) AS hrw_mv
-         FROM per GROUP BY hrw_new)
+         FROM per GROUP BY hrw_new),
+       g2 AS (
+         SELECT t.range AS hrw_new, coalesce(g.n, 0) AS n,
+           coalesce(g.mod_mv, 0) AS mod_mv, coalesce(g.hrw_mv, 0) AS hrw_mv
+         FROM range(0, 16) t LEFT JOIN g ON g.hrw_new = t.range)
        SELECT CAST(sum(n) AS BIGINT) AS n_rows,
          CAST(sum(mod_mv) AS BIGINT) AS mod_moved,
          CAST(sum(mod_mv) * 1000000 // sum(n) AS BIGINT) AS mod_moved_ppm,
@@ -696,7 +707,7 @@ object Audit {
          CAST(sum(hrw_mv) * 1000000 // sum(n) AS BIGINT) AS hrw_moved_ppm,
          CAST(max(n) AS BIGINT) AS hrw_max_load,
          CAST(min(n) AS BIGINT) AS hrw_min_load
-       FROM g"""
+       FROM g2"""
   }
 
   /** Hot-key skew report — the measurement that decides WHERE the

@@ -248,7 +248,12 @@ object Corpus {
       .select(col("source"),
         col("n").cast("long").as("n_docs"),
         floor(col("sd") * 1000).cast("long").as("sd_milli"),
-        floor(lit(10000) * col("w") / col("wtot")).cast("long").as("neyman_n"),
+        // all-zero variance => wtot = 0 and the Neyman ratio is 0/0;
+        // degrade to the proportional allocation (ANSI would throw on
+        // CAST(NaN), and equal-variance strata ARE proportional)
+        when(col("wtot") === 0.0, expr("n * 10000 div ntot").cast("double"))
+          .otherwise(floor(lit(10000) * col("w") / col("wtot")))
+          .cast("long").as("neyman_n"),
         expr("n * 10000 div ntot").cast("long").as("proportional_n"))
       .orderBy(col("source"))
   }
@@ -275,7 +280,9 @@ object Corpus {
          FROM w)
        SELECT w.source, CAST(w.n AS BIGINT) AS n_docs,
          CAST(floor(w.sd * 1000) AS BIGINT) AS sd_milli,
-         CAST(floor(10000 * w.w / t.wtot) AS BIGINT) AS neyman_n,
+         CAST(CASE WHEN t.wtot = 0
+                   THEN CAST(w.n * 10000 // t.ntot AS DOUBLE)
+                   ELSE floor(10000 * w.w / t.wtot) END AS BIGINT) AS neyman_n,
          CAST(w.n * 10000 // t.ntot AS BIGINT) AS proportional_n
        FROM w CROSS JOIN t ORDER BY w.source"""
 

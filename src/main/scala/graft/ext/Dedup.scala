@@ -607,10 +607,11 @@ object Dedup {
     // symmetric edge list — replacing distinct + identity labels + a
     // full join-propagate round (two shuffles and two jobs) with a
     // single shuffle.
-    val labels = minLabelComponents(edges)
+    val (labels, rounds) = minLabelComponentsWithRounds(edges)
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("keeper_id"))
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("keeper_id"),
+        lit(rounds.toLong).as("cc_rounds"))
   }
 
   /** Min-label connected components over a SYMMETRIC `(id1, id2)`
@@ -637,7 +638,19 @@ object Dedup {
     * self-join on the label frame; convergence (`no label moved this
     * round`) reads off the same materializing count() that realizes
     * the non-eager checkpoint — one action per round. */
-  private[graft] def minLabelComponents(edges: DataFrame): DataFrame = {
+  private[graft] def minLabelComponents(edges: DataFrame): DataFrame =
+    minLabelComponentsWithRounds(edges)._1
+
+  /** [[minLabelComponents]] plus the ROUNDS-USED certificate: the
+    * number of propagate+jump rounds the loop executed, including the
+    * final verifying round where nothing moved. The count is known on
+    * the driver once the (already-eager) per-round convergence counts
+    * have run, so callers can ride it into the result as a literal —
+    * and the DuckDB twins recompute the SAME number by unrolling the
+    * identical kernel ([[ccRoundsSimCtes]]), making the certificate
+    * oracle-checked rather than self-reported. */
+  private[graft] def minLabelComponentsWithRounds(
+      edges: DataFrame): (DataFrame, Int) = {
     var labels = edges.groupBy(col("id1").as("id"))
       .agg(min(col("id2")).as("mn"))
       .select(col("id"), least(col("id"), col("mn")).as("label"))
@@ -676,14 +689,46 @@ object Dedup {
     }
     require(converged,
       s"dedupGroups: label propagation did not converge in $iter iterations")
-    labels
+    (labels, iter)
+  }
+
+  /** DuckDB twin of the [[minLabelComponentsWithRounds]] ROUND COUNT:
+    * an unrolled simulation of the exact propagate+jump kernel over a
+    * symmetric CTE `edges(a, b)`, emitting a 1-row CTE
+    * `ccr(cc_rounds)` = the first round in which no label strictly
+    * decreased (NULL past `maxRounds`, which hash-mismatches loudly —
+    * the SQL analogue of the Spark-side `require`). `edges` should be
+    * MATERIALIZED by the caller: each round references it once. */
+  private[graft] def ccRoundsSimCtes(maxRounds: Int): String = {
+    val steps = (1 to maxRounds).map { i =>
+      s"""n$i AS (
+         SELECT id, min(label) AS label, min(prev0) AS prev FROM (
+           SELECT id, label, label AS prev0 FROM l${i - 1}
+           UNION ALL
+           SELECT e.b AS id, l.label AS label, CAST(NULL AS BIGINT) AS prev0
+           FROM edges e JOIN l${i - 1} l ON l.id = e.a) u
+         GROUP BY id),
+       j$i AS MATERIALIZED (
+         SELECT n.id AS id, least(n.label, coalesce(t.label, n.label)) AS label,
+           n.prev AS prev
+         FROM n$i n LEFT JOIN n$i t ON t.id = n.label),
+       l$i AS (SELECT id, label FROM j$i),
+       mv$i AS (SELECT count(*) AS moved FROM j$i WHERE label < prev)"""
+    }.mkString(",\n       ")
+    val cases = (1 to maxRounds).map(i =>
+      s"WHEN (SELECT moved FROM mv$i) = 0 THEN $i").mkString("\n         ")
+    s"""l0 AS (SELECT a AS id, least(a, min(b)) AS label FROM edges GROUP BY a),
+       $steps,
+       ccr AS (SELECT CAST(CASE
+         $cases
+         END AS BIGINT) AS cc_rounds)"""
   }
 
   val dedupGroupsSql: String =
     s"""WITH RECURSIVE $corpus2Sql,
        $lshPairsCtes,
        nodes AS (SELECT doc_id AS id FROM corpus),
-       edges AS (
+       edges AS MATERIALIZED (
          SELECT id1 AS a, id2 AS b FROM j WHERE jaccard >= 0.5
          UNION ALL
          SELECT id2 AS a, id1 AS b FROM j WHERE jaccard >= 0.5),
@@ -691,8 +736,10 @@ object Dedup {
          SELECT id, id AS label FROM nodes
          UNION
          SELECT e.b AS id, r.label AS label
-         FROM reach r JOIN edges e ON e.a = r.id)
-       SELECT id AS doc_id, min(label) AS keeper_id
+         FROM reach r JOIN edges e ON e.a = r.id),
+       ${ccRoundsSimCtes(6)}
+       SELECT id AS doc_id, min(label) AS keeper_id,
+         (SELECT cc_rounds FROM ccr) AS cc_rounds
        FROM reach GROUP BY id ORDER BY doc_id"""
 
   /** Component-size histogram over [[dedupGroups]] — the summary

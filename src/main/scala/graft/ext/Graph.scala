@@ -304,7 +304,7 @@ object Graph {
       // still converges, gapped blocks are chains where it doesn't)
       .select(col("id1"), col("id2"))
     val edges = fw.unionAll(fw.select(col("id2").as("id1"), col("id1").as("id2")))
-    val labels = Dedup.minLabelComponents(edges)
+    val (labels, rounds) = Dedup.minLabelComponentsWithRounds(edges)
     nodes
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
@@ -312,11 +312,15 @@ object Graph {
       .groupBy(col("sz").as("component_size"))
       .agg(count(lit(1)).cast("long").as("n_components"),
         sum(col("sz")).cast("long").as("n_nodes"))
+      // rounds-used certificate (the pagerank convention): every row
+      // carries the evidence of HOW MANY propagate+jump rounds the
+      // kernel needed — oracle-recomputed, not self-reported
+      .withColumn("cc_rounds", lit(rounds.toLong))
       .orderBy(col("component_size"))
   }
 
   val graphComponentsSql: String =
-    """WITH RECURSIVE nodes AS (SELECT doc_id AS id FROM documents),
+    s"""WITH RECURSIVE nodes AS (SELECT doc_id AS id FROM documents),
        fw AS (
          SELECT n.id AS a, (n.id - (n.id % 16)) + ((n.id * 7 + 3) % 16) AS b
          FROM nodes n),
@@ -324,17 +328,19 @@ object Graph {
          SELECT f.a, f.b FROM fw f
          JOIN nodes t ON t.id = f.b
          WHERE f.a <> f.b),
-       edges AS (SELECT a, b FROM fe UNION ALL SELECT b, a FROM fe),
+       edges AS MATERIALIZED (SELECT a, b FROM fe UNION ALL SELECT b, a FROM fe),
        reach AS (
          SELECT id, id AS label FROM nodes
          UNION
          SELECT e.b AS id, r.label AS label
          FROM reach r JOIN edges e ON e.a = r.id),
        lab AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
-       comp AS (SELECT label, count(*) AS sz FROM lab GROUP BY label)
+       comp AS (SELECT label, count(*) AS sz FROM lab GROUP BY label),
+       ${graft.ext.Dedup.ccRoundsSimCtes(9)}
        SELECT sz AS component_size,
          CAST(count(*) AS BIGINT) AS n_components,
-         CAST(sum(sz) AS BIGINT) AS n_nodes
+         CAST(sum(sz) AS BIGINT) AS n_nodes,
+         (SELECT cc_rounds FROM ccr) AS cc_rounds
        FROM comp GROUP BY sz ORDER BY sz"""
 
   private val KCORE = 6       // core threshold (graph is ~6-regular, so

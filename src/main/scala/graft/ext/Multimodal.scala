@@ -200,14 +200,17 @@ object Multimodal {
     * (P6 PPM: header parse + raster walk), in the exact production
     * shape: one decoder scope per partition, rows streamed through
     * it, `repartition(parallelism)` sizing the decode to the decoder
-    * count rather than the data size. A JPEG/H.264 deployment swaps
+    * count rather than the data size (`parallelism <= 0`, the
+    * default, takes the session's `defaultParallelism` — the repo's
+    * repartition convention — so the kernels saturate local[32] and
+    * any cluster alike). A JPEG/H.264 deployment swaps
     * the parser body for the codec call; schema, batching and
     * partition layout stay as they are here. */
-  def decodeImages(spark: SparkSession, dir: String, parallelism: Int = 8): Dataset[DecodedImage] = {
+  def decodeImages(spark: SparkSession, dir: String, parallelism: Int = -1): Dataset[DecodedImage] = {
     import spark.implicits._
     val m = ppmMediaTable(spark, dir)
       .select(col("media_id").cast("long"), col("blob"))
-      .repartition(parallelism)
+      .repartition(if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism)
     m.as[(Long, Array[Byte])].mapPartitions { rows =>
       rows.map { case (id, blob) =>
         val (w, h, off) = parsePpmHeader(blob)
@@ -270,11 +273,11 @@ object Multimodal {
     * ASCII source, so a half-pixel error anywhere in the walk
     * hash-mismatches. Ceil dimensions ((w+1)/2) keep odd sizes
     * honest. */
-  def resizeImages(spark: SparkSession, dir: String, parallelism: Int = 8): Dataset[ResizedImage] = {
+  def resizeImages(spark: SparkSession, dir: String, parallelism: Int = -1): Dataset[ResizedImage] = {
     import spark.implicits._
     val m = ppmMediaTable(spark, dir)
       .select(col("media_id").cast("long"), col("blob"))
-      .repartition(parallelism)
+      .repartition(if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism)
     m.as[(Long, Array[Byte])].mapPartitions { rows =>
       rows.map { case (id, blob) =>
         val (w, h, off) = parsePpmHeader(blob)
@@ -332,11 +335,11 @@ object Multimodal {
     * [0, 1]; REAL pixels via the same P6 parse as [[decodeImages]]. */
   case class FrameFeature(media_id: Long, frame_idx: Int, brightness: Double)
 
-  def decodeFrames(spark: SparkSession, dir: String, parallelism: Int = 8): Dataset[FrameFeature] = {
+  def decodeFrames(spark: SparkSession, dir: String, parallelism: Int = -1): Dataset[FrameFeature] = {
     import spark.implicits._
     val m = ppmMediaTable(spark, dir)
       .select(col("media_id").cast("long"), col("blob"))
-      .repartition(parallelism)
+      .repartition(if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism)
     m.as[(Long, Array[Byte])].mapPartitions { rows =>
       rows.flatMap { case (id, blob) =>
         val (w, h, off) = parsePpmHeader(blob)
@@ -477,11 +480,11 @@ object Multimodal {
     * channel sum/min/max/sum-of-squares. An MP3/AAC deployment swaps
     * the walk for the codec call; schema and layout stay. */
   def decodeAudio(spark: SparkSession, dir: String,
-                  parallelism: Int = 8): Dataset[DecodedAudio] = {
+                  parallelism: Int = -1): Dataset[DecodedAudio] = {
     import spark.implicits._
     val m = wavMediaTable(spark, dir)
       .select(col("media_id").cast("long"), col("blob"))
-      .repartition(parallelism)
+      .repartition(if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism)
     m.as[(Long, Array[Byte])].mapPartitions { rows =>
       rows.flatMap { case (id, blob) =>
         val (c, rate, off, len) = parseWavHeader(blob)
@@ -534,11 +537,11 @@ object Multimodal {
     * run via a cur·1000+best encoded list_reduce). Same kernel shape
     * as [[decodeAudio]]. */
   def audioSegments(spark: SparkSession, dir: String,
-                    parallelism: Int = 8): Dataset[AudioSegments] = {
+                    parallelism: Int = -1): Dataset[AudioSegments] = {
     import spark.implicits._
     val m = wavMediaTable(spark, dir)
       .select(col("media_id").cast("long"), col("blob"))
-      .repartition(parallelism)
+      .repartition(if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism)
     m.as[(Long, Array[Byte])].mapPartitions { rows =>
       rows.map { case (id, blob) =>
         val (c, _, off, len) = parseWavHeader(blob)

@@ -31,14 +31,29 @@ import org.apache.spark.sql.functions._
   * The result is bit-identical to the single-task window — the
   * DuckDB oracle twins keep plain `ntile`/`row_number`; this changes
   * the PLAN, not the answer. Preconditions: `v` and `tie` are
-  * non-null integral columns, `tie` unique within (parts, v).
+  * non-null integral columns, `tie` unique within (parts, v) — the
+  * types are `require`d at plan-build time and the data contracts
+  * (no nulls, unique tie) are asserted IN-PLAN with `raise_error`
+  * branches that evaluate only on violating rows, so a breach fails
+  * loudly instead of silently corrupting ranks.
   */
 object DistributedRank {
   private val BITS = 20
 
+  private def requireIntegral(df: DataFrame, c: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(c).dataType
+    val ok = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok, s"DistributedRank: column $c must be integral, got $dt")
+  }
+
   /** df + `out` = 1-based BIGINT rank under (parts | v ASC, tie ASC). */
   def withRank(df: DataFrame, parts: Seq[String], v: String, tie: String,
                out: String): DataFrame = {
+    requireIntegral(df, v); requireIntegral(df, tie)
     val p = parts.map(col)
     // ---- term A: rows strictly below this value ---------------------
     val hist = df.groupBy((p :+ col(v)): _*).agg(count(lit(1)).as("__c"))
@@ -57,18 +72,36 @@ object DistributedRank {
         col("__off") + sum(col("__c")).over(inRngW) - col("__c"))
       .select((p :+ col(v) :+ col("__below")): _*)
     // ---- term B: position among same-value ties by the unique key ---
-    val keyed = df.withColumn("__trng", shiftright(col(tie), BITS))
+    // the null contract rides the __trng projection: every input row
+    // passes through it, so a null v/tie fails the whole job loudly
+    val keyed = df.withColumn("__trng",
+      when(col(v).isNotNull && col(tie).isNotNull, shiftright(col(tie), BITS))
+        .otherwise(raise_error(lit(
+          s"DistributedRank: null $v/$tie violates the non-null contract"))))
+    // tie uniqueness within (parts, v): __trng is a function of tie,
+    // so duplicate ties always land in the SAME (parts, v, __trng)
+    // group — count(*) == count(distinct tie) there iff tie is unique
+    // within (parts, v)
     val tcnt = keyed.groupBy((p :+ col(v) :+ col("__trng")): _*)
-      .agg(count(lit(1)).as("__tc"))
+      .agg(count(lit(1)).as("__tcRaw"), countDistinct(col(tie)).as("__td"))
+      .withColumn("__tc", when(col("__tcRaw") === col("__td"), col("__tcRaw"))
+        .otherwise(raise_error(lit(
+          s"DistributedRank: $tie is not unique within (${parts.mkString(",")}, $v)"))))
+      .drop("__tcRaw", "__td")
     val toffW = Window.partitionBy((p :+ col(v)): _*).orderBy(col("__trng"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // fuse term A into the (parts, v, __trng)-grain frame: both terms
+    // key on (parts, v), so joining `below` HERE (aggregate ⋈
+    // aggregate, bounded rows) leaves ONE row-scale join below —
+    // joining it onto `keyed` directly would shuffle the full frame
+    // a second time
     val toffs = tcnt
       .withColumn("__toff", sum(col("__tc")).over(toffW) - col("__tc"))
       .drop("__tc")
+      .join(below, parts :+ v)
     val posW = Window.partitionBy((p :+ col(v) :+ col("__trng")): _*)
       .orderBy(col(tie))
     keyed.join(toffs, parts ++ Seq(v, "__trng"))
-      .join(below, parts :+ v)
       .withColumn(out,
         col("__below") + col("__toff") + row_number().over(posW).cast("long"))
       .drop("__trng", "__toff", "__below")

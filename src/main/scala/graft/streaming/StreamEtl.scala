@@ -192,7 +192,8 @@ object StreamEtl {
   case class NearDupHit(band: Int, doc_id: Long, dup_of: Long, hamming: Int)
 
   /** Checkpointed members of one (band, bucket) LSH cell. */
-  case class BandMembers(memberIds: Array[Long], memberSims: Array[Long])
+  case class BandMembers(memberIds: Array[Long], memberSims: Array[Long],
+                         maxSeenTs: Long = Long.MinValue)
 
   /** Streaming NEAR-duplicate gate — `dedup_incremental`'s semantics
     * on a LIVE feed: every arriving document (a `doc_id\ttext` line)
@@ -366,7 +367,11 @@ object StreamEtl {
         val ids = scala.collection.mutable.ArrayBuffer(st.memberIds.toSeq: _*)
         val hs = scala.collection.mutable.ArrayBuffer(st.memberSims.toSeq: _*)
         val out = scala.collection.mutable.ArrayBuffer[NearDupHit]()
-        var maxTs = Long.MinValue
+        // seed from the max EVER seen, not this batch's max: a later
+        // batch carrying only older (above-watermark) rows must not
+        // pull the armed timeout EARLIER — eviction stays monotone
+        // per bucket and independent of batch composition.
+        var maxTs = st.maxSeenTs
         rows.toSeq.sortBy(_._3).foreach { case (b, _, id, sh, ts, _) =>
           if (ts > maxTs) maxTs = ts
           if (!ids.contains(id)) {
@@ -379,7 +384,7 @@ object StreamEtl {
             ids += id; hs += sh
           }
         }
-        state.update(BandMembers(ids.toArray, hs.toArray))
+        state.update(BandMembers(ids.toArray, hs.toArray, maxTs))
         state.setTimeoutTimestamp(
           math.max(state.getCurrentWatermarkMs() + 1, maxTs + ttlMs))
         out.iterator

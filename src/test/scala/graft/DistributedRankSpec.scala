@@ -66,6 +66,38 @@ class DistributedRankSpec extends AnyFunSuite {
       .except(expected.select("seg", "key", "b")).isEmpty)
   }
 
+  test("non-integral rank columns are rejected at plan-build time") {
+    val bad = frame.withColumn("vd", col("v").cast("double"))
+    val e = intercept[IllegalArgumentException] {
+      DistributedRank.withRank(bad, Nil, "vd", "key", "rk")
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
+  test("a non-unique tie key fails loudly instead of corrupting ranks") {
+    // duplicate (v, key) pairs: the in-plan count(*) vs count(distinct)
+    // guard must raise, not emit equal ranks silently
+    val dup = frame.unionAll(frame.limit(3))
+    val e = intercept[Exception] {
+      DistributedRank.withRank(dup, Nil, "v", "key", "rk")
+        .agg(sum(col("rk"))).head()
+    }
+    assert(e.getMessage.contains("not unique") ||
+      Option(e.getCause).exists(_.getMessage.contains("not unique")))
+  }
+
+  test("a null tie key fails the non-null contract loudly") {
+    val withNull = frame.unionAll(
+      spark.createDataFrame(Seq((null.asInstanceOf[java.lang.Long], 5L, "seg0")))
+        .toDF("key", "v", "seg").selectExpr("CAST(key AS BIGINT) AS key", "v", "seg"))
+    val e = intercept[Exception] {
+      DistributedRank.withRank(withNull, Nil, "v", "key", "rk")
+        .agg(sum(col("rk"))).head()
+    }
+    assert(e.getMessage.contains("non-null contract") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-null contract")))
+  }
+
   test("negated metric gives the DESC order the rfm recency path uses") {
     val expected = frame.withColumn("rk",
       row_number().over(Window.orderBy(col("v").desc, col("key"))).cast("long"))
