@@ -948,7 +948,7 @@ object Dedup {
   }
 
   /** DuckDB CTE chain ending in `sims(doc_id, simhash)`. */
-  private val simhashCte: String = {
+  private[graft] val simhashCte: String = {
     val sums = (0 until SIMBITS).map { j =>
       val h = if (j < 32) "h1" else "h2"
       s"sum(CASE WHEN ($h // ${1L << (j % 32)}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"

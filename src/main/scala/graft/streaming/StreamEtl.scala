@@ -325,11 +325,19 @@ object StreamEtl {
   def nearDupStreamEventTime(spark: SparkSession, inputGlob: String,
                              ttlMs: Long, maxHamming: Int = 3,
                              watermarkDelay: String = "0 milliseconds",
-                             seedIndex: Option[org.apache.spark.sql.Dataset[(Long, Long)]] = None)
+                             seedIndex: Option[org.apache.spark.sql.Dataset[(Long, Long)]] = None,
+                             maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.Dataset[NearDupHit] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val docs = spark.readStream.text(inputGlob)
+    val reader0 = spark.readStream
+    // one file per micro-batch makes the batch sequence (and so the
+    // watermark trajectory) a deterministic function of file order —
+    // the knob the batch-twin parity test ([[nearDupTtlBatchOf]])
+    // turns to replay day-batches exactly
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+    val docs = reader.text(inputGlob)
       .as[String]
       .flatMap { line =>
         line.split("\t", 3) match {
@@ -409,6 +417,171 @@ object StreamEtl {
         grouped.flatMapGroupsWithState[BandMembers, NearDupHit](
           OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(kernel)
     }
+  }
+
+  /** Millis per day — the batch granularity of [[nearDupTtlBatchOf]]
+    * and the TTL unit of the `near_dup_ttl_batch` query. */
+  private val DAY_MS = 86400000L
+  /** Twin-id offset for the `near_dup_ttl_batch` feed (disjoint from
+    * every event_id at any test scale). */
+  private val TTL_TWIN_OFF = 20000000L
+
+  /** BATCH TWIN of [[nearDupStreamEventTime]]'s accept/reject kernel —
+    * the oracle anchor the streaming path can't have directly (DuckDB
+    * doesn't run micro-batches). Input is the same feed shape
+    * `(id, ts_ms, text)`; batches are DAYS (`ts_ms div 86400000` —
+    * every row's event time lies inside its batch's day, the file-per-
+    * day replay the parity test drives), and the function reproduces
+    * the stream's hit set EXACTLY under that batching:
+    *
+    *  - watermark after the batch of day g = max ts_ms over global
+    *    days <= g (delay 0), which for day-contained timestamps is
+    *    just day g's max — the `cal` frame, with `lag(w, 2)` giving
+    *    the watermark in force at the LAST batch before a bucket's
+    *    next activity;
+    *  - a (band, bucket) group's state survives to its next active
+    *    day D unless some global batch strictly between its previous
+    *    active day b and D ran with watermark > maxSeen + ttl; the
+    *    binding check is the LATEST such batch (watermark is
+    *    monotone), i.e. break iff prevGlobalDay(D) > b AND
+    *    lag(w,2 over global days)(D) > maxSeen_b + ttl. A batch in
+    *    which the bucket HAS data never times it out (Spark processes
+    *    the data and re-arms), which is why day D itself is excluded;
+    *  - maxSeen never crosses sessions: sessions are day-disjoint and
+    *    ascending, and timestamps are day-contained, so the running
+    *    per-bucket max IS the live session's max — the window form
+    *    needs no per-session reset;
+    *  - within a session, every unordered pair at hamming <=
+    *    `maxHamming` is emitted exactly once, ordered by arrival
+    *    ((day, id) — the kernel sorts each batch's rows by id).
+    *
+    * Scale shape: one simhash aggregation, one (band,bucket,day)
+    * groupBy, windows partitioned by (band,bucket) over <= n_days
+    * rows, a broadcast of the ~30-row calendar, and a banded
+    * equi-join on (band,bucket,session) — the same linear-at-scale
+    * LSH join family as `simhash_pairs`, never a cross join. */
+  private[graft] def nearDupTtlBatchOf(feed: DataFrame, ttlMs: Long,
+                                       maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = feed.select(col("id").as("doc_id"), col("text"), col("ts_ms"))
+    val sims = graft.ext.Dedup.simhashOf(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("ts_ms")), Seq("doc_id"))
+      .withColumn("day", expr(s"ts_ms div $DAY_MS"))
+    // global batch calendar: per-day watermark w (== cumulative max
+    // for day-contained ts), the previous global day, and the
+    // watermark two batches back. Unpartitioned windows are fine
+    // here: the frame is calendar-bounded (~30 rows)
+    val gw = Window.orderBy(col("day"))
+    val cal = sims.groupBy(col("day")).agg(max(col("ts_ms")).as("w"))
+      .select(col("day"),
+        lag(col("day"), 1).over(gw).as("gprev"),
+        lag(col("w"), 2).over(gw).as("w2"))
+    val bandRows = sims.select(col("doc_id"), col("simhash"), col("ts_ms"), col("day"),
+        explode_outer(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L)).as("bv"))
+        }: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bv").as("bv"),
+        col("doc_id"), col("simhash"), col("ts_ms"), col("day"))
+    val bw = Window.partitionBy(col("band"), col("bv")).orderBy(col("day"))
+    val sess = bandRows.groupBy(col("band"), col("bv"), col("day"))
+      .agg(max(col("ts_ms")).as("dmax"))
+      .join(broadcast(cal), Seq("day"))
+      .withColumn("pb", lag(col("day"), 1).over(bw))
+      .withColumn("prevmax",
+        max(col("dmax")).over(bw.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk", when(col("pb").isNull, 0L)
+        .when(col("gprev") > col("pb") &&
+          col("w2") > col("prevmax") + lit(ttlMs), 1L)
+        .otherwise(0L))
+      .withColumn("sid",
+        sum(col("brk")).over(bw.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("band"), col("bv"), col("day"), col("sid"))
+    // the tagged frame feeds BOTH sides of the pair join — fence the
+    // lineage so the simhash + window pipeline runs once, not twice
+    val tagged = graft.util.Fence.lineage(
+      bandRows.join(sess, Seq("band", "bv", "day")))
+    val l = tagged.as("l"); val r = tagged.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
+        col("l.sid") === col("r.sid") &&
+        (col("l.day") < col("r.day") ||
+          (col("l.day") === col("r.day") && col("l.doc_id") < col("r.doc_id"))))
+      .select(col("l.band").cast("long").as("band"),
+        col("l.doc_id").as("first_id"), col("r.doc_id").as("second_id"),
+        expr("bit_count(l.simhash ^ r.simhash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("band"), col("first_id"), col("second_id"))
+  }
+
+  /** [[nearDupTtlBatchOf]] over an events-derived feed: every event is
+    * a single-token document `e<event_id>`, and every event_id%97==0
+    * event re-arrives as an IDENTICAL twin doc (id + 20,000,000)
+    * shifted `event_id % 5` days forward — so the hit set is the
+    * twins that re-arrive before their bucket's 1-day TTL lapses
+    * (shift 0-2 always; shift 3 only for late-night originals; shift
+    * 4 never), times the 4 bands. The TTL accept/reject boundary is
+    * thereby oracle-checked, not just behavior-tested. */
+  def nearDupTtlBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.model.Tables.events(spark, dir)
+      .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+    val base = ev.select(col("event_id").as("id"), col("ts_ms"),
+      concat(lit("e"), col("event_id").cast("string")).as("text"))
+    val twins = ev.filter(pmod(col("event_id"), lit(97)) === 0)
+      .select((col("event_id") + TTL_TWIN_OFF).as("id"),
+        (col("ts_ms") + pmod(col("event_id"), lit(5)) * DAY_MS).as("ts_ms"),
+        concat(lit("e"), col("event_id").cast("string")).as("text"))
+    nearDupTtlBatchOf(base.unionAll(twins), DAY_MS)
+  }
+
+  val nearDupTtlBatchSql: String = {
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT $b AS band, (simhash >> ${b * 16}) & 65535 AS bv, s.doc_id, s.simhash, s.ts_ms, s.day FROM sims2 s")
+      .mkString("\n         UNION ALL\n         ")
+    s"""WITH feed AS (
+         SELECT event_id AS id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+           'e' || CAST(event_id AS VARCHAR) AS text
+         FROM events
+         UNION ALL
+         SELECT event_id + $TTL_TWIN_OFF AS id,
+           epoch_ms(CAST(ts AS TIMESTAMP)) + (event_id % 5) * $DAY_MS AS ts_ms,
+           'e' || CAST(event_id AS VARCHAR) AS text
+         FROM events WHERE event_id % 97 = 0),
+       corpus AS (SELECT id AS doc_id, text FROM feed),
+       ${graft.ext.Dedup.simhashCte},
+       sims2 AS (
+         SELECT s.doc_id, s.simhash, f.ts_ms, f.ts_ms // $DAY_MS AS day
+         FROM sims s JOIN feed f ON f.id = s.doc_id),
+       cal AS (
+         SELECT day,
+           lag(day) OVER (ORDER BY day) AS gprev,
+           lag(w, 2) OVER (ORDER BY day) AS w2
+         FROM (SELECT day, max(ts_ms) AS w FROM sims2 GROUP BY day) g),
+       rowsb AS MATERIALIZED (
+         $bandRows),
+       sess AS (
+         SELECT band, bv, day,
+           sum(brk) OVER (PARTITION BY band, bv ORDER BY day) AS sid
+         FROM (
+           SELECT d.band, d.bv, d.day,
+             CASE WHEN lag(d.day) OVER (PARTITION BY d.band, d.bv ORDER BY d.day) IS NULL THEN 0
+                  WHEN c.gprev > lag(d.day) OVER (PARTITION BY d.band, d.bv ORDER BY d.day)
+                       AND c.w2 > max(d.dmax) OVER (PARTITION BY d.band, d.bv ORDER BY d.day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + $DAY_MS
+                  THEN 1 ELSE 0 END AS brk
+           FROM (SELECT band, bv, day, max(ts_ms) AS dmax
+                 FROM rowsb GROUP BY band, bv, day) d
+           JOIN cal c USING (day)) s),
+       tag AS MATERIALIZED (
+         SELECT r.band, r.bv, r.doc_id, r.simhash, r.day, s.sid
+         FROM rowsb r
+         JOIN sess s ON s.band = r.band AND s.bv = r.bv AND s.day = r.day)
+       SELECT CAST(l.band AS BIGINT) AS band, l.doc_id AS first_id, r.doc_id AS second_id,
+         CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+       FROM tag l JOIN tag r
+         ON l.band = r.band AND l.bv = r.bv AND l.sid = r.sid
+        AND (l.day < r.day OR (l.day = r.day AND l.doc_id < r.doc_id))
+       WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+       ORDER BY band, first_id, second_id"""
   }
 
   /** Streaming → JDBC with exactly-once semantics — the reference's

@@ -876,4 +876,70 @@ class StreamSpec extends AnyFunSuite {
     }
     assert(buf.size == expected.length)
   }
+
+  test("nearDupTtlBatchOf reproduces the event-time stream's hit set exactly") {
+    // file-per-day replay: the stream's batch sequence IS the batch
+    // twin's day sequence, so the two hit sets must be identical —
+    // including pairs dropped by TTL eviction across multi-day gaps
+    // and the data-dependent one-gap-day boundary (break iff the
+    // intermediate day's watermark passed maxSeen + ttl)
+    val DAY = 86400000L
+    val D0 = 19700L * DAY
+    // groups g = id % 17 share IDENTICAL text (hamming 0); member k of
+    // a group lands on dayPattern(k): gap-1 transitions (never evict
+    // at ttl=1day), a gap-3 (hour-dependent boundary: break iff the
+    // intermediate day's max ts passed maxSeen + ttl) and a gap-4
+    // (always evicts). A keeper row on EVERY day keeps the global
+    // batch calendar contiguous — eviction needs an intermediate
+    // batch to fire in
+    val dayPattern = Array(0L, 1L, 2L, 5L, 6L, 10L)
+    val rows = (1 to 136).map { id =>
+      val day = dayPattern((id / 17) % 6)
+      val ts = D0 + day * DAY + (id % 7) * 3600000L + id
+      (id.toLong, ts, s"w${id % 17} x${id % 17} y${id % 17}")
+    } ++ (0 to 10).map { d =>
+      (500L + d, D0 + d * DAY + 43200000L + d, s"kpr$d unique$d only$d")
+    }
+    val base = Files.createTempDirectory("graft_ttl_parity").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    rows.groupBy(_._2 / DAY).toSeq.sortBy(_._1).zipWithIndex.foreach {
+      case ((_, dayRows), i) =>
+        val f = java.nio.file.Paths.get(f"$in/day$i%02d.txt")
+        java.nio.file.Files.writeString(f,
+          dayRows.map { case (id, ts, t) => s"$id\t$ts\t$t" }
+            .mkString("", "\n", "\n"))
+        // mod-time order = day order: with maxFilesPerTrigger=1 the
+        // source replays exactly one day per micro-batch
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val buf = new scala.collection.mutable.ArrayBuffer[StreamEtl.NearDupHit]()
+    val q = StreamEtl.nearDupStreamEventTime(spark, s"$in/*", ttlMs = DAY,
+        maxFilesPerTrigger = Some(1))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamEtl.NearDupHit], _: Long) =>
+        buf.synchronized { buf ++= batch.collect() }; ()
+      }
+      .option("checkpointLocation", s"$base/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not drain")
+    val streamHits = buf.synchronized {
+      buf.map(h => (h.band.toLong, h.dup_of, h.doc_id, h.hamming.toLong)).toSet
+    }
+
+    import spark.implicits._
+    val feed = rows.toDF("id", "ts_ms", "text")
+    val batchHits = StreamEtl.nearDupTtlBatchOf(feed, DAY).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batchHits.nonEmpty, "parity corpus produced no hits at all")
+    assert(streamHits == batchHits,
+      s"stream-only: ${(streamHits -- batchHits).take(5)}; " +
+        s"batch-only: ${(batchHits -- streamHits).take(5)}")
+    // and the TTL must actually have bitten: same-session-only pairs
+    // are fewer than the no-TTL pair closure
+    val noTtl = StreamEtl.nearDupTtlBatchOf(feed, 10L * DAY).count()
+    assert(batchHits.size < noTtl, "TTL never evicted anything — weak corpus")
+  }
 }
