@@ -24,7 +24,7 @@ import graft.util.Hashing
   *
   * The synthetic `documents` rows are mutually-random word salads, so
   * a corpus of true near-duplicates is synthesized in-query: every
-  * doc_id % 5 == 0 gains a twin (doc_id + 100000) with one token
+  * doc_id % 5 == 0 gains a twin (doc_id + 1000000) with one token
   * appended. LSH must find exactly those pairs (and exact-dedup must
   * NOT merge them).
   */
@@ -34,7 +34,7 @@ object Dedup {
   private def corpus(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val twins = d.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"),
+      .select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" zqxj")).as("text"))
     // the documents table is one small parquet split; spread the
     // CPU-bound shingling/hashing across cores (cheap narrow shuffle)
@@ -45,7 +45,7 @@ object Dedup {
     """corpus AS (
          SELECT doc_id, text FROM documents
          UNION ALL
-         SELECT doc_id + 100000 AS doc_id, concat(text, ' zqxj') AS text
+         SELECT doc_id + 1000000 AS doc_id, concat(text, ' zqxj') AS text
          FROM documents WHERE doc_id % 5 = 0)"""
 
   /** Exact dedup: md5-content groupBy; keeper = min(doc_id).
@@ -511,14 +511,14 @@ object Dedup {
   // ---- Connected-components dedup groups ---------------------------
 
   /** Two-twin corpus for [[dedupGroups]]: every doc_id%5==0 doc gains
-    * twin A (+100,000) and every doc_id%10==0 doc ALSO gains twin B
+    * twin A (+1,000,000) and every doc_id%10==0 doc ALSO gains twin B
     * (+200,000, a different appended token), so the near-dup graph
     * holds triangles {orig, A, B}, pairs {orig, A}, and singletons —
     * transitivity actually gets exercised. */
   private[graft] def corpus2(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val twinA = d.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"),
+      .select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" zqxj")).as("text"))
     val twinB = d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 200000).as("doc_id"),
@@ -531,7 +531,7 @@ object Dedup {
     """corpus AS (
          SELECT doc_id, text FROM documents
          UNION ALL
-         SELECT doc_id + 100000 AS doc_id, concat(text, ' zqxj') AS text
+         SELECT doc_id + 1000000 AS doc_id, concat(text, ' zqxj') AS text
          FROM documents WHERE doc_id % 5 = 0
          UNION ALL
          SELECT doc_id + 200000 AS doc_id, concat(text, ' qk7w') AS text

@@ -138,7 +138,7 @@ object Similarity {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val twins = base.filter(col("vec_id") % 7 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"),
+      .select((col("vec_id") + 1000000).as("vec_id"),
         transform(col("embedding"),
           (x, i) => when(i === 1, x + lit(0.01f)).otherwise(x)).as("embedding"))
     val e = base.unionAll(twins).withColumn("qv", quant(col("embedding")))
@@ -162,7 +162,7 @@ object Similarity {
     s"""WITH base AS (
          SELECT vec_id, embedding FROM embeddings
          UNION ALL
-         SELECT vec_id + 100000 AS vec_id,
+         SELECT vec_id + 1000000 AS vec_id,
            list_transform(generate_series(1, $DIM),
              i -> CASE WHEN i = 2 THEN embedding[i] + CAST(0.01 AS FLOAT) ELSE embedding[i] END) AS embedding
          FROM embeddings WHERE vec_id % 7 = 0),
@@ -454,12 +454,12 @@ object Similarity {
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
 
   /** [[dedupEmbedding]] over an arbitrary (vec_id, embedding) frame —
-    * the ScaleTrial entry point. vec_ids must stay below the 100,000
+    * the ScaleTrial entry point. vec_ids must stay below the 1,000,000
     * twin offset. */
   private[graft] def dedupEmbeddingOf(base: DataFrame): DataFrame = {
     val spark = base.sparkSession
     val twins = base.filter(col("vec_id") % 7 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"),
+      .select((col("vec_id") + 1000000).as("vec_id"),
         transform(col("embedding"),
           (x, i) => when(i === 1, x + lit(0.01f)).otherwise(x)).as("embedding"))
     val e = base.unionAll(twins)
@@ -493,7 +493,7 @@ object Similarity {
     s"""WITH base AS (
          SELECT vec_id, embedding FROM embeddings
          UNION ALL
-         SELECT vec_id + 100000 AS vec_id,
+         SELECT vec_id + 1000000 AS vec_id,
            list_transform(generate_series(1, $DIM),
              i -> CASE WHEN i = 2 THEN embedding[i] + CAST(0.01 AS FLOAT) ELSE embedding[i] END) AS embedding
          FROM embeddings WHERE vec_id % 7 = 0),
@@ -554,7 +554,7 @@ object Similarity {
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
 
   /** [[dedupSemantic]] over an arbitrary (vec_id, embedding) frame —
-    * the ScaleTrial2 entry point. vec_ids must stay below the 100,000
+    * the ScaleTrial2 entry point. vec_ids must stay below the 1,000,000
     * twin offset.
     *
     * `hierarchical = true` switches the cell ASSIGNMENT from the flat
@@ -580,7 +580,7 @@ object Similarity {
                                      hierarchical: Boolean = false): DataFrame = {
     val spark = base.sparkSession
     val twins = base.filter(col("vec_id") % 7 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"),
+      .select((col("vec_id") + 1000000).as("vec_id"),
         transform(col("embedding"),
           (x, i) => when(i === 1, x + lit(0.01f)).otherwise(x)).as("embedding"))
     val e = base.unionAll(twins)
@@ -655,7 +655,7 @@ object Similarity {
     s"""WITH base AS (
          SELECT vec_id, embedding FROM embeddings
          UNION ALL
-         SELECT vec_id + 100000 AS vec_id,
+         SELECT vec_id + 1000000 AS vec_id,
            list_transform(generate_series(1, $DIM),
              i -> CASE WHEN i = 2 THEN embedding[i] + CAST(0.01 AS FLOAT) ELSE embedding[i] END) AS embedding
          FROM embeddings WHERE vec_id % 7 = 0),

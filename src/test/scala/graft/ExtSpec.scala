@@ -18,7 +18,7 @@ class ExtSpec extends AnyFunSuite {
     val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
       .select("id1", "id2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val twins = (0L until 500L by 5).map(i => (i, i + 100000)).toSet
+    val twins = (0L until 500L by 5).map(i => (i, i + 1000000)).toSet
     val missed = twins -- pairs
     assert(missed.isEmpty, s"LSH missed twins: ${missed.take(5)}")
   }
@@ -27,7 +27,7 @@ class ExtSpec extends AnyFunSuite {
     val sh = SparkEntry.queries("simhash")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dists = (0L until 500L by 5).map { i =>
-      java.lang.Long.bitCount(sh(i) ^ sh(i + 100000))
+      java.lang.Long.bitCount(sh(i) ^ sh(i + 1000000))
     }
     // one extra token on a short doc can flip several of 64 bits; the
     // near-dup property is "small hamming distance", not equality
@@ -42,7 +42,7 @@ class ExtSpec extends AnyFunSuite {
     val pairs = SparkEntry.queries("dedup_embedding")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val nVecs = graft.model.Tables.embeddings(spark, sf).count()
-    val twins = (0L until nVecs by 7).map(i => (i, i + 100000)).toSet
+    val twins = (0L until nVecs by 7).map(i => (i, i + 1000000)).toSet
     val missed = twins -- pairs
     assert(missed.isEmpty, s"missed twins: ${missed.take(5)}")
     // and nothing but near-identical pairs clears 0.99 on random vectors
@@ -134,7 +134,7 @@ class ExtSpec extends AnyFunSuite {
       assert(graft.ext.Dedup.simhash64(text) == batch(id),
         s"kernel simhash diverged from the query on doc $id")
       if (id % 5 == 0)
-        assert(graft.ext.Dedup.simhash64(text + " zqxj") == batch(id + 100000),
+        assert(graft.ext.Dedup.simhash64(text + " zqxj") == batch(id + 1000000),
           s"kernel simhash diverged on twin of doc $id")
     }
   }
@@ -166,11 +166,11 @@ class ExtSpec extends AnyFunSuite {
     (0L until 500L by 10).foreach { id =>
       // triangle {orig, A, B}: both twins land in orig's component
       // even though B reaches orig only through A when a band misses
-      assert(labels(id + 100000) == labels(id))
+      assert(labels(id + 1000000) == labels(id))
       assert(labels(id + 200000) == labels(id))
     }
     (5L until 500L by 10).foreach { id =>
-      assert(labels(id + 100000) == labels(id))
+      assert(labels(id + 1000000) == labels(id))
     }
     // keeper is the component minimum, so never above the member id
     assert(labels.forall { case (id, k) => k <= id })
@@ -735,7 +735,7 @@ class ExtSpec extends AnyFunSuite {
     // corpus query: every injected ' zqxj' twin is a 5-edit near-dup
     val pairs = SparkEntry.queries("dedup_fuzzy_edit")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val twins = (0L until 500L by 5).map(i => (i, i + 100000))
+    val twins = (0L until 500L by 5).map(i => (i, i + 1000000))
     val missed = twins.filterNot(pairs.contains)
     assert(missed.isEmpty, s"missed twins: ${missed.take(5)}")
     twins.foreach(t => assert(pairs(t) == 5L, s"twin $t lev ${pairs(t)} != 5"))
@@ -919,7 +919,7 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val qid = r.getLong(0); val neg = r.getLong(2); val cos = r.getDouble(3)
-      assert(neg != qid + 100000,
+      assert(neg != qid + 1000000,
         s"query $qid's injected twin surfaced as a hard negative")
       assert(cos >= 0.10 && cos < 0.99, s"cosine $cos outside the mining band")
     }
