@@ -710,6 +710,99 @@ object Audit {
        FROM g2"""
   }
 
+  /** Small-file compaction planning — the nightly OPTIMIZE decision
+    * table of any lakehouse ingest (Delta/Iceberg bin-packing
+    * compaction): per partition (ship month), pack the partition's
+    * files into target-size bins with NEXT-FIT-DECREASING and report
+    * file count, bin count, the lower bound ⌈total/cap⌉, and the
+    * achieved fill rate. Files are synthesized deterministically from
+    * lineitem ((l_orderkey % 97) % 64 — 64 files per month in two 2:1
+    * size classes, so the packing is non-trivial at every scale); the
+    * target bin size is DATA-DERIVED in-plan (4× the global mean file
+    * size as a 1-row broadcast — the no-driver-probe convention), so
+    * the plan stays meaningful as file sizes grow 100×.
+    *
+    * Scale shape: one (month, chunk) map-side-combined groupBy, a
+    * per-month fold over a ≤64-element array (bounded by
+    * CONSTRUCTION, and asserted in-plan via the boundedSeries
+    * contract), and a 1-row knob broadcast. The NFD fold is the exact
+    * integer recurrence `(bins, fill) -> overflow ? (bins+1, s) :
+    * (bins, fill+s)` — pinned fold order on a sorted array, mirrored
+    * step-for-step by the oracle's recursive CTE. */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val files = Tables.lineitem(spark, dir)
+      .select((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("mon"),
+        (pmod(col("l_orderkey"), lit(97)) % 64).as("chunk"))
+      .groupBy(col("mon"), col("chunk"))
+      .agg(count(lit(1)).as("fsize"))
+    // target bin size: 4x the global mean file size, floored at the
+    // largest file — so no file is ever oversize for its bin and the
+    // ceil(total/cap) lower bound is a true invariant (asserted in
+    // ExtSpec) at every scale, including degenerate 1-row files
+    val knob = files.agg(sum(col("fsize")).as("t"), count(lit(1)).as("nf"),
+        max(col("fsize")).as("mx"))
+      .select(greatest(expr("4 * (t div nf)"), col("mx")).cast("long").as("cap"))
+    val arr = files.groupBy(col("mon"))
+      .agg(count(lit(1)).cast("long").as("n_files"),
+        sum(col("fsize")).cast("long").as("total_rows"),
+        array_sort(collect_list(
+          struct((-col("fsize")).as("nr"), col("chunk").as("c")))).as("fs"))
+      .crossJoin(broadcast(knob))
+    arr
+      .withColumn("fs",
+        graft.report.Intervals.boundedSeries(col("fs"), "compaction_plan"))
+      .withColumn("acc", aggregate(col("fs"),
+        struct(lit(0L).as("bins"), lit(0L).as("fill")),
+        (acc, x) => {
+          val s = -x.getField("nr")
+          val overflow =
+            acc.getField("bins") === 0L || (acc.getField("fill") + s) > col("cap")
+          struct(
+            when(overflow, acc.getField("bins") + 1L)
+              .otherwise(acc.getField("bins")).as("bins"),
+            when(overflow, s)
+              .otherwise(acc.getField("fill") + s).as("fill"))
+        }))
+      .select(col("mon"), col("n_files"), col("total_rows"), col("cap"),
+        col("acc.bins").as("n_bins"),
+        expr("(total_rows + cap - 1) div cap").cast("long").as("ideal_bins"),
+        expr("total_rows * 1000 div (acc.bins * cap)").cast("long")
+          .as("fill_permille"))
+      .orderBy(col("mon"))
+  }
+
+  val compactionPlanSql: String =
+    """WITH RECURSIVE files AS (
+         SELECT (year(l_shipdate) * 100 + month(l_shipdate)) AS mon,
+           (l_orderkey % 97) % 64 AS chunk, count(*) AS fsize
+         FROM lineitem GROUP BY 1, 2),
+       knob AS (SELECT greatest(4 * (sum(fsize) // count(*)), max(fsize)) AS cap
+                FROM files),
+       ix AS (
+         SELECT mon, fsize,
+           row_number() OVER (PARTITION BY mon ORDER BY fsize DESC, chunk) AS i
+         FROM files),
+       cnt AS (SELECT mon, count(*) AS n_files, sum(fsize) AS total_rows
+               FROM files GROUP BY mon),
+       rec AS (
+         SELECT mon, 1 AS i, 1 AS bins, fsize AS fill FROM ix WHERE i = 1
+         UNION ALL
+         SELECT r.mon, r.i + 1,
+           CASE WHEN r.fill + x.fsize > k.cap THEN r.bins + 1 ELSE r.bins END,
+           CASE WHEN r.fill + x.fsize > k.cap THEN x.fsize
+                ELSE r.fill + x.fsize END
+         FROM rec r JOIN ix x ON x.mon = r.mon AND x.i = r.i + 1
+         CROSS JOIN knob k),
+       fin AS (SELECT mon, arg_max(bins, i) AS n_bins FROM rec GROUP BY mon)
+       SELECT CAST(c.mon AS BIGINT) AS mon, CAST(c.n_files AS BIGINT) AS n_files,
+         CAST(c.total_rows AS BIGINT) AS total_rows, CAST(k.cap AS BIGINT) AS cap,
+         CAST(f.n_bins AS BIGINT) AS n_bins,
+         CAST((c.total_rows + k.cap - 1) // k.cap AS BIGINT) AS ideal_bins,
+         CAST(c.total_rows * 1000 // (f.n_bins * k.cap) AS BIGINT) AS fill_permille
+       FROM cnt c JOIN fin f USING (mon) CROSS JOIN knob k
+       ORDER BY mon"""
+
   /** Hot-key skew report — the measurement that decides WHERE the
     * salting patterns ([[graft.report.Incremental.saltedAgg]],
     * `skew_join`) are worth their overhead: the 20 heaviest join/agg

@@ -549,4 +549,91 @@ object Curation {
            ELSE 0 END) AS BIGINT) AS blocked_checksum
        FROM m GROUP BY source ORDER BY source"""
   }
+
+  // ---- Entity resolution (record linkage) --------------------------
+
+  private val ER_OFF = 5000000L
+
+  /** Blocking + field-agreement record linkage — the Fellegi-Sunter
+    * (1969) skeleton of every dedupe/householding pipeline, with the
+    * log-odds agreement weights fixed as integers (the repo's no-libm
+    * rule; a production deployment estimates them by EM and rounds to
+    * the same integer scale). A dirty re-arrival batch is synthesized
+    * deterministically (every c_custkey%23==0 customer re-arrives at
+    * id + 5,000,000 with a rotating perturbation: exact copy /
+    * lowercased / '#'→'-', and half the twins also lose their market
+    * segment), so the oracle rebuilds it exactly. Blocking key =
+    * (nation, numeric-name-suffix % 1000): catches every perturbed
+    * twin (digits survive all three perturbations) while admitting
+    * sparse non-dup collisions that the score must REJECT — both
+    * decisions are in the output (`is_match`).
+    *
+    * Scale shape: candidates come from an equi-join on the blocking
+    * key (never new×old cross); features are per-pair column
+    * comparisons; no window, no collect. At 100 TB the same plan
+    * holds — blocking cardinality scales with the data. */
+  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"))
+    val dirty = c.filter(pmod(col("c_custkey"), lit(23)) === 0)
+      .select((col("c_custkey") + ER_OFF).as("id"),
+        when(expr("(c_custkey div 23) % 3") === 1, lower(col("c_name")))
+          .when(expr("(c_custkey div 23) % 3") === 2,
+            regexp_replace(col("c_name"), "#", "-"))
+          .otherwise(col("c_name")).as("name"),
+        col("c_nationkey").as("nat"),
+        when(pmod(col("c_custkey"), lit(46)) === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+    val clean = c.select(col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"))
+    def keyed(df: DataFrame): DataFrame = df
+      .withColumn("blk",
+        regexp_replace(col("name"), "[^0-9]", "").cast("long") % 1000)
+      .withColumn("norm", regexp_replace(lower(col("name")), "[^a-z0-9]", ""))
+    keyed(dirty).as("n")
+      .join(keyed(clean).as("o"),
+        col("n.nat") === col("o.nat") && col("n.blk") === col("o.blk"))
+      .select(col("n.id").as("new_id"), col("o.id").as("old_id"),
+        (when(col("n.norm") === col("o.norm"), 32L).otherwise(0L) +
+          when(col("n.name") === col("o.name"), 8L).otherwise(0L) +
+          when(col("n.seg") === col("o.seg"), 4L).otherwise(0L)).as("score"))
+      .withColumn("is_match", when(col("score") >= 32L, 1L).otherwise(0L))
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
+  val entityResolutionSql: String =
+    s"""WITH c AS (
+         SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer),
+       dirty AS (
+         SELECT c_custkey + $ER_OFF AS id,
+           CASE WHEN (c_custkey // 23) % 3 = 1 THEN lower(c_name)
+                WHEN (c_custkey // 23) % 3 = 2 THEN replace(c_name, '#', '-')
+                ELSE c_name END AS name,
+           c_nationkey AS nat,
+           CASE WHEN c_custkey % 46 = 0 THEN 'UNKNOWN'
+                ELSE c_mktsegment END AS seg
+         FROM c WHERE c_custkey % 23 = 0),
+       clean AS (
+         SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+           c_mktsegment AS seg FROM c),
+       kd AS (
+         SELECT id, name, nat, seg,
+           CAST(regexp_replace(name, '[^0-9]', '', 'g') AS BIGINT) % 1000 AS blk,
+           regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS norm
+         FROM dirty),
+       kc AS (
+         SELECT id, name, nat, seg,
+           CAST(regexp_replace(name, '[^0-9]', '', 'g') AS BIGINT) % 1000 AS blk,
+           regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS norm
+         FROM clean),
+       scored AS (
+         SELECT n.id AS new_id, o.id AS old_id,
+           CAST(CASE WHEN n.norm = o.norm THEN 32 ELSE 0 END
+              + CASE WHEN n.name = o.name THEN 8 ELSE 0 END
+              + CASE WHEN n.seg = o.seg THEN 4 ELSE 0 END AS BIGINT) AS score
+         FROM kd n JOIN kc o ON n.nat = o.nat AND n.blk = o.blk)
+       SELECT new_id, old_id, score,
+         CAST(CASE WHEN score >= 32 THEN 1 ELSE 0 END AS BIGINT) AS is_match
+       FROM scored ORDER BY new_id, old_id"""
 }

@@ -343,6 +343,82 @@ object Graph {
          (SELECT cc_rounds FROM ccr) AS cc_rounds
        FROM comp GROUP BY sz ORDER BY sz"""
 
+  private val WALK_STEPS = 3
+  private val WALK_START_MOD = 50
+
+  /** Deterministic hash-driven random walks over the link graph — the
+    * sampling primitive of DeepWalk/node2vec-style graph-embedding
+    * corpora (Perozzi et al. 2014), made replayable: from every
+    * doc_id%50==0 start node, take [[WALK_STEPS]] steps where step t
+    * moves to the out-neighbor minimizing the portable 60-bit hash
+    * `phash("wk<t>_" || src || "_" || dst)` — a fixed pseudo-random
+    * choice both engines recompute bit-identically (the repo's no-RNG
+    * convention; a production sampler swaps the hash for an RNG and
+    * keeps the operator shape). A dangling node (all affine probes
+    * dropped) absorbs the walk: the walker stays put via the left
+    * join + coalesce.
+    *
+    * Scale shape: the per-step choice is a function of the SOURCE
+    * NODE alone, so each step precomputes one `min(struct(h, dst))`
+    * argmin table over the edge list (map-side combined, never a
+    * per-walker hash) and the walk frame does one equi-join per step
+    * — 3 bounded joins total, walker count N/50. The edge list is
+    * checkpointed once and reused by all steps. */
+  def randomWalks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Hashing
+    val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val edges = edgesOf(nodes).localCheckpoint(eager = false)
+    def step(df: DataFrame, t: Int, curCol: String, outCol: String): DataFrame = {
+      val pick = edges
+        .select(col("src"), struct(
+          Hashing.phash(concat(col("src").cast("string"), lit("_"),
+            col("dst").cast("string")), s"wk${t}_").as("h"),
+          col("dst").as("d")).as("s"))
+        .groupBy(col("src")).agg(min(col("s")).as("m"))
+        .select(col("src").as(s"__k$t"), col("m.d").as(s"__n$t"))
+      df.join(pick, col(curCol) === col(s"__k$t"), "left")
+        .withColumn(outCol, coalesce(col(s"__n$t"), col(curCol)))
+        .drop(s"__k$t", s"__n$t")
+    }
+    val starts = nodes.filter(pmod(col("id"), lit(WALK_START_MOD)) === 0)
+      .select(col("id").as("start_id"), col("id").as("w0"))
+    (1 to WALK_STEPS).foldLeft(starts)((df, t) => step(df, t, s"w${t - 1}", s"w$t"))
+      .select((col("start_id") +: (1 to WALK_STEPS).map(t => col(s"w$t"))): _*)
+      .orderBy(col("start_id"))
+  }
+
+  val randomWalksSql: String = {
+    def pickCte(t: Int): String =
+      s"""pick$t AS (
+         SELECT src, struct_extract(min(struct_pack(
+             h := ${graft.util.Hashing.phashSql(
+               "CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)", s"wk${t}_")},
+             d := dst)), 'd') AS n$t
+         FROM edges GROUP BY src)"""
+    // chained scalar walk: wt = coalesce(pick_t[n], w_{t-1}) — unroll
+    // via one select per step so each step's column exists for the
+    // next join
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       m AS (SELECT count(*) AS m FROM nodes),
+       probes AS (
+         SELECT id AS src, unnest([(id * 7 + 13) % m.m,
+                                   (id * 7 + 26) % m.m,
+                                   (id * 7 + 39) % m.m]) AS dst
+         FROM nodes CROSS JOIN m),
+       edges AS MATERIALIZED (
+         SELECT p.src, p.dst FROM probes p JOIN nodes t ON t.id = p.dst),
+       ${(1 to WALK_STEPS).map(pickCte).mkString(",\n       ")},
+       s0 AS (SELECT id AS start_id, id AS w0 FROM nodes WHERE id % $WALK_START_MOD = 0),
+       ${(1 to WALK_STEPS).map(t =>
+        s"""s$t AS (
+         SELECT s.*, coalesce(pick$t.n$t, s.w${t - 1}) AS w$t
+         FROM s${t - 1} s LEFT JOIN pick$t ON pick$t.src = s.w${t - 1})""")
+        .mkString(",\n       ")}
+       SELECT start_id, ${(1 to WALK_STEPS).map(t => s"w$t").mkString(", ")}
+       FROM s$WALK_STEPS ORDER BY start_id"""
+  }
+
   private val KCORE = 6       // core threshold (graph is ~6-regular, so
                               // the peel cascades instead of trivially
                               // keeping or deleting everything)

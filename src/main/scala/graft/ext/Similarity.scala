@@ -765,6 +765,90 @@ object Similarity {
        ORDER BY index_name, qid"""
   }
 
+  // ---- Matryoshka truncation evaluation ----------------------------
+
+  private val MRL_DIMS = Seq(8, 16, 32)
+
+  /** Matryoshka-truncation retrieval evaluation (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning"): recall@k of cosine search
+    * over PREFIX dimensions (8/16/32 of the 64-dim embeddings)
+    * against the full-dimension top-k — the table that decides how
+    * far an index can truncate its vectors (4-8× memory and
+    * bandwidth) before recall pays. Prefix slices are Spark
+    * `slice(v, 1, d)` == DuckDB `list_slice(v, 1, d)` (inclusive end
+    * index = same d elements); cosines are the ANN family's exact
+    * integer dots + 6-dp floor; an all-zero prefix norm is clamped to
+    * 1 so the cosine degrades to 0 instead of NaN (whose sort order
+    * is not portable). recall_ppm is exact (`n_hits · 200000`).
+    *
+    * Scale shape: ONE broadcast-panel × corpus scan produces all four
+    * truncation scores per pair (the slices re-dot the same cached
+    * row), then bounded per-(query, dims) top-k windows and a
+    * panel-sized overlap join — the same linear shape as
+    * [[knnBruteforce]], ~2× its flops. */
+  def embedTruncateEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).withColumn("qv", quant(col("embedding")))
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("qv").as("qvec"))
+    val c = e.select(col("vec_id"), col("qv").as("cvec"))
+    def tcos(d: Int): Column = {
+      val (a, b) = (slice(col("qvec"), 1, d), slice(col("cvec"), 1, d))
+      pr6(dot(a, b).cast("double") /
+        (sqrt(greatest(norm2(a), lit(1L)).cast("double")) *
+          sqrt(greatest(norm2(b), lit(1L)).cast("double"))))
+    }
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        explode_outer(array((MRL_DIMS :+ DIM).map { d =>
+          struct(lit(d.toLong).as("dims"), tcos(d).as("cosine"))
+        }: _*)).as("s"))
+      .select(col("qid"), col("s.dims").as("dims"),
+        col("vec_id"), col("s.cosine").as("cosine"))
+    val w = Window.partitionBy(col("qid"), col("dims"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val top = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .select(col("qid"), col("dims"), col("vec_id"))
+      .transform(graft.util.Fence.lineage)
+    val truth = top.filter(col("dims") === DIM.toLong)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    top.filter(col("dims") =!= DIM.toLong)
+      .join(truth, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"), col("dims"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("qid"), col("dims"), col("n_hits").cast("long").as("n_hits"),
+        (col("n_hits") * (1000000L / TOPK)).cast("long").as("recall_ppm"))
+      .orderBy(col("qid"), col("dims"))
+  }
+
+  val embedTruncateEvalSql: String = {
+    def tcosSql(d: Int): String =
+      s"""floor(CAST(list_sum(list_transform(generate_series(1, $d), i -> q.qvec[i] * e.qv[i])) AS DOUBLE) /
+           (sqrt(CAST(greatest(list_sum(list_transform(list_slice(q.qvec, 1, $d), x -> x * x)), 1) AS DOUBLE)) *
+            sqrt(CAST(greatest(list_sum(list_transform(list_slice(e.qv, 1, $d), x -> x * x)), 1) AS DOUBLE))) * 1000000 + 0.5) / 1000000"""
+    val scoredRows = (MRL_DIMS :+ DIM).map(d =>
+      s"""SELECT q.qid, CAST($d AS BIGINT) AS dims, e.vec_id, ${tcosSql(d)} AS cosine
+         FROM e CROSS JOIN q WHERE e.vec_id <> q.qid""")
+      .mkString("\n         UNION ALL\n         ")
+    s"""WITH e AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+       q AS (SELECT vec_id AS qid, qv AS qvec FROM e WHERE vec_id < $NQUERIES),
+       scored AS (
+         $scoredRows),
+       ranked AS (
+         SELECT qid, dims, vec_id,
+           row_number() OVER (PARTITION BY qid, dims ORDER BY cosine DESC, vec_id) AS rank
+         FROM scored),
+       top AS MATERIALIZED (SELECT qid, dims, vec_id FROM ranked WHERE rank <= $TOPK),
+       truth AS (SELECT qid, vec_id FROM top WHERE dims = $DIM)
+       SELECT t.qid, t.dims,
+         CAST(coalesce(sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+         CAST(coalesce(sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) * ${1000000L / TOPK} AS BIGINT) AS recall_ppm
+       FROM top t LEFT JOIN truth tr ON tr.qid = t.qid AND tr.vec_id = t.vec_id
+       WHERE t.dims <> $DIM
+       GROUP BY t.qid, t.dims ORDER BY t.qid, t.dims"""
+  }
+
   // ---- Label-centroid similarity matrix ----------------------------
 
   /** Pairwise cosine similarity between LABEL CENTROIDS — the

@@ -49,7 +49,7 @@ object Intervals {
     * days — generous) passes through unchanged; a violating group
     * fails the job loudly instead of spilling. */
   private[graft] val SERIES_CAP = 100000
-  private def boundedSeries(ds: Column, op: String): Column =
+  private[graft] def boundedSeries(ds: Column, op: String): Column =
     when(size(ds) <= SERIES_CAP, ds).otherwise(
       raise_error(concat(
         lit(s"$op: per-group series exceeds $SERIES_CAP elements ("),

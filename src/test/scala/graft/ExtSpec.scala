@@ -1249,4 +1249,70 @@ class ExtSpec extends AnyFunSuite {
     }
     assert(df.map(_.getLong(0)).max > 1, "no multi-node component found")
   }
+
+  test("entity_resolution links every synthesized twin and rejects block collisions") {
+    val rows = SparkEntry.queries("entity_resolution")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nCust = graft.model.Tables.customer(spark, sf).count()
+    val twinIds = (0L until nCust by 23).toSet
+    // every dirty re-arrival must be matched back to its original
+    twinIds.foreach { id =>
+      assert(rows.exists { case (n, o, _, m) =>
+        n == id + 5000000L && o == id && m == 1L },
+        s"twin of $id not linked")
+    }
+    // a candidate that is NOT the original must never clear the bar:
+    // its normalized name differs, so score <= 8 + 4 < 32
+    rows.filter { case (n, o, _, _) => n != o + 5000000L }.foreach {
+      case (n, o, s, m) =>
+        assert(m == 0L && s < 32L, s"false positive: ($n, $o) score $s")
+    }
+  }
+
+  test("random_walks are valid paths over the link graph and absorb at dangles") {
+    val df = SparkEntry.queries("random_walks")(spark, sf).collect()
+    val nDocs = graft.model.Tables.documents(spark, sf).count()
+    assert(df.length == (0L until nDocs by 50).length)
+    val ids = graft.model.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    df.foreach { r =>
+      val path = Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      path.foreach(n => assert(ids(n), s"walk visits non-node $n"))
+      // each step's target must be one of the three affine probes of
+      // the previous node (or the absorbing self-loop)
+      path.sliding(2).foreach { case Seq(a, b) =>
+        val probes = (1 to 3).map(k => ((a * 7 + k * 13) % nDocs + nDocs) % nDocs)
+        assert(b == a || probes.contains(b), s"illegal step $a -> $b")
+      }
+    }
+  }
+
+  test("compaction_plan bins respect the lower bound and never overfill") {
+    val df = SparkEntry.queries("compaction_plan")(spark, sf).collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      val (nFiles, total, cap, bins, ideal, fill) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(bins >= ideal, s"bins $bins below lower bound $ideal")
+      assert(bins <= nFiles, s"more bins than files in $r")
+      assert(fill <= 1000L || bins == 1L, s"fill rate $fill over capacity")
+      assert(total > 0 && cap > 0)
+    }
+  }
+
+  test("embed_truncate_eval reports full recall at the widest kept truncation") {
+    val rows = SparkEntry.queries("embed_truncate_eval")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 8 * 3)   // NQUERIES x {8, 16, 32}
+    rows.foreach { case (_, dims, hits, ppm) =>
+      assert(hits >= 0 && hits <= 5 && ppm == hits * 200000L)
+      assert(Seq(8L, 16L, 32L).contains(dims))
+    }
+    // truncation must genuinely cost recall somewhere at dim 8 but
+    // keep signal: the average over queries sits strictly inside (0, 1)
+    val at8 = rows.filter(_._2 == 8L).map(_._3).sum
+    val at32 = rows.filter(_._2 == 32L).map(_._3).sum
+    assert(at32 >= at8, "wider truncation lost recall overall")
+    assert(at8 > 0, "dim-8 truncation lost ALL signal — eval degenerate")
+  }
 }
