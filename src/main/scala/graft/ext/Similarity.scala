@@ -787,21 +787,34 @@ object Similarity {
     * panel-sized overlap join — the same linear shape as
     * [[knnBruteforce]], ~2× its flops. */
   def embedTruncateEval(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = MRL_DIMS :+ DIM
+    // prefix self-dots (norms) are a property of ONE side: computed
+    // once per corpus row / panel row BEFORE the pair join, not per
+    // pair per truncation; the cross-pair work is a single fused
+    // one-pass PrefixDots per pair (4x fewer flops, zero slice
+    // allocations vs the composed slice+dot form)
     val e = Tables.embeddings(spark, dir).withColumn("qv", quant(col("embedding")))
     val q = e.filter(col("vec_id") < NQUERIES)
-      .select(col("vec_id").as("qid"), col("qv").as("qvec"))
-    val c = e.select(col("vec_id"), col("qv").as("cvec"))
-    def tcos(d: Int): Column = {
-      val (a, b) = (slice(col("qvec"), 1, d), slice(col("cvec"), 1, d))
-      pr6(dot(a, b).cast("double") /
-        (sqrt(greatest(norm2(a), lit(1L)).cast("double")) *
-          sqrt(greatest(norm2(b), lit(1L)).cast("double"))))
-    }
-    val scored = c.crossJoin(broadcast(q))
+      .select(col("vec_id").as("qid"), col("qv").as("qvec"),
+        graft.functions.PrefixDots(col("qv"), col("qv"), cuts).as("qn"))
+    val c = e.select(col("vec_id"), col("qv").as("cvec"),
+      graft.functions.PrefixDots(col("qv"), col("qv"), cuts).as("cn"))
+    val paired = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("qn"), col("cn"),
+        graft.functions.PrefixDots(col("qvec"), col("cvec"), cuts).as("pd"))
+      // barrier: the 4 element_at consumers below must read the ONE
+      // materialized pd/qn/cn arrays, not re-inline the expression
+      // per truncation (the CollapseProject trap)
+      .transform(graft.util.Fence.barrier)
+    val scored = paired
       .select(col("qid"), col("vec_id"),
-        explode_outer(array((MRL_DIMS :+ DIM).map { d =>
-          struct(lit(d.toLong).as("dims"), tcos(d).as("cosine"))
+        explode_outer(array(cuts.zipWithIndex.map { case (d, ix) =>
+          struct(lit(d.toLong).as("dims"),
+            pr6(element_at(col("pd"), ix + 1).cast("double") /
+              (sqrt(greatest(element_at(col("qn"), ix + 1), lit(1L)).cast("double")) *
+                sqrt(greatest(element_at(col("cn"), ix + 1), lit(1L)).cast("double"))))
+              .as("cosine"))
         }: _*)).as("s"))
       .select(col("qid"), col("s.dims").as("dims"),
         col("vec_id"), col("s.cosine").as("cosine"))

@@ -102,6 +102,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 0L, "empty arrays must fold to the initial 0")
   }
 
+  test("PrefixDots equals per-cut slice+LongDot on real embeddings, incl. edges") {
+    val cuts = Seq(8, 16, 32, 64)
+    val e = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * 1000 + 0.5).cast("long")).as("qv"))
+    val paired = e.as("a").crossJoin(e.as("b").limit(3))
+      .select(
+        graft.functions.PrefixDots(col("a.qv"), col("b.qv"), cuts).as("fused"),
+        array(cuts.map(d => graft.functions.LongDot(
+          slice(col("a.qv"), 1, d), slice(col("b.qv"), 1, d))): _*).as("ref"))
+    assert(paired.filter(not(col("fused") <=> col("ref"))).count() == 0,
+      "fused prefix dots diverge from the sliced form")
+    // edges: null input, cut past the end, null element -> null
+    val r = spark.range(1).select(
+      graft.functions.PrefixDots(lit(null).cast("array<long>"),
+        array(lit(1L)), Seq(1)).as("n1"),
+      graft.functions.PrefixDots(array(lit(1L)), array(lit(1L)), Seq(2)).as("oob"),
+      graft.functions.PrefixDots(array(lit(1L), lit(null).cast("long")),
+        array(lit(3L), lit(4L)), Seq(2)).as("nullElem"),
+      graft.functions.PrefixDots(array(lit(2L), lit(3L)),
+        array(lit(5L), lit(7L)), Seq(1, 2)).as("ok")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getSeq[Long](3) == Seq(10L, 31L))
+    // plan-build contract: non-increasing cuts are rejected eagerly
+    intercept[IllegalArgumentException] {
+      graft.functions.PrefixDots(array(lit(1L)), array(lit(1L)), Seq(2, 2))
+    }
+  }
+
   test("ScaledDistSq equals the composed zip_with fold, incl. null-k/empty edges") {
     def composedDist(x: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column,
         k: org.apache.spark.sql.Column) =
