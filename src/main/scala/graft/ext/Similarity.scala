@@ -270,14 +270,17 @@ object Similarity {
       .repartition(spark.sparkContext.defaultParallelism)
     val cents = e.filter(col("vec_id") % CENT_MOD === 1 && col("vec_id") < CENT_CAP)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    val ranked = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", pr6(
-        dot(col("qv"), col("cv")).cast("double") /
-          (sqrt(norm2(col("qv")).cast("double")) * sqrt(norm2(col("cv")).cast("double")))))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") <= NPROBE)
-      .select(col("vec_id"), col("cid"), col("rk"))
+    // centroid table to the driver (<= 2000 rows by the CENT_CAP
+    // bound — the same payload the broadcast carried), then fused
+    // per-row top-NPROBE assignment ([[graft.functions.TopCentroids]]):
+    // the N×C candidate frame + per-vector row_number window of the
+    // composed form never materializes (162 s -> seconds at sf10)
+    val centRows = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val ranked = e.select(col("vec_id"),
+        posexplode_outer(graft.functions.TopCentroids(col("qv"), centRows, NPROBE)))
+      .select(col("vec_id"), col("col").as("cid"),
+        (col("pos") + 1).cast("int").as("rk"))
     val cells = ranked.filter(col("rk") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
       .join(e, Seq("vec_id"))
@@ -388,15 +391,18 @@ object Similarity {
   private def kmeansIvfAssignment(spark: SparkSession, dir: String): DataFrame =
     ivfIndexCache.getOrCompute(spark, dir) {
       val e = Cluster.quantized(spark, dir)
-      val cents = Cluster.trainedCentroids(e)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist2"), col("cluster"))
-      e.crossJoin(broadcast(cents))
-        .withColumn("dist2", graft.functions.ScaledDistSq(
-          col("qv"), col("cent"), lit(Cluster.SCALE)))
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") <= NPROBE)
-        .select(col("vec_id"), col("cluster"), col("rk"))
+      // trained centroids to the driver (K is a bounded training
+      // constant) + fused per-row nearest-NPROBE assignment
+      // ([[graft.functions.NearestCentroids]]) — same exact integer
+      // metric and (dist2, cluster) order as the crossJoin + window
+      // form it replaces, with no N×K frame and no exchange
+      val centRows = Cluster.trainedCentroids(e).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+      e.select(col("vec_id"),
+          posexplode_outer(graft.functions.NearestCentroids(
+            col("qv"), centRows, Cluster.SCALE, NPROBE)))
+        .select(col("vec_id"), col("col").as("cluster"),
+          (col("pos") + 1).cast("int").as("rk"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 

@@ -259,13 +259,14 @@ object TextAnalysis {
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism) // single-split table, md5-heavy map
-
-      .withColumn("shingles",
-        transform(sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
-          i => col("text").substr(i, lit(8))))
-      .withColumn("fp", array_min(transform(col("shingles"), s => Hashing.phash(s))))
+      // fused native 8-gram hash stream ([[graft.functions.ShingleHashes]]):
+      // one pass, thread-local digest, no per-shingle string/hex
+      // allocation — bit-identical to the composed transform+phash
+      // form (FunctionsSpec), so the oracle is untouched
+      .withColumn("hs", graft.functions.ShingleHashes(col("text"), 8))
+      .withColumn("fp", array_min(col("hs")))
     d.select(col("doc_id"), col("fp").as("fingerprint"),
-        size(col("shingles")).cast("long").as("n_shingles"))
+        size(col("hs")).cast("long").as("n_shingles"))
       // materializing fence: the presentation sort SAMPLES its input
       // for range bounds — without the fence the md5-per-shingle map
       // above runs twice (once for sampling, once for the sort)
@@ -299,9 +300,7 @@ object TextAnalysis {
     val w = WINNOW_W
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism) // single-split table, md5-heavy map
-      .withColumn("hs",
-        transform(sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
-          i => Hashing.phash(col("text").substr(i, lit(8)), "wn_")))
+      .withColumn("hs", graft.functions.ShingleHashes(col("text"), 8, "wn_"))
       .withColumn("n", size(col("hs")))
       // fused native winnowing ([[graft.functions.WindowMinima]]):
       // sorted distinct window minima in ONE primitive loop — the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Fused integer dot product over two `array<bigint>` columns as a
@@ -96,6 +96,286 @@ object LongDot {
   def apply(a: Column, b: Column): Column =
     GraftColumnBridge.column(LongDot(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}
+
+/** Per-row top-NPROBE centroid assignment against a PLAN-CONSTANT
+  * centroid table — the IVF coarse-quantizer kernel
+  * ([[graft.ext.Similarity.knnIvf]] / `knn_ivf_kmeans`), fused into
+  * one expression so the N×C candidate frame NEVER materializes.
+  *
+  * The composed form cross-joined every vector with the broadcast
+  * centroid table and ranked with a `row_number` window partitioned
+  * by vec_id — at sf10 that is a 400M-row generate + exchange + sort
+  * (measured: ann_recall 162 s). Here each row loops over the C×DIM
+  * matrix (C ≤ 2000 by the CENT_CAP bound), computes the SAME
+  * 6-dp-floored cosine (exact long dot, IEEE sqrt/divide on
+  * identical operands), keeps the `nprobe` best under the identical
+  * (cosine DESC, cid ASC) order, and emits their cids in rank order
+  * — O(C·D) per row inside the scan, zero shuffle. At cluster scale
+  * this is exactly how an IVF assigner runs: centroid matrix
+  * broadcast, vectors streaming through map tasks.
+  *
+  * Out-of-contract: an all-zero vector (NaN cosine) — the composed
+  * window ranks NaN first, this loop ranks it last; the corpus
+  * contract (non-degenerate embeddings) is asserted upstream by the
+  * quantizer family. Null/length-mismatched vectors → null. */
+case class TopCentroids(child: Expression, cids: Seq[Long],
+                        cvecs: Seq[Seq[Long]], nprobe: Int)
+    extends UnaryExpression {
+  require(cids.length == cvecs.length && cids.nonEmpty && nprobe > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"top_centroids requires array<bigint> input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "top_centroids"
+
+  @transient private lazy val table = TopCentroids.Table(
+    cids.toArray,
+    cvecs.map(_.toArray).toArray,
+    cvecs.map(v => math.sqrt(v.map(x => x * x).sum.toDouble)).toArray)
+
+  override def nullSafeEval(input: Any): Any =
+    TopCentroids.compute(input.asInstanceOf[ArrayData], table, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("centTable", table,
+      "graft.functions.TopCentroids.Table")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TopCentroids.compute($c, $tableRef, $nprobe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopCentroids =
+    copy(child = newChild)
+}
+
+object TopCentroids {
+  case class Table(cids: Array[Long], vecs: Array[Array[Long]],
+                   norms: Array[Double]) extends Serializable
+
+  def compute(qv: ArrayData, t: Table, nprobe: Int): ArrayData = {
+    val dim = t.vecs(0).length
+    if (qv.numElements() != dim) return null
+    val q = new Array[Long](dim)
+    var d = 0
+    while (d < dim) {
+      if (qv.isNullAt(d)) return null
+      q(d) = qv.getLong(d); d += 1
+    }
+    var n2 = 0L
+    d = 0
+    while (d < dim) { n2 += q(d) * q(d); d += 1 }
+    val qn = math.sqrt(n2.toDouble)
+    // insertion top-k under (cosine DESC, cid ASC) — the window order
+    val bestCos = new Array[Double](nprobe)
+    val bestCid = new Array[Long](nprobe)
+    var filled = 0
+    var c = 0
+    while (c < t.cids.length) {
+      val cv = t.vecs(c)
+      var dot = 0L
+      d = 0
+      while (d < dim) { dot += q(d) * cv(d); d += 1 }
+      // identical arithmetic to pr6(dot/(sqrt(qn2)*sqrt(cn2)))
+      val cos = math.floor(dot.toDouble / (qn * t.norms(c)) * 1000000 + 0.5) / 1000000
+      val cid = t.cids(c)
+      var pos = filled
+      while (pos > 0 && (cos > bestCos(pos - 1) ||
+        (cos == bestCos(pos - 1) && cid < bestCid(pos - 1)))) pos -= 1
+      if (pos < nprobe) {
+        val last = math.min(filled, nprobe - 1)
+        var j = last
+        while (j > pos) { bestCos(j) = bestCos(j - 1); bestCid(j) = bestCid(j - 1); j -= 1 }
+        bestCos(pos) = cos; bestCid(pos) = cid
+        if (filled < nprobe) filled += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(bestCid.take(filled))
+  }
+
+  /** Column-API entry point; `cents` = (cid, quantized vector). */
+  def apply(c: Column, cents: Seq[(Long, Seq[Long])], nprobe: Int): Column =
+    GraftColumnBridge.column(TopCentroids(
+      GraftColumnBridge.expression(c),
+      cents.map(_._1), cents.map(_._2), nprobe))
+}
+
+/** Integer-distance sibling of [[TopCentroids]] for the k-means IVF
+  * assigner (`knn_ivf_kmeans`): per row, the `nprobe` nearest
+  * centroids under (ScaledDistSq ASC, cluster ASC) — exact long
+  * arithmetic (`Σ(x·k − c)²`), same fused no-materialization shape. */
+case class NearestCentroids(child: Expression, cids: Seq[Long],
+                            cvecs: Seq[Seq[Long]], scale: Long, nprobe: Int)
+    extends UnaryExpression {
+  require(cids.length == cvecs.length && cids.nonEmpty && nprobe > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroids requires array<bigint> input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val table = TopCentroids.Table(
+    cids.toArray, cvecs.map(_.toArray).toArray, Array.empty)
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroids.compute(input.asInstanceOf[ArrayData], table, scale, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("centTable", table,
+      "graft.functions.TopCentroids.Table")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NearestCentroids.compute($c, $tableRef, ${scale}L, $nprobe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
+object NearestCentroids {
+  def compute(qv: ArrayData, t: TopCentroids.Table, scale: Long,
+              nprobe: Int): ArrayData = {
+    val dim = t.vecs(0).length
+    if (qv.numElements() != dim) return null
+    val q = new Array[Long](dim)
+    var d = 0
+    while (d < dim) {
+      if (qv.isNullAt(d)) return null
+      q(d) = qv.getLong(d); d += 1
+    }
+    val bestDist = new Array[Long](nprobe)
+    val bestCid = new Array[Long](nprobe)
+    var filled = 0
+    var c = 0
+    while (c < t.cids.length) {
+      val cv = t.vecs(c)
+      var acc = 0L
+      d = 0
+      while (d < dim) { val x = q(d) * scale - cv(d); acc += x * x; d += 1 }
+      val cid = t.cids(c)
+      var pos = filled
+      while (pos > 0 && (acc < bestDist(pos - 1) ||
+        (acc == bestDist(pos - 1) && cid < bestCid(pos - 1)))) pos -= 1
+      if (pos < nprobe) {
+        val last = math.min(filled, nprobe - 1)
+        var j = last
+        while (j > pos) { bestDist(j) = bestDist(j - 1); bestCid(j) = bestCid(j - 1); j -= 1 }
+        bestDist(pos) = acc; bestCid(pos) = cid
+        if (filled < nprobe) filled += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(bestCid.take(filled))
+  }
+
+  /** Column-API entry point; `cents` = (cluster, centroid vector). */
+  def apply(c: Column, cents: Seq[(Long, Seq[Long])], scale: Long,
+            nprobe: Int): Column =
+    GraftColumnBridge.column(NearestCentroids(
+      GraftColumnBridge.expression(c),
+      cents.map(_._1), cents.map(_._2), scale, nprobe))
+}
+
+/** Fused char-n-gram hash stream over a string column: the
+  * `array<bigint>` of [[graft.util.Hashing.phash]] values of every
+  * n-char shingle, in ONE pass with a thread-local MD5 and zero
+  * string allocations — the hot inner map of
+  * [[graft.ext.TextAnalysis.docFingerprint]] and
+  * [[graft.ext.TextAnalysis.winnowFingerprint]], where the composed
+  * `transform(sequence(...), i -> phash(substr(text, i, n)))` runs an
+  * interpreted lambda, allocates a substring + hex string per
+  * shingle, and parses the hex back to a long.
+  *
+  * Exactness contract (FunctionsSpec asserts bit-parity on real
+  * data): shingles are CODE-POINT windows (Spark `substr` semantics —
+  * byte offsets walk UTF-8 boundaries), the digest input is
+  * `salt ++ shingle` UTF-8 bytes, and the 60-bit value is md5 hex
+  * chars [1,15] == bytes 0-6 plus the high nibble of byte 7 (the
+  * [[graft.ext.Dedup.simhash64]] byte trick). Shingle count is
+  * `max(len - n + 1, 1)` — a short text yields ONE clamped shingle,
+  * exactly like the composed form's `greatest(len - n + 1, 1)`
+  * sequence. Null text → null. */
+case class ShingleHashes(child: Expression, n: Int, salt: String)
+    extends UnaryExpression {
+  require(n > 0, "shingle width must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires a string input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  @transient private lazy val saltBytes = salt.getBytes("UTF-8")
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, saltBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("salt", saltBytes, "byte[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($c, $n, $saltRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** One-pass shingle hashing over the UTF-8 bytes; `starts` are the
+    * byte offsets of code-point boundaries so char-window semantics
+    * match Spark `substr` on any input. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, n: Int,
+              salt: Array[Byte]): ArrayData = {
+    val bytes = s.getBytes
+    // code-point boundary walk (UTF-8 lead-byte arithmetic)
+    val startsBuf = new Array[Int](bytes.length + 1)
+    var nChars = 0
+    var off = 0
+    while (off < bytes.length) {
+      startsBuf(nChars) = off
+      val b = bytes(off) & 0xff
+      off += (if (b < 0x80) 1 else if (b < 0xe0) 2 else if (b < 0xf0) 3 else 4)
+      nChars += 1
+    }
+    startsBuf(nChars) = bytes.length
+    val count = math.max(nChars - n + 1, 1)
+    val res = new Array[Long](count)
+    val digest = md.get()
+    var i = 0
+    while (i < count) {
+      val from = startsBuf(i)
+      val to = startsBuf(math.min(i + n, nChars))
+      digest.reset()
+      digest.update(salt)
+      digest.update(bytes, from, to - from)
+      val d = digest.digest()
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      h = (h << 4) | ((d(7) >>> 4) & 0xfL)
+      res(i) = h
+      i += 1
+    }
+    new GenericArrayData(res)
+  }
+
+  /** Column-API entry point. */
+  def apply(c: Column, n: Int, salt: String = ""): Column =
+    GraftColumnBridge.column(ShingleHashes(
+      GraftColumnBridge.expression(c), n, salt))
 }
 
 /** Fused PREFIX dot products over two `array<bigint>` columns: one

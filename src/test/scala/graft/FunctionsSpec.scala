@@ -131,6 +131,62 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ShingleHashes equals the composed transform+phash form, incl. UTF-8 + edges") {
+    val docs = graft.model.Tables.documents(spark, sf).limit(200)
+      .select(col("text"))
+      .unionAll(spark.range(1).select(lit("tiny").as("text")))       // len < n
+      .unionAll(spark.range(1).select(lit("héllо wörld ünïcode £10 ≥é").as("text")))
+    def composed(salt: String) = transform(
+      sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+      i => graft.util.Hashing.phash(col("text").substr(i, lit(8)), salt))
+    val checked = docs.select(
+      graft.functions.ShingleHashes(col("text"), 8).as("fused"),
+      composed("").as("ref"),
+      graft.functions.ShingleHashes(col("text"), 8, "wn_").as("fusedS"),
+      composed("wn_").as("refS"))
+    assert(checked.filter(not(col("fused") <=> col("ref")) ||
+      not(col("fusedS") <=> col("refS"))).count() == 0,
+      "fused shingle hashes diverge from the composed form")
+    // null text: the fused form propagates NULL (the documented
+    // contract); the composed form instead yields [null] because
+    // `greatest` IGNORES its null operand — a corpus with null texts
+    // must filter them before either form
+    val nr = spark.range(1).select(
+      graft.functions.ShingleHashes(lit(null).cast("string"), 8).as("f")).head()
+    assert(nr.isNullAt(0))
+  }
+
+  test("TopCentroids/NearestCentroids match the window order incl. exact ties") {
+    // cents 10 and 20 are IDENTICAL: the (score, cid) tie must break
+    // to the LOWER cid, exactly like the row_number window ordering
+    val cents = Seq((20L, Seq(1L, 0L)), (10L, Seq(1L, 0L)), (30L, Seq(0L, 1L)))
+    val df = spark.range(1).select(array(lit(1L), lit(0L)).as("qv"))
+    val top = df.select(
+      graft.functions.TopCentroids(col("qv"), cents, 2).as("t"),
+      graft.functions.NearestCentroids(col("qv"), cents, 1L, 2).as("n")).head()
+    assert(top.getSeq[Long](0) == Seq(10L, 20L), "cosine tie must break to lower cid")
+    assert(top.getSeq[Long](1) == Seq(10L, 20L), "distance tie must break to lower cid")
+    // and against the full window form on real data: same top-1 cell
+    // for every vector (the oracle pins the whole pipeline; this pins
+    // the expression in isolation)
+    val e = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * 1000 + 0.5).cast("long")).as("qv"))
+    val centRows = e.filter(col("vec_id") % 37 === 1).limit(40).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val fused = e.select(col("vec_id"),
+      element_at(graft.functions.NearestCentroids(col("qv"), centRows, 1L, 1), 1)
+        .as("cell")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ref = e.collect().map { r =>
+      val q = r.getSeq[Long](1)
+      val best = centRows.map { case (cid, cv) =>
+        (q.zip(cv).map { case (a, b) => val d = a - b; d * d }.sum, cid)
+      }.min
+      (r.getLong(0), best._2)
+    }.toMap
+    assert(fused == ref, "fused nearest-centroid diverges from the exhaustive form")
+  }
+
   test("ScaledDistSq equals the composed zip_with fold, incl. null-k/empty edges") {
     def composedDist(x: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column,
         k: org.apache.spark.sql.Column) =
