@@ -1101,4 +1101,88 @@ object Audit {
          CAST(sum(class_size) AS BIGINT) AS n_customers,
          CAST(max(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS below_l
        FROM cls GROUP BY l ORDER BY l"""
+
+  /** Snapshot diff — the table-version reconciliation every data-lake
+    * pipeline runs after a load: classify each key as added / removed
+    * / changed / unchanged between two versions and quantify the
+    * changed value drift. Two versions are simulated deterministically
+    * from `orders`: version A drops keys ≡0 (mod 101) ("rows created
+    * after A"), version B drops keys ≡0 (mod 97) ("rows deleted since
+    * A") and bumps the cents of keys ≡0 (mod 89) by 500 ("updates").
+    *
+    * The row comparison is a single 60-bit content hash over the
+    * non-key payload ([[graft.util.Hashing.phash]] of a '|'-joined
+    * rendering with the timestamp as epoch seconds — integers and
+    * strings render identically in both engines), NOT a column-wise
+    * equality chain: at real table widths the hash is computed
+    * map-side from the scan and the join carries (key, hash, cents)
+    * only, never the full payload.
+    *
+    * Scale shape: one equi-join shuffle on the key (full outer), both
+    * sides pre-projected to 3 columns; the classification collapses to
+    * a 4-row aggregate with map-side partials. At warehouse scale both
+    * versions would be bucketed/partitioned on the key so the join is
+    * storage-co-located (no shuffle at all) — the plan here is the
+    * shuffle-join equivalent. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.{Exact, Hashing}
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_custkey"), col("o_orderstatus"),
+      Exact.cents(col("o_totalprice")).as("cents"),
+      unix_timestamp(col("o_orderdate")).cast("long").as("od"),
+      col("o_orderpriority"))
+    def rowHash(cents: Column): Column = Hashing.phash(concat_ws("|",
+      col("o_custkey"), col("o_orderstatus"), cents, col("od"),
+      col("o_orderpriority")))
+    val va = base.filter(col("k") % 101 =!= 0)
+      .select(col("k"), rowHash(col("cents")).as("h"), col("cents"))
+    val bCents = col("cents") + when(col("k") % 89 === 0, 500L).otherwise(0L)
+    val vb = base.filter(col("k") % 97 =!= 0)
+      .select(col("k"), rowHash(bCents).as("h"), bCents.as("cents"))
+    va.as("a").join(vb.as("b"), col("a.k") === col("b.k"), "full_outer")
+      .select(
+        when(col("a.k").isNull, "added")
+          .when(col("b.k").isNull, "removed")
+          .when(col("a.h") =!= col("b.h"), "changed")
+          .otherwise("unchanged").as("change_type"),
+        when(col("a.k").isNotNull && col("b.k").isNotNull &&
+             col("a.h") =!= col("b.h"),
+          abs(col("b.cents") - col("a.cents"))).otherwise(0L).as("delta"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("delta")).cast("long").as("sum_abs_cents_delta"))
+      .orderBy(col("change_type"))
+  }
+
+  val snapshotDiffSql: String = {
+    import graft.util.Hashing
+    val h = Hashing.phashSql(
+      "concat_ws('|', o_custkey, o_orderstatus, cents, od, o_orderpriority)")
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS od,
+           o_orderpriority
+         FROM orders),
+       va AS (
+         SELECT k, HASH_A AS h, cents FROM base WHERE k % 101 <> 0),
+       vbsrc AS (
+         SELECT k, o_custkey, o_orderstatus, od, o_orderpriority,
+           cents + CASE WHEN k % 89 = 0 THEN 500 ELSE 0 END AS cents
+         FROM base WHERE k % 97 <> 0),
+       vb AS (
+         SELECT k, HASH_A AS h, cents FROM vbsrc),
+       j AS (
+         SELECT CASE WHEN a.k IS NULL THEN 'added'
+                     WHEN b.k IS NULL THEN 'removed'
+                     WHEN a.h <> b.h THEN 'changed'
+                     ELSE 'unchanged' END AS change_type,
+           CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL AND a.h <> b.h
+                THEN abs(b.cents - a.cents) ELSE 0 END AS delta
+         FROM va a FULL OUTER JOIN vb b ON a.k = b.k)
+       SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(delta) AS BIGINT) AS sum_abs_cents_delta
+       FROM j GROUP BY change_type ORDER BY change_type"""
+      .replace("HASH_A", h)
+  }
 }

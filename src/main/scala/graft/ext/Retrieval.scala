@@ -430,4 +430,129 @@ object Retrieval {
        SELECT doc_id, lang, CAST(n_phrase AS BIGINT) AS n_phrase
        FROM hits ORDER BY n_phrase DESC, doc_id"""
   }
+
+  // ---- Ranking-quality evaluation ----------------------------------
+
+  private val EVAL_K = 10
+  private val GOLD_TF = 3L
+
+  /** Retrieval ranking evaluation — the offline eval loop every
+    * search/RAG stack runs against its index: for each query term,
+    * score the corpus with the single-term BM25 rational core, take
+    * the top-[[EVAL_K]], and grade the head against a gold set
+    * (documents with tf ≥ [[GOLD_TF]] — a label derivable identically
+    * in both engines). Emits per-query n_gold, hits@k, the first
+    * relevant rank, and MRR / recall@k / precision@k in exact integer
+    * MICRO-units (`1e6 div rank` — integer division truncates
+    * identically in Spark and DuckDB; no doubles cross an aggregate).
+    *
+    * Scale shape: one narrow tf map over the token arrays (fenced —
+    * shared by the stats aggregate and the scorer), corpus stats as a
+    * 1-row broadcast, then per query term a TakeOrderedAndProject
+    * head of [[EVAL_K]] rows; the rank window and the metric fold only
+    * ever see those ≤[[EVAL_K]]-row heads. Nothing corpus-sized is
+    * globally sorted; adding queries adds bounded heads, not
+    * shuffles. */
+  def retrievalMrr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("t", toks(col("text")))
+      .select(col("doc_id") +: size(col("t")).cast("long").as("dl") +:
+        QUERY.zipWithIndex.map { case (q, i) =>
+          size(filter(col("t"), x => x === q)).cast("long").as(s"tf$i")
+        }: _*)
+      .transform(graft.util.Fence.lineage)
+    val stats = d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+      (QUERY.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")) ++
+       QUERY.indices.map(i =>
+        sum(when(col(s"tf$i") >= GOLD_TF, 1L).otherwise(0L)).as(s"gold$i"))): _*)
+    val scored = d.crossJoin(broadcast(stats))
+    def termMicro(i: Int): Column = {
+      val tf  = col(s"tf$i").cast("double")
+      val idf = (col("n_docs").cast("double") - col(s"df$i").cast("double") + 0.5) /
+                (col(s"df$i").cast("double") + 0.5)
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      val s = idf * (tf * (K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / avgdl)))
+      floor(s * 1000000L + 0.5).cast("long")
+    }
+    val perTerm = QUERY.zipWithIndex.map { case (q, i) =>
+      val w = Window.orderBy(col("s").desc, col("doc_id"))
+      val head = scored
+        .select(col("doc_id"), col(s"tf$i").as("tf"), termMicro(i).as("s"),
+          col(s"gold$i").as("n_gold"))
+        .filter(col("s") > 0)
+        .orderBy(col("s").desc, col("doc_id")).limit(EVAL_K)
+        .withColumn("r", row_number().over(w).cast("long"))
+      // global aggregate (not a groupBy on the constant n_gold): an
+      // empty head must still emit one row, like the SQL twin's
+      // GROUP-BY-less aggregate
+      head.agg(
+          max(col("n_gold")).cast("long").as("n_gold"),
+          sum(when(col("tf") >= GOLD_TF, 1L).otherwise(0L)).cast("long")
+            .as("hits_at_k"),
+          min(when(col("tf") >= GOLD_TF, col("r"))).cast("long")
+            .as("first_rank"))
+        .select(lit(q).as("term"), col("n_gold"),
+          col("hits_at_k"), col("first_rank"))
+    }
+    perTerm.reduce(_ unionByName _)
+      .withColumn("mrr_micro",
+        coalesce(expr("1000000 div first_rank"), lit(0L)))
+      .withColumn("recall_micro",
+        coalesce(expr("(hits_at_k * 1000000) div nullif(n_gold, 0)"), lit(0L)))
+      .withColumn("precision_micro", expr(s"(hits_at_k * 1000000) div $EVAL_K"))
+      .orderBy(col("term"))
+  }
+
+  val retrievalMrrSql: String = {
+    val tfCols = QUERY.zipWithIndex.map { case (q, i) =>
+      s"len(list_filter(t, x -> x = '$q')) AS tf$i"
+    }.mkString(", ")
+    val statCols = (QUERY.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i") ++
+      QUERY.indices.map(i =>
+        s"sum(CASE WHEN tf$i >= $GOLD_TF THEN 1 ELSE 0 END) AS gold$i"))
+      .mkString(", ")
+    def score(i: Int): String = {
+      val idf = s"((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))"
+      val s = s"$idf * (CAST(tf$i AS DOUBLE) * ${K1 + 1.0}) / " +
+        s"(CAST(tf$i AS DOUBLE) + $K1 * (${1.0 - B} + $B * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+      s"CAST(floor(($s) * 1000000 + 0.5) AS BIGINT)"
+    }
+    val heads = QUERY.zipWithIndex.map { case (q, i) =>
+      s"""h$i AS (
+           SELECT tf$i AS tf, gold$i AS n_gold,
+             CAST(row_number() OVER (ORDER BY ${score(i)} DESC, doc_id)
+               AS BIGINT) AS r
+           FROM scored WHERE ${score(i)} > 0
+           QUALIFY r <= $EVAL_K),
+         m$i AS (
+           SELECT '$q' AS term, CAST(max(n_gold) AS BIGINT) AS n_gold,
+             CAST(sum(CASE WHEN tf >= $GOLD_TF THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits_at_k,
+             CAST(min(CASE WHEN tf >= $GOLD_TF THEN r END) AS BIGINT)
+               AS first_rank
+           FROM h$i)"""
+    }.mkString(",\n       ")
+    val union = QUERY.indices.map(i => s"SELECT * FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""WITH d AS (
+         SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, $tfCols
+         FROM (SELECT doc_id, ${toksSql("text")} AS t FROM documents)),
+       stats AS (
+         SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $statCols FROM d),
+       scored AS (SELECT * FROM d CROSS JOIN stats),
+       $heads
+       SELECT term, n_gold, hits_at_k, first_rank,
+         CAST(coalesce(1000000 // first_rank, 0) AS BIGINT) AS mrr_micro,
+         CAST(coalesce((hits_at_k * 1000000) // nullif(n_gold, 0), 0)
+           AS BIGINT) AS recall_micro,
+         CAST((hits_at_k * 1000000) // $EVAL_K AS BIGINT) AS precision_micro
+       FROM ($union) ORDER BY term"""
+  }
 }

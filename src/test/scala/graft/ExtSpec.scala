@@ -1315,4 +1315,44 @@ class ExtSpec extends AnyFunSuite {
     assert(at32 >= at8, "wider truncation lost recall overall")
     assert(at8 > 0, "dim-8 truncation lost ALL signal — eval degenerate")
   }
+
+  test("snapshot_diff classifies exactly the synthesized version drift") {
+    val keys = graft.model.Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val added     = keys.count(k => k % 101 == 0 && k % 97 != 0).toLong
+    val removed   = keys.count(k => k % 97 == 0 && k % 101 != 0).toLong
+    val changed   = keys.count(k => k % 89 == 0 && k % 97 != 0 && k % 101 != 0).toLong
+    val unchanged = keys.count(k => k % 89 != 0 && k % 97 != 0 && k % 101 != 0).toLong
+    val got = SparkEntry.queries("snapshot_diff")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def n(c: String): Long = got.get(c).map(_._1).getOrElse(0L)
+    assert(n("added") == added && n("removed") == removed &&
+      n("changed") == changed && n("unchanged") == unchanged,
+      s"got $got vs ($added, $removed, $changed, $unchanged)")
+    // every changed row moved by exactly the injected 500 cents, and
+    // no other class accumulates any delta
+    assert(got.get("changed").forall(_._2 == 500L * changed))
+    assert(Seq("added", "removed", "unchanged")
+      .forall(c => got.get(c).forall(_._2 == 0L)))
+  }
+
+  test("retrieval_mrr metrics are internally consistent and non-degenerate") {
+    val rows = SparkEntry.queries("retrieval_mrr")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("hash", "join", "stream"))
+    rows.foreach { r =>
+      val (gold, hits, mrr, rec, prec) =
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))
+      val firstRank = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(gold > 0, s"degenerate gold set for ${r.getString(0)}")
+      assert(hits >= 0 && hits <= 10)
+      assert(prec == hits * 1000000L / 10L)
+      assert(rec == hits * 1000000L / gold)
+      firstRank match {
+        case Some(fr) => assert(fr >= 1 && fr <= 10 && mrr == 1000000L / fr)
+        case None     => assert(mrr == 0L && hits == 0L)
+      }
+      // tf>=3 docs exist and tf-monotone BM25 must surface at least one
+      assert(hits > 0, s"eval found no relevant docs in the top-10 head")
+    }
+  }
 }

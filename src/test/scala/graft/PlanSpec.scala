@@ -440,6 +440,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot_diff joins versions once on the key with no cartesian") {
+    val p = planOf("snapshot_diff")
+    assert(!p.contains("CartesianProduct"), "snapshot_diff plan has a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the version reconciliation is ONE full-outer equi-join; a second
+    // row-scale join would mean the payload leaked past the hash
+    val joins = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size
+    assert(joins == 1, s"snapshot_diff has $joins row-scale joins, want 1")
+  }
+
+  test("retrieval_mrr heads are TakeOrdered, never a global corpus sort") {
+    val p = planOf("retrieval_mrr")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "per-query heads must compile to TakeOrderedAndProject")
+    // stats ride a broadcast; the only exchanges are the fence
+    // repartition and the bounded-head singles
+    assert(p.contains("BroadcastExchange"), "corpus stats must broadcast")
+  }
+
   test("customer-grain ntile/rank queries never window the raw customer frame") {
     // rfm_segments / revenue_concentration / value_deciles went through
     // DistributedRank: the ONLY unpartitioned windows allowed are the
