@@ -1185,4 +1185,56 @@ object Audit {
        FROM j GROUP BY change_type ORDER BY change_type"""
       .replace("HASH_A", h)
   }
+
+  private val DAY_US = 86400000000L
+
+  /** Data-freshness audit — the staleness distribution every
+    * incremental pipeline reports per feed: how old is each event
+    * relative to the load watermark (the corpus' max event time,
+    * derived in-query as a 1-row broadcast — no driver probe)?
+    * One row per (event_type, staleness_days) with the share in
+    * exact ppm, so an SLA check is a filter on this table ("99% of
+    * type X within 2 days") and a feed that silently stopped shows
+    * up as missing low-staleness buckets, not as an empty diff.
+    * All arithmetic is integer microseconds: the day bucket is a
+    * non-negative floor division and the ppm share an exact integer
+    * division, bit-identical in both engines.
+    *
+    * Scale shape: one 1-row max broadcast, one groupBy on the tiny
+    * (type × ~days) key space — map-side combined, the shuffle is
+    * ≤ |types|·|days| rows regardless of N — and one |types|-row
+    * totals join. */
+  def freshnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val load = ev.agg(max(col("us")).as("load_us"))
+    val g = ev.crossJoin(broadcast(load))
+      .select(col("event_type"),
+        expr(s"(load_us - us) div $DAY_US").cast("long").as("staleness_days"))
+      .groupBy(col("event_type"), col("staleness_days"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+    val tot = g.groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("tot"))
+    g.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("staleness_days"), col("n_events"),
+        expr("n_events * 1000000 div tot").cast("long").as("pct_ppm"))
+      .orderBy(col("event_type"), col("staleness_days"))
+  }
+
+  val freshnessAuditSql: String =
+    s"""WITH ev AS (
+         SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+       mx AS (SELECT max(us) AS load_us FROM ev),
+       g AS (
+         SELECT event_type, (mx.load_us - us) // $DAY_US AS staleness_days,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM ev CROSS JOIN mx GROUP BY 1, 2),
+       t AS (
+         SELECT event_type, CAST(sum(n_events) AS BIGINT) AS tot
+         FROM g GROUP BY 1)
+       SELECT g.event_type, CAST(g.staleness_days AS BIGINT) AS staleness_days,
+         g.n_events,
+         CAST(g.n_events * 1000000 // t.tot AS BIGINT) AS pct_ppm
+       FROM g JOIN t USING (event_type)
+       ORDER BY event_type, staleness_days"""
 }

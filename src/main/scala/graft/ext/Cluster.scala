@@ -219,4 +219,100 @@ object Cluster {
          FROM scored)
        SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, dist2n
        FROM ranked WHERE rank <= 5 ORDER BY label, rank"""
+
+  private val PCA_ITERS = 3
+  private val PCA_QCAP  = 4000L
+
+  /** Top principal direction of the embedding corpus by INTEGER
+    * power iteration — the diversity/anisotropy diagnostic a
+    * training pipeline reads before trusting cosine similarity (a
+    * corpus whose mass collapses onto one direction gives degenerate
+    * nearest-neighbor structure; the fix — mean-centering or
+    * whitening — starts from exactly this loading vector).
+    *
+    * v ← Aᵀ(Av) without ever materializing the 64×64 Gram matrix:
+    * per row one fused dot s = ⟨q, v⟩ ([[graft.functions.LongDot]]),
+    * then the 64-dim column sums Σ s·qᵢ — a posexplode into a
+    * 64-key map-side-combined aggregate. Each iteration renormalizes
+    * v to ~millis by an exact integer division (truncation toward
+    * zero, identical in both engines), so every quantity stays a
+    * BIGINT with proven bounds: |q| ≤ [[PCA_QCAP]] (asserted in-plan
+    * with `raise_error` — the overflow-safety contract), |v| ≤ 2000,
+    * s ≤ 64·4000·2000 ≈ 5·10⁸, and the summed w ≤ 4·10¹⁸ even at
+    * 2M rows (sf10) — inside long range. The identity-free
+    * deterministic start v₀ = (1000,…,1000) makes the whole
+    * trajectory reproducible (no RNG, per the repo convention).
+    *
+    * Scale shape per iteration: one 1-row broadcast (v), one codegen
+    * dot per row, one 64-key aggregate — the corpus is scanned K=3
+    * times behind a lineage fence and nothing wider than (i, long)
+    * shuffles. The 64-row ↔ 1-row-array reshapes are constant-size. */
+  def embeddingPca(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), quant(col("embedding")).as("q0"))
+      .select(col("vec_id"),
+        when(array_max(transform(col("q0"), x => abs(x))) <= PCA_QCAP, col("q0"))
+          .otherwise(raise_error(lit(
+            s"embedding_pca: |q| exceeds $PCA_QCAP milli — BIGINT bound void")))
+          .as("q"))
+      .transform(graft.util.Fence.lineage)
+    var v = spark.range(1)
+      .select(transform(sequence(lit(1), lit(DIM)), _ => lit(1000L)).as("v"))
+    var w: DataFrame = null
+    var scale: DataFrame = null
+    for (_ <- 1 to PCA_ITERS) {
+      val s = e.crossJoin(broadcast(v))
+        .select(col("q"), graft.functions.LongDot(col("q"), col("v")).as("s"))
+      w = s.select(col("s"), posexplode_outer(col("q")))
+        .filter(col("col").isNotNull)
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "qi")
+        .groupBy(col("i")).agg(sum(col("qi") * col("s")).as("w"))
+      scale = w.agg(greatest(expr("max(abs(w)) div 1000"), lit(1L)).as("g"),
+        max(abs(col("w"))).cast("long").as("scale_max"))
+      v = w.crossJoin(broadcast(scale))
+        .select(col("i"), expr("w div g").as("vn"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("vn")))),
+          st => st.getField("vn")).as("v"))
+    }
+    w.crossJoin(broadcast(scale))
+      .select((col("i") + 1).cast("long").as("dim"),
+        expr("w div g").cast("long").as("loading_milli"),
+        col("scale_max"))
+      .orderBy(col("dim"))
+  }
+
+  val embeddingPcaSql: String = {
+    val iters = (1 to PCA_ITERS).map { k =>
+      s"""s$k AS (
+         SELECT e.vec_id, e.q,
+           CAST(list_sum(list_transform(generate_series(1, $DIM),
+             i -> e.q[i] * v.v[i])) AS BIGINT) AS s
+         FROM e CROSS JOIN v${k - 1} v),
+       w$k AS (
+         SELECT d.i, CAST(sum(t.q[d.i] * t.s) AS BIGINT) AS w
+         FROM s$k t CROSS JOIN dims d GROUP BY d.i),
+       g$k AS (
+         SELECT greatest(max(abs(w)) // 1000, 1) AS g,
+           CAST(max(abs(w)) AS BIGINT) AS scale_max
+         FROM w$k),
+       v$k AS (
+         SELECT list(w.w // g.g ORDER BY w.i) AS v FROM w$k w CROSS JOIN g$k g)"""
+    }.mkString(",\n       ")
+    s"""WITH e AS MATERIALIZED (
+         SELECT vec_id,
+           CASE WHEN list_max(list_transform(q0, x -> abs(x))) <= $PCA_QCAP
+                THEN q0
+                ELSE error('embedding_pca: |q| exceeds $PCA_QCAP milli')
+           END AS q
+         FROM (SELECT vec_id, $quantSql AS q0 FROM embeddings)),
+       dims AS (SELECT unnest(generate_series(1, $DIM)) AS i),
+       v0 AS (SELECT list_transform(generate_series(1, $DIM), i -> 1000) AS v),
+       $iters
+       SELECT CAST(w.i AS BIGINT) AS dim,
+         CAST(w.w // g.g AS BIGINT) AS loading_milli,
+         g.scale_max
+       FROM w$PCA_ITERS w CROSS JOIN g$PCA_ITERS g
+       ORDER BY dim"""
+  }
 }

@@ -686,4 +686,189 @@ object Graph {
            AS BIGINT) AS modularity_ppm
        FROM dm LEFT JOIN ic ON ic.source = dm.source CROSS JOIN ms
        ORDER BY dm.source"""
+
+  private val LPA_ROUNDS = 4
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — the
+    * cheap community detector a corpus pipeline runs over the link
+    * graph to group mutually-linking domains before per-community
+    * quota decisions (the communities are coarser than connected
+    * components and arrive in O(rounds), not O(diameter)). Made
+    * deterministic: every node simultaneously adopts the label held
+    * by the PLURALITY of its neighbors, ties broken by the SMALLEST
+    * label — `max(struct(cnt, -label))` — so both engines compute the
+    * identical fixed trajectory from the identity labeling (the
+    * repo's no-RNG convention; production LPA randomizes the sweep
+    * order and keeps the operator shape). [[LPA_ROUNDS]] is a fixed
+    * constant; the result carries `final_moves` (labels still
+    * changing in the last round) as the convergence certificate,
+    * mirroring [[pagerankOf]]'s delta column.
+    *
+    * Scale shape per round: one edges⋈labels equi-join (shuffle on
+    * node id), one (node, label) count, one per-node argmax — all
+    * map-side combinable, frames never wider than three longs. The
+    * undirected edge set is built once (distinct canonical pairs,
+    * then symmetrized) and checkpointed; at 100 TB it is the real
+    * link table bucketed by node id. */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val und = edgesOf(nodes)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val edges = und.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(eager = false)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    var prev = labels
+    for (_ <- 1 to LPA_ROUNDS) {
+      prev = labels
+      val pick = edges.join(labels.withColumnRenamed("id", "a"), Seq("a"))
+        .groupBy(col("b"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("b").as("id"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("p"))
+        .select(col("id"), (-col("p.nl")).as("new_label"))
+      labels = labels.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint(eager = false)
+    }
+    val moves = labels
+      .join(prev.withColumnRenamed("label", "prev_label"), Seq("id"))
+      .agg(count(when(col("label") =!= col("prev_label"), 1))
+        .cast("long").as("final_moves"))
+    labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("community_size"))
+      .agg(count(lit(1)).cast("long").as("n_communities"),
+        sum(col("sz")).cast("long").as("n_nodes"))
+      .crossJoin(broadcast(moves))
+      .orderBy(col("community_size"))
+  }
+
+  val labelPropagationSql: String = {
+    val rounds = (1 to LPA_ROUNDS).map { i =>
+      s"""l$i AS (
+         SELECT p.id,
+           COALESCE(-((pk.p).nl), p.label) AS label
+         FROM l${i - 1} p LEFT JOIN (
+           SELECT b AS id, max(struct_pack(cnt := cnt, nl := -label)) AS p
+           FROM (
+             SELECT e.b, l.label, count(*) AS cnt
+             FROM edges e JOIN l${i - 1} l ON l.id = e.a
+             GROUP BY e.b, l.label)
+           GROUP BY b) pk ON pk.id = p.id)"""
+    }.mkString(",\n       ")
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       m0 AS (SELECT count(*) AS m FROM nodes),
+       probes AS (
+         SELECT id AS src, (id * 7 + 13) % m0.m AS dst FROM nodes CROSS JOIN m0
+         UNION ALL
+         SELECT id AS src, (id * 7 + 26) % m0.m AS dst FROM nodes CROSS JOIN m0
+         UNION ALL
+         SELECT id AS src, (id * 7 + 39) % m0.m AS dst FROM nodes CROSS JOIN m0),
+       raw AS (SELECT p.src, p.dst FROM probes p JOIN nodes t ON t.id = p.dst),
+       und AS (
+         SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         FROM raw WHERE src <> dst),
+       edges AS MATERIALIZED (
+         SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und),
+       l0 AS (SELECT id, id AS label FROM nodes),
+       $rounds,
+       mv AS (
+         SELECT CAST(count(*) FILTER (WHERE a.label <> b.label) AS BIGINT) AS final_moves
+         FROM l$LPA_ROUNDS a JOIN l${LPA_ROUNDS - 1} b USING (id)),
+       sizes AS (SELECT label, count(*) AS sz FROM l$LPA_ROUNDS GROUP BY label)
+       SELECT sz AS community_size,
+         CAST(count(*) AS BIGINT) AS n_communities,
+         CAST(sum(sz) AS BIGINT) AS n_nodes,
+         (SELECT final_moves FROM mv) AS final_moves
+       FROM sizes GROUP BY sz ORDER BY community_size"""
+  }
+
+  private val HITS_ROUNDS = 3
+  private val HITS_BASE   = 1000000L
+
+  /** HITS hubs/authorities (Kleinberg 1999) over the directed link
+    * graph — the complement to [[pagerankLinks]]: a crawl pipeline
+    * ranks DIRECTORY pages (hubs, good out-links) separately from
+    * CONTENT pages (authorities, good in-links) when allocating
+    * fetch budget. [[HITS_ROUNDS]] fixed rounds of the mutual
+    * update a(v)=Σ h(in-neighbors), h(u)=Σ a(out-neighbors), each
+    * half-step renormalized to [[HITS_BASE]] micro-units by the
+    * current MAX (an exact integer floor-division both engines
+    * compute bit-identically — the repo's no-libm rule rules out the
+    * usual L2 norm, and max-normalization is the standard integer-
+    * safe variant). All values stay non-negative longs ≤ deg·BASE,
+    * so [[idiv]]'s 2^53 exactness bound holds with 6 decades of
+    * headroom.
+    *
+    * Scale shape per half-step: one edges⋈scores equi-join + one
+    * groupBy partial sum (node-id keyed), one 1-row max broadcast —
+    * ×2·K fixed rounds. The final top-20 is TakeOrderedAndProject. */
+  def hitsScores(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val edges = edgesOf(nodes).localCheckpoint(eager = false)
+    def normalize(raw: DataFrame, out: String): DataFrame = {
+      val mx = raw.agg(greatest(max(col("raw")), lit(1L)).as("mx"))
+      nodes.join(raw.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("id"),
+          idiv(coalesce(col("raw"), lit(0L)) * HITS_BASE, col("mx")).as(out))
+        .localCheckpoint(eager = false)
+    }
+    var hub = nodes.select(col("id"), lit(HITS_BASE).as("hub"))
+    var auth = nodes.select(col("id"), lit(HITS_BASE).as("auth"))
+    for (_ <- 1 to HITS_ROUNDS) {
+      val araw = edges.join(hub.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("raw"))
+      auth = normalize(araw, "auth")
+      val hraw = edges.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("dst")).agg(sum(col("auth")).as("raw"))
+      hub = normalize(hraw, "hub")
+    }
+    auth.join(hub, Seq("id"))
+      .select(col("id").as("doc_id"),
+        col("auth").cast("long").as("auth_micro"),
+        col("hub").cast("long").as("hub_micro"))
+      .orderBy(col("auth_micro").desc, col("doc_id"))
+      .limit(TOPK)
+  }
+
+  val hitsScoresSql: String = {
+    val rounds = (1 to HITS_ROUNDS).map { i =>
+      s"""a${i}raw AS (
+         SELECT e.dst AS id, sum(h.hub) AS raw
+         FROM edges e JOIN h${i - 1} h ON h.id = e.src GROUP BY e.dst),
+       a${i}mx AS (SELECT greatest(max(raw), 1) AS mx FROM a${i}raw),
+       a$i AS (
+         SELECT n.id, COALESCE(r.raw, 0) * $HITS_BASE // m.mx AS auth
+         FROM nodes n LEFT JOIN a${i}raw r USING (id) CROSS JOIN a${i}mx m),
+       h${i}raw AS (
+         SELECT e.src AS id, sum(a.auth) AS raw
+         FROM edges e JOIN a$i a ON a.id = e.dst GROUP BY e.src),
+       h${i}mx AS (SELECT greatest(max(raw), 1) AS mx FROM h${i}raw),
+       h$i AS (
+         SELECT n.id, COALESCE(r.raw, 0) * $HITS_BASE // m.mx AS hub
+         FROM nodes n LEFT JOIN h${i}raw r USING (id) CROSS JOIN h${i}mx m)"""
+    }.mkString(",\n       ")
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       m0 AS (SELECT count(*) AS m FROM nodes),
+       probes AS (
+         SELECT id AS src, (id * 7 + 13) % m0.m AS dst FROM nodes CROSS JOIN m0
+         UNION ALL
+         SELECT id AS src, (id * 7 + 26) % m0.m AS dst FROM nodes CROSS JOIN m0
+         UNION ALL
+         SELECT id AS src, (id * 7 + 39) % m0.m AS dst FROM nodes CROSS JOIN m0),
+       edges AS MATERIALIZED (
+         SELECT p.src, p.dst FROM probes p JOIN nodes t ON t.id = p.dst),
+       h0 AS (SELECT id, $HITS_BASE AS hub FROM nodes),
+       $rounds
+       SELECT a.id AS doc_id,
+         CAST(a.auth AS BIGINT) AS auth_micro,
+         CAST(h.hub AS BIGINT) AS hub_micro
+       FROM a$HITS_ROUNDS a JOIN h$HITS_ROUNDS h USING (id)
+       ORDER BY auth_micro DESC, doc_id LIMIT $TOPK"""
+  }
 }

@@ -1355,4 +1355,69 @@ class ExtSpec extends AnyFunSuite {
       assert(hits > 0, s"eval found no relevant docs in the top-10 head")
     }
   }
+
+  test("label_propagation partitions every node and actually coarsens") {
+    val nDocs = graft.model.Tables.documents(spark, sf).count()
+    val rows = SparkEntry.queries("label_propagation")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var nodes = 0L; var communities = 0L
+    rows.foreach { r =>
+      val (size, nc, nn, moves) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(size * nc == nn, s"histogram row inconsistent: $r")
+      assert(moves >= 0 && moves <= nDocs)
+      nodes += nn; communities += nc
+    }
+    // a partition of the node set (labels are a function, sizes disjoint)
+    assert(nodes == nDocs, s"histogram covers $nodes of $nDocs nodes")
+    // plurality propagation over the affine graph must merge SOMETHING
+    assert(communities < nDocs, "no label ever propagated")
+    assert(communities >= 1)
+  }
+
+  test("hits_scores normalizes the top authority to exactly BASE") {
+    val rows = SparkEntry.queries("hits_scores")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    // max-normalization: the strongest authority holds exactly 1e6
+    assert(rows.head._2 == 1000000L,
+      s"top authority ${rows.head._2} != 1e6 after max-normalization")
+    // sorted by authority desc, every score inside [0, 1e6]
+    assert(rows.toSeq.sliding(2).forall { case Seq(a, b) => a._2 >= b._2 })
+    rows.foreach { case (_, a, h) =>
+      assert(a >= 0 && a <= 1000000L && h >= 0 && h <= 1000000L)
+    }
+  }
+
+  test("freshness_audit shares sum to ~1e6 ppm and cover every event") {
+    val nEvents = graft.model.Tables.events(spark, sf).count()
+    val rows = SparkEntry.queries("freshness_audit")(spark, sf).collect()
+    val byType = rows.groupBy(_.getString(0))
+    assert(byType.keySet.size == 5)
+    assert(rows.map(_.getLong(2)).sum == nEvents)
+    byType.foreach { case (t, rs) =>
+      rs.foreach { r =>
+        assert(r.getLong(1) >= 0 && r.getLong(1) <= 40,
+          s"$t staleness ${r.getLong(1)} days outside the 30-day corpus")
+      }
+      val ppm = rs.map(_.getLong(3)).sum
+      // exact integer floors: total in (1e6 - #buckets, 1e6]
+      assert(ppm <= 1000000L && ppm > 1000000L - rs.length,
+        s"$t ppm shares sum to $ppm over ${rs.length} buckets")
+    }
+  }
+
+  test("embedding_pca emits a unit-normalized 64-dim loading vector") {
+    val rows = SparkEntry.queries("embedding_pca")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (1L to 64L))
+    val maxAbs = rows.map(r => math.abs(r._2)).max
+    // renormalization by g = max(1, wmax div 1000) pins the largest
+    // |loading| into [1000, 2000): the documented BIGINT-bound window
+    assert(maxAbs >= 1000L && maxAbs < 2000L, s"max |loading| $maxAbs")
+    rows.foreach { case (_, l, s) =>
+      assert(math.abs(l) <= maxAbs); assert(s > 0)
+    }
+    assert(rows.map(_._3).distinct.length == 1, "scale_max must be constant")
+  }
 }

@@ -480,4 +480,24 @@ class PlanSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("round-8 additions: broadcast-only products, no row-scale cartesians") {
+    // label_propagation / hits_scores / embedding_pca / freshness_audit
+    // all carry 1-row knob frames (max, load watermark, v) as
+    // broadcast cross joins; a CartesianProduct or an unbroadcast
+    // nested loop would mean a knob frame grew to row scale
+    for (q <- Seq("label_propagation", "hits_scores", "embedding_pca",
+                  "freshness_audit")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan has a cartesian product")
+      if (p.contains("BroadcastNestedLoopJoin"))
+        assert(p.contains("BroadcastExchange"),
+          s"$q nested-loop join without a broadcast build side")
+    }
+    // the iterative kernels must keep every row-scale window out:
+    // label counts and rank sums are groupBy aggregates, not windows
+    for (q <- Seq("label_propagation", "hits_scores"))
+      assert(!planOf(q).contains("windowspecdefinition"),
+        s"$q should aggregate, not window")
+  }
 }
