@@ -36,6 +36,16 @@ def frame_rows(df):
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # builder-side big-replica runs (sf10) OOM without a cap: DuckDB
+    # buffers unbounded by default. Opt-in via env so the driver's
+    # default invocation is untouched.
+    mem = os.environ.get("GRAFT_DUCKDB_MEMLIMIT")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    thr = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.isdir(p):
@@ -50,7 +60,12 @@ def main():
     # a query that threw inside Verify must fail here, not vanish
     result_dirs = set(d for d in os.listdir(outdir)
                       if os.path.isdir(os.path.join(outdir, d)))
+    # optional 3rd arg: comma-separated query names (builder-side
+    # targeted re-checks / per-query isolation on big replicas)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     for name in sorted(result_dirs | set(oracle)):
+        if only is not None and name not in only:
+            continue
         if name not in result_dirs:
             print(f"[FAIL] {name}: declared but Verify wrote no output")
             n_bad += 1

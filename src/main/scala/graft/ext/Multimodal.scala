@@ -88,8 +88,11 @@ object Multimodal {
     // the raw corpus has no byte-exact copies (its twins differ by a
     // suffix token) — inject exact replicas deterministically so the
     // dedup path has real positives and the oracle rebuilds them
+    // +1,000,000 keeps the copy ids clear of real doc_ids at deep
+    // replica scales (sf10 doc_ids reach ~500,495 — the same headroom
+    // rule the dedup/similarity corpora follow)
     val copies = base.filter(col("media_id") % 7 === 0)
-      .select((col("media_id") + 500000).as("media_id"), col("blob"), col("meta"))
+      .select((col("media_id") + 1000000).as("media_id"), col("blob"), col("meta"))
     val m = base.unionAll(copies).select(
       col("media_id"),
       Hashing.phash(col("blob").cast("string"), "blob_").as("content_key"),
@@ -111,7 +114,7 @@ object Multimodal {
     s"""WITH b AS (
          SELECT doc_id AS media_id, text FROM documents
          UNION ALL
-         SELECT doc_id + 500000 AS media_id, text FROM documents
+         SELECT doc_id + 1000000 AS media_id, text FROM documents
          WHERE doc_id % 7 = 0),
        m AS (
          SELECT media_id,
@@ -638,4 +641,214 @@ object Multimodal {
          CAST(list_sum(list_transform(vals, v -> v * v)) AS BIGINT)
            AS sumsq_pcm
        FROM s ORDER BY media_id, channel"""
+
+  // ---- Perceptual near-duplicate detection over decoded rasters ----
+
+  private val SIG_BITS = 16
+  /** Polynomial raster-hash modulus: h·31 + 255 stays < 2^63 for
+    * h < MOD, so the fold never overflows in either engine. */
+  private val PHOTO_HASH_MOD = 1000000000000000L
+
+  /** [[ppmMediaTable]] plus PERTURBED twins: every `doc_id % 5 == 0`
+    * image reappears at `media_id + 1,000,000` (the deep-replica-safe
+    * offset) with its LAST raster byte stepped one place inside
+    * printable ASCII — a re-encode/re-crop stand-in that byte-exact
+    * dedup ([[mediaDedup]]) can NEVER merge. Both the base raster and
+    * the perturbation are pure in-plan string arithmetic over the
+    * ASCII source, so the DuckDB twin reproduces the pixels exactly. */
+  def ppmMediaTwinTable(spark: SparkSession, dir: String): DataFrame = {
+    val w = (col("doc_id") % 5 + 4).cast("int")
+    val h = (col("doc_id") % 4 + 3).cast("int")
+    val wellFormed =
+      col("text").isNotNull && length(col("text")) >= 36 &&
+        !col("text").rlike("[^\\x00-\\x7F]")
+    val text = when(wellFormed, col("text")).otherwise(
+      raise_error(concat(
+        lit("ppmMediaTwinTable: text must be pure ASCII and >= 36 chars, doc_id="),
+        col("doc_id").cast("string"))))
+    val base = Tables.documents(spark, dir).select(
+      col("doc_id"), w.as("w"), h.as("h"),
+      repeat(text, 4).substr(lit(1), w * h * 3).as("raster"))
+    val twins = base.filter(col("doc_id") % 5 === 0).select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("w"), col("h"),
+      concat(col("raster").substr(lit(1), col("w") * col("h") * 3 - 1),
+        expr("char(32 + (ascii(substring(raster, w * h * 3, 1)) - 32 + 1) % 95)"))
+        .as("raster"))
+    base.unionByName(twins).select(
+      col("doc_id").as("media_id"),
+      encode(concat(lit("P6\n"), col("w").cast("string"), lit(" "),
+        col("h").cast("string"), lit("\n255\n"), col("raster")), "UTF-8")
+        .as("blob"))
+  }
+
+  /** Perceptual fingerprint from the decode kernel: per-pixel
+    * luminance (r+g+b) folded into [[SIG_BITS]] positional buckets,
+    * signature bit b set iff bucket b holds more than ITS EXPECTED
+    * SHARE of the total — `mass_b · npix > total · count_b` (exact
+    * integer cross-multiplication, no division), where count_b is the
+    * bucket's pixel count. Comparing against the per-bucket
+    * expectation (not the flat average) is load-bearing: buckets
+    * receive ⌈npix/16⌉ or ⌊npix/16⌋ pixels, and a flat-average bit
+    * would mostly encode npix mod 16 — every same-size image would
+    * collide, and identical-signature clusters grow quadratically at
+    * scale. Plus a polynomial hash of the raw raster bytes for the
+    * byte-exactness flag. */
+  case class ImageFingerprint(media_id: Long, width: Int, height: Int,
+                              lum_total: Long, sig: Long, raster_hash: Long)
+
+  /** The aHash-family fingerprint kernel — same mapPartitions decode
+    * scope as [[decodeImages]] (one decoder per partition, rows
+    * streamed); a production pipeline swaps the bucket fold for a
+    * DCT/pHash over the decoded pixels and keeps the shape. */
+  def fingerprintImages(spark: SparkSession, dir: String,
+                        parallelism: Int = -1): Dataset[ImageFingerprint] = {
+    import spark.implicits._
+    val m = ppmMediaTwinTable(spark, dir)
+      .select(col("media_id").cast("long"), col("blob"))
+      .repartition(if (parallelism > 0) parallelism
+                   else spark.sparkContext.defaultParallelism)
+    m.as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.map { case (id, blob) =>
+        val (w, h, off) = parsePpmHeader(blob)
+        val npix = w * h
+        val buckets = new Array[Long](SIG_BITS)
+        var total = 0L
+        var p = 0
+        while (p < npix) {
+          val lum = (blob(off + 3 * p) & 0xff).toLong +
+            (blob(off + 3 * p + 1) & 0xff) + (blob(off + 3 * p + 2) & 0xff)
+          buckets(p % SIG_BITS) += lum; total += lum; p += 1
+        }
+        var hash = 0L; var k = 0; val nb = npix * 3
+        while (k < nb) {
+          hash = (hash * 31 + (blob(off + k) & 0xff)) % PHOTO_HASH_MOD
+          k += 1
+        }
+        var sig = 0L; var b = 0
+        while (b < SIG_BITS) {
+          // pixels p < npix with p % SIG_BITS == b
+          val cnt = (npix - b + SIG_BITS - 1) / SIG_BITS
+          if (buckets(b) * npix > total * cnt) sig |= (1L << b)
+          b += 1
+        }
+        ImageFingerprint(id, w, h, total, sig, hash)
+      }
+    }
+  }
+
+  /** Total-luminance band width. A near-dup (one byte re-encoded)
+    * moves the total by < 256, so it lands in the same or an adjacent
+    * band — probing {−1, 0, +1} keeps every true twin while the band
+    * kills the ~equal-signature-different-content collisions that
+    * would otherwise grow quadratically with corpus size (measured:
+    * 2.25M pairs at 60k images on the signature alone). */
+  private val LUM_BAND = 256L
+
+  /** Perceptual near-duplicate pairs — the content-level dedup rung
+    * byte-exact [[mediaDedup]] cannot reach: two images pair iff
+    * their dimensions match, their luminance signatures differ in at
+    * most ONE bit, AND their total luminance falls in the same or an
+    * adjacent [[LUM_BAND]] band. The Hamming-≤1 × band-≤1 join is
+    * EXACT without any quadratic bucket: each image emits its
+    * signature plus all [[SIG_BITS]] single-bit flips crossed with
+    * the three band offsets (51 probe rows), and a pair surfaces
+    * exactly once — the matching (flip, offset) combination is unique
+    * — so no dropDuplicates pass. `exact_dup` separates true byte
+    * copies from perceptual-only matches (every injected perturbed
+    * twin is the latter, which the spec pins).
+    *
+    * Scale shape: probes are a linear ×51 fan (explode_outer — the
+    * InferFiltersFromGenerate trap consciously avoided) over id-only
+    * rows; the join is a plain equi-join on (w, h, band, probe) whose
+    * output is the true match set plus same-band signature collisions
+    * — never a per-bucket pair blowup. At 100 TB the fingerprint
+    * table is the persisted index and the probe fan stays 51×. */
+  def mediaNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = fingerprintImages(spark, dir).toDF()
+      .withColumn("tband", expr(s"lum_total div $LUM_BAND"))
+      .transform(graft.util.Fence.lineage)
+    val probeArr = array((for {
+      p <- col("sig") +: (0 until SIG_BITS).map(b =>
+             col("sig").bitwiseXOR(lit(1L << b)))
+      d <- -1 to 1
+    } yield struct(p.as("probe"), (col("tband") + d).as("band"))): _*)
+    val probes = fp.select(col("media_id").as("id1"), col("width"),
+        col("height"), col("sig").as("sig1"), col("raster_hash").as("rh1"),
+        explode_outer(probeArr).as("pb"))
+      .filter(col("pb").isNotNull)
+      .select(col("id1"), col("width"), col("height"), col("sig1"),
+        col("rh1"), col("pb.probe").as("probe"), col("pb.band").as("band"))
+    val sigs = fp.select(col("media_id").as("id2"), col("width"),
+      col("height"), col("sig").as("sig2"),
+      col("raster_hash").as("rh2"), col("sig").as("probe"),
+      col("tband").as("band"))
+    probes.join(sigs, Seq("width", "height", "band", "probe"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("bit_count(sig1 ^ sig2)").cast("long").as("hamming"),
+        (col("rh1") === col("rh2")).as("exact_dup"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val mediaNeardupSql: String =
+    s"""WITH m0 AS (
+         SELECT doc_id AS media_id,
+           CAST(doc_id % 5 + 4 AS INTEGER) AS w,
+           CAST(doc_id % 4 + 3 AS INTEGER) AS h,
+           substr(repeat(text, 4), 1,
+             CAST((doc_id % 5 + 4) * (doc_id % 4 + 3) * 3 AS INTEGER)) AS raster
+         FROM documents),
+       m AS MATERIALIZED (
+         SELECT media_id, w, h, raster FROM m0
+         UNION ALL
+         SELECT media_id + 1000000, w, h,
+           substr(raster, 1, w * h * 3 - 1) ||
+             chr(32 + (unicode(substr(raster, w * h * 3, 1)) - 32 + 1) % 95)
+         FROM m0 WHERE media_id % 5 = 0),
+       px AS (
+         SELECT media_id, w, h, ps.p,
+           unicode(substr(raster, 3 * ps.p + 1, 1)) +
+           unicode(substr(raster, 3 * ps.p + 2, 1)) +
+           unicode(substr(raster, 3 * ps.p + 3, 1)) AS lum
+         FROM m CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS p) ps
+         WHERE ps.p < w * h),
+       bk AS (
+         SELECT media_id, w, h, p % $SIG_BITS AS b,
+           CAST(sum(lum) AS BIGINT) AS bl
+         FROM px GROUP BY 1, 2, 3, 4),
+       tot AS (SELECT media_id, CAST(sum(bl) AS BIGINT) AS total
+               FROM bk GROUP BY 1),
+       sg AS (
+         SELECT k.media_id, k.w, k.h,
+           CAST(sum(CASE WHEN k.bl * k.w * k.h >
+                         t.total * ((k.w * k.h - k.b + $SIG_BITS - 1) // $SIG_BITS)
+                         THEN 1 << k.b ELSE 0 END) AS BIGINT) AS sig
+         FROM bk k JOIN tot t USING (media_id) GROUP BY 1, 2, 3),
+       rh AS (
+         SELECT media_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, w * h * 3),
+               k -> CAST(unicode(substr(raster, k, 1)) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % $PHOTO_HASH_MOD) AS raster_hash
+         FROM m),
+       f AS MATERIALIZED (
+         SELECT s.media_id, s.w, s.h, s.sig, t.total // $LUM_BAND AS tband,
+           r.raster_hash
+         FROM sg s JOIN tot t USING (media_id) JOIN rh r USING (media_id)),
+       probes AS (
+         SELECT media_id AS id1, w, h, sig AS sig1, raster_hash AS rh1,
+           CASE WHEN bs.b = 0 THEN sig
+                ELSE xor(sig, 1 << (bs.b - 1)) END AS probe,
+           tband + ds.d AS band
+         FROM f
+         CROSS JOIN (SELECT unnest(generate_series(0, $SIG_BITS)) AS b) bs
+         CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS d) ds)
+       SELECT p.id1, f.media_id AS id2,
+         CAST(bit_count(xor(p.sig1, f.sig)) AS BIGINT) AS hamming,
+         p.rh1 = f.raster_hash AS exact_dup
+       FROM probes p
+       JOIN f ON f.w = p.w AND f.h = p.h AND f.tband = p.band
+              AND f.sig = p.probe
+       WHERE p.id1 < f.media_id
+       ORDER BY id1, id2"""
 }

@@ -1420,4 +1420,27 @@ class ExtSpec extends AnyFunSuite {
     }
     assert(rows.map(_._3).distinct.length == 1, "scale_max must be constant")
   }
+
+  test("media_neardup finds every perturbed twin and no byte-exact twin") {
+    val rows = SparkEntry.queries("media_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // Hamming-<=1 is the operator's definition; the 17-probe expansion
+    // must never surface a farther pair
+    rows.foreach { case (id1, id2, ham, _) =>
+      assert(ham >= 0 && ham <= 1, s"pair ($id1,$id2) at hamming $ham")
+      assert(id1 < id2)
+    }
+    // every doc_id % 5 == 0 image has an injected one-byte-perturbed
+    // twin at +1,000,000: the one-bucket luminance nudge must stay
+    // within the Hamming tolerance for ALL of them
+    val nTwins = graft.model.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0).count()
+    val twinPairs = rows.filter { case (a, b, _, _) => b == a + 1000000L }
+    assert(twinPairs.length == nTwins,
+      s"found ${twinPairs.length} of $nTwins perturbed twins")
+    // a perturbed twin is perceptually equal but NEVER byte-exact
+    twinPairs.foreach { case (a, _, _, exact) =>
+      assert(!exact, s"twin of $a flagged byte-exact despite the bump")
+    }
+  }
 }

@@ -487,7 +487,7 @@ class PlanSpec extends AnyFunSuite {
     // broadcast cross joins; a CartesianProduct or an unbroadcast
     // nested loop would mean a knob frame grew to row scale
     for (q <- Seq("label_propagation", "hits_scores", "embedding_pca",
-                  "freshness_audit")) {
+                  "freshness_audit", "media_neardup")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plan has a cartesian product")
       if (p.contains("BroadcastNestedLoopJoin"))
