@@ -636,4 +636,115 @@ object Curation {
        SELECT new_id, old_id, score,
          CAST(CASE WHEN score >= 32 THEN 1 ELSE 0 END AS BIGINT) AS is_match
        FROM scored ORDER BY new_id, old_id"""
+
+  // ---------------------------------------------------------------
+  // Iterative BPE merge LEARNING
+  // ---------------------------------------------------------------
+
+  private val BPE_LEARN_ROUNDS = 4
+
+  /** True iterative BPE training (Sennrich et al. 2016) — the step
+    * [[tokenizeBpe]]'s static top-pair table approximates: each round
+    * RECOUNTS adjacent-symbol pairs over the evolving symbol
+    * sequences (so later merges can fuse multi-char symbols earlier
+    * rounds created), takes the frequency-argmax pair (ties to the
+    * lexicographically smallest, via one struct-MIN over (−count, a,
+    * b) — deterministic in both engines), and applies it corpus-wide
+    * as a greedy leftmost non-overlapping rewrite (literal `replace`,
+    * identical scan semantics in Spark and DuckDB; the same
+    * marker-anchored `|sym ` encoding as [[tokenizeBpe]], so a merge
+    * can never fire across symbol or word boundaries). Emits the
+    * learned merge table — one row per round with the winning pair,
+    * its count at selection time, and the corpus token count after
+    * the merge (the compression trajectory a tokenizer team reads).
+    *
+    * Scale shape: training runs on the DISTINCT-WORD frequency table
+    * (the standard formulation — bounded by vocabulary, not corpus
+    * size, at any N), so each round is one vocab-sized pair explode,
+    * two map-side-combined aggregates, one 1-row broadcast rewrite.
+    * ROUNDS is a fixed constant; a production run raises it and
+    * persists the vocab frame between rounds exactly as the
+    * per-round localCheckpoint does here. */
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode_outer(toks(col("text"))).as("word"))
+      .filter(col("word").isNotNull && length(col("word")) >= 2 &&
+        !col("word").contains("|"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var vocab = words
+      .select(regexp_replace(col("word"), "(\\S)", "|$1 ").as("enc"),
+        col("freq"))
+      .localCheckpoint(eager = false)
+    val rounds = (1 to BPE_LEARN_ROUNDS).map { r =>
+      val syms = filter(split(col("enc"), "\\|"), s => s =!= "")
+      val pairs = vocab
+        .select(col("freq"), explode_outer(transform(
+            sequence(lit(1), greatest(size(syms) - 1, lit(0))),
+            i => struct(element_at(syms, i).as("a"),
+              element_at(syms, i + 1).as("b")))).as("p"))
+        .filter(col("p").isNotNull)
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+      val best = pairs
+        .agg(min(struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("m"))
+        .select(col("m.a").as("a"), col("m.b").as("b"),
+          (-col("m.nc")).as("cnt"))
+      vocab = vocab.crossJoin(broadcast(best))
+        .select(replace(col("enc"),
+            concat(lit("|"), col("a"), lit("|"), col("b")),
+            concat(lit("|"), rtrim(col("a")), col("b"))).as("enc"),
+          col("freq"))
+        .localCheckpoint(eager = false)
+      val toksAfter = vocab.agg(
+        sum(col("freq") *
+          (length(col("enc")) - length(replace(col("enc"), lit("|")))))
+          .cast("long").as("tokens_after"))
+      best.crossJoin(broadcast(toksAfter))
+        .select(lit(r.toLong).as("round"), rtrim(col("a")).as("sym_a"),
+          rtrim(col("b")).as("sym_b"), col("cnt").cast("long").as("pair_count"),
+          col("tokens_after"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  val bpeLearnSql: String = {
+    val iters = (1 to BPE_LEARN_ROUNDS).map { r =>
+      s"""p$r AS (
+         SELECT u.p.a AS a, u.p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         FROM (
+           SELECT freq, unnest(list_transform(
+             generate_series(1, greatest(len(l) - 1, 0)),
+             i -> struct_pack(a := l[i], b := l[i + 1]))) AS p
+           FROM (SELECT list_filter(string_split(enc, '|'), s -> s <> '') AS l,
+                        freq
+                 FROM v${r - 1}) lv) u
+         GROUP BY 1, 2),
+       b$r AS (
+         SELECT (m).a AS a, (m).b AS b, -((m).nc) AS cnt FROM (
+           SELECT min(struct_pack(nc := -cnt, a := a, b := b)) AS m FROM p$r)),
+       v$r AS (
+         SELECT replace(enc, '|' || b$r.a || '|' || b$r.b,
+                  '|' || rtrim(b$r.a) || b$r.b) AS enc, freq
+         FROM v${r - 1} CROSS JOIN b$r),
+       t$r AS (
+         SELECT CAST(sum(freq * (len(enc) - len(replace(enc, '|', ''))))
+           AS BIGINT) AS tokens_after FROM v$r)"""
+    }.mkString(",\n       ")
+    val rows = (1 to BPE_LEARN_ROUNDS).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, rtrim(b$r.a) AS sym_a,
+           rtrim(b$r.b) AS sym_b, b$r.cnt AS pair_count, t$r.tokens_after
+         FROM b$r CROSS JOIN t$r"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH w AS (
+         SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+           SELECT unnest(${toksSql("text")}) AS word FROM documents)
+         WHERE len(word) >= 2 AND word NOT LIKE '%|%' GROUP BY word),
+       v0 AS (
+         SELECT regexp_replace(word, '(\\S)', '|\\1 ', 'g') AS enc, freq
+         FROM w),
+       $iters
+       $rows
+       ORDER BY round"""
+  }
 }

@@ -1443,4 +1443,41 @@ class ExtSpec extends AnyFunSuite {
       assert(!exact, s"twin of $a flagged byte-exact despite the bump")
     }
   }
+
+  test("bpe_learn round 1 is the true frequency argmax and compression is monotone") {
+    val rows = SparkEntry.queries("bpe_learn")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // recompute round 1 by hand from the word-frequency table: most
+    // frequent adjacent CHAR pair, ties to the lexicographically least
+    val wf = graft.model.Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2 && !col("w").contains("|"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    var tokens0 = 0L
+    wf.foreach { case (w, f) =>
+      tokens0 += w.length * f
+      w.sliding(2).foreach { p =>
+        pairCnt((p.substring(0, 1), p.substring(1))) += f
+      }
+    }
+    val (bestPair, bestCnt) = pairCnt.toSeq
+      .map { case (p, c) => (p, c) }
+      .minBy { case ((a, b), c) => (-c, a, b) }
+    val r1 = rows.head
+    assert((r1._2, r1._3) == bestPair && r1._4 == bestCnt,
+      s"round 1 picked (${r1._2},${r1._3})x${r1._4}, hand says $bestPair x $bestCnt")
+    // every merge strictly compresses, by at most its own pair count
+    // (overlapping occurrences merge fewer than they count)
+    val trail = tokens0 +: rows.map(_._5).toSeq
+    trail.sliding(2).zip(rows.iterator).foreach { case (Seq(pre, post), r) =>
+      assert(post < pre, s"round ${r._1} did not compress")
+      assert(pre - post <= r._4,
+        s"round ${r._1} merged more than its pair count")
+    }
+  }
 }
