@@ -678,9 +678,16 @@ object Curation {
       .localCheckpoint(eager = false)
     val rounds = (1 to BPE_LEARN_ROUNDS).map { r =>
       val syms = filter(split(col("enc"), "\\|"), s => s =!= "")
+      // A prior round can collapse a 2-char word to ONE symbol; Spark
+      // sequence(1, 0) DESCENDS ([1,0], default step -1) so the pair
+      // transform would hit element_at(syms, 0) under ANSI. Drop
+      // 1-symbol words before enumerating pairs — DuckDB's
+      // generate_series(1, 0) is empty, so the oracle contribution of
+      // those rows is already zero.
       val pairs = vocab
+        .filter(size(syms) >= 2)
         .select(col("freq"), explode_outer(transform(
-            sequence(lit(1), greatest(size(syms) - 1, lit(0))),
+            sequence(lit(1), size(syms) - 1),
             i => struct(element_at(syms, i).as("a"),
               element_at(syms, i + 1).as("b")))).as("p"))
         .filter(col("p").isNotNull)
