@@ -31,7 +31,7 @@ import graft.util.Hashing
 object Dedup {
 
   /** Corpus with injected near-duplicate twins (deterministic). */
-  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val twins = d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"),
@@ -973,46 +973,101 @@ object Dedup {
        $simhashCte
        SELECT doc_id, simhash FROM sims ORDER BY doc_id"""
 
-  /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit
-    * bands; a pair sharing ANY band is a candidate (pigeonhole:
-    * hamming <= 3 always leaves one band intact, so recall at
-    * distance 3 is complete); verify candidates with bit_count(xor).
-    * The same band→bucket-join shape as MinHash LSH, so candidate
-    * generation is an equi-join, never a cross join.
+  /** Corpus size above which [[simhashPairsOf]] switches from the
+    * 4×16-bit exact-match banding to the 2×32-bit flip-probe banding
+    * (both complete at hamming ≤ 3, so the switch never changes the
+    * result — see the scaladoc below). Crossover math: the narrow
+    * scheme's in-join candidate fan is ~skew·N²/2¹⁷ per band
+    * (measured 370M joined rows at N = 600k on the replica corpus)
+    * while the wide scheme's probe fan is a flat 66 rows per doc;
+    * the wide scheme wins once N²-collision work outgrows the 66·N
+    * probe shuffle — around N ≈ 2×10⁵ on skewed real corpora. */
+  private[graft] val SIM_WIDE_N = 200000L
+
+  /** SimHash near-dup pairs (hamming ≤ 3), with a CORPUS-ADAPTIVE
+    * band layout derived in-query from N (the dedup_semantic
+    * √N-knob pattern — a 1-row count aggregate broadcast, no driver
+    * probe):
     *
-    * Bucket math at scale (the round-1 8-bit version was the
-    * scale-killer): 16-bit bands give 65,536 buckets per band, so
-    * with uniform hashing the expected bucket is N/65,536 and the
-    * per-band candidate count is Σ C(n_b, 2) ≈ N²/(2·65,536) — 256×
-    * fewer candidates than 8-bit bands at any N. At N = 10⁹ that is
-    * still ~7.6×10¹² raw candidates, so the next rungs on the scale
-    * ladder (documented, not yet needed at this corpus) are fewer/
-    * wider bands (2×32-bit: complete only at hamming ≤ 1, N²/2³³
-    * candidates) or a segmented multi-index over rotated hashes. */
-  private[graft] def simhashPairsOf(docs: DataFrame): DataFrame = {
+    *  - N < [[SIM_WIDE_N]]: 4×16-bit bands, candidates = exact band
+    *    equality (pigeonhole: hamming ≤ 3 leaves ≥ 1 of 4 bands
+    *    intact — complete recall). ~N²/2¹⁷ candidates per band.
+    *  - N ≥ [[SIM_WIDE_N]]: 2×32-bit bands with single-bit-flip
+    *    probing (Norouzi-style multi-index at tolerance 1): the left
+    *    side emits each band value plus its 32 one-bit flips (66
+    *    probe rows per doc), the right side its exact band values;
+    *    a pair surfaces iff some band differs in ≤ 1 bit. Pigeonhole
+    *    again: 3 errors over 2 bands leave one band with ≤ 1 error —
+    *    complete recall at hamming ≤ 3, but false candidates now
+    *    need 31 of 32 band bits to agree (~33·N²/2³² vs N²/2¹⁷ —
+    *    four orders of magnitude fewer at any skew).
+    *
+    * Both rungs feed the same exact `bit_count(xor)` verify, so the
+    * OUTPUT is scheme-independent (complete candidate recall + exact
+    * verify) — the DuckDB twin keeps the narrow plan at every scale
+    * and ExtSpec pins cross-scheme equality on the real corpus. The
+    * knob therefore changes only the physical plan, never results —
+    * strictly stronger than a result-bending parameter.
+    *
+    * Candidate post-processing is shuffle-free: the hamming verify
+    * and an emit-once first-matching-band guard (`band_i` differs by
+    * > tol bits for every i < band, a masked bit_count per joined
+    * row) run INSIDE the join projection — the former dropDuplicates
+    * pass shuffled 298M candidate rows for 181 s at N = 600k and is
+    * gone. shiftright is an arithmetic shift (simhash may be negative
+    * with bit 63 set): mask after shifting; DuckDB's `>>`
+    * sign-extends identically and the mask lands the same way. */
+  private[graft] def simhashPairsOf(docs: DataFrame,
+                                    bandsOverride: Option[Int] = None): DataFrame = {
     val spark = docs.sparkSession
     val sims = simhashOf(docs)
       .repartition(spark.sparkContext.defaultParallelism)
-    // shiftright is an arithmetic shift (simhash may be negative with
-    // bit 63 set): mask to the band's 16 bits after shifting; DuckDB's
-    // `>>` sign-extends identically and `& 65535` masks the same way.
-    // Unlike the MinHash/ngram pipelines, the pair frame here is just
-    // four longs, so a dropDuplicates is CHEAPER than the emit-once
-    // band-prefix filter (measured: 2.3 s vs 2.7 s at sf0.1).
-    val banded = sims.select(col("doc_id"), col("simhash"),
-      explode_outer(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L)).as("bv"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val l = banded.as("l"); val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"),
-        col("l.simhash").as("s1"), col("r.simhash").as("s2"))
-      .dropDuplicates("id1", "id2")
+      .transform(graft.util.Fence.lineage)
+    // nb ∈ {4 narrow, 2 wide} from the corpus size — in-query, like
+    // dedup_semantic's C = max(32, √N)
+    val nbKnob = bandsOverride match {
+      case Some(nb) => spark.range(1).select(lit(nb).as("nb"))
+      case None => sims.agg(count(lit(1)).as("n"))
+        .select(when(col("n") >= SIM_WIDE_N, 2).otherwise(4).as("nb"))
+    }
+    val s2 = sims.crossJoin(broadcast(nbKnob))
+      .withColumn("w", (lit(64) / col("nb")).cast("int"))
+      .withColumn("mask", when(col("nb") === 2, lit(4294967295L)).otherwise(lit(65535L)))
+      .withColumn("tol", when(col("nb") === 2, lit(1)).otherwise(lit(0)))
+    def bandVal(b: Column) = call_function("shiftright", col("simhash"), b * col("w"))
+      .bitwiseAND(col("mask"))
+    // right side: one exact band value per band
+    val rside = s2.select(col("doc_id").as("id2"), col("simhash").as("s2"),
+        explode_outer(transform(sequence(lit(0), col("nb") - 1),
+          b => struct(b.as("band"), bandVal(b).as("bv")))).as("bb"))
+      .filter(col("bb").isNotNull)
+      .select(col("id2"), col("s2"), col("bb.band").as("band2"), col("bb.bv").as("probe2"))
+    // left side: each band value plus its tol·w one-bit flips
+    val lside = s2.select(col("doc_id").as("id1"), col("simhash").as("s1"),
+        col("w"), col("mask"), col("tol"),
+        explode_outer(flatten(transform(sequence(lit(0), col("nb") - 1), b =>
+          transform(sequence(lit(0), col("tol") * col("w")), pi =>
+            struct(b.as("band"), when(pi === 0, bandVal(b)).otherwise(
+              bandVal(b).bitwiseXOR(call_function("shiftleft", lit(1L), pi - 1)))
+              .as("probe")))))).as("bb"))
+      .filter(col("bb").isNotNull)
+      .select(col("id1"), col("s1"), col("bb.band").as("band"),
+        col("bb.probe").as("probe"),
+        col("w"), col("mask"), col("tol"))
+    // emit-once: no band BEFORE this one already matches within tol —
+    // a masked bit_count per joined row, never a pair-dedup shuffle
+    val diff = col("s1").bitwiseXOR(col("s2"))
+    val noEarlierBand = (0 until 3).map { i =>
+      col("band") <= i ||
+        call_function("bit_count",
+          diff.bitwiseAND(call_function("shiftleft", col("mask"), lit(i) * col("w"))))
+          .cast("int") > col("tol")
+    }.reduce(_ && _)
+    lside.join(rside,
+        col("band") === col("band2") && col("probe") === col("probe2") &&
+        col("id1") < col("id2"))
       .withColumn("hamming", expr("bit_count(s1 ^ s2)").cast("long"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= 3 && noEarlierBand)
       .select(col("id1"), col("id2"), col("hamming"))
       .orderBy(col("id1"), col("id2"))
   }

@@ -809,14 +809,24 @@ object Graph {
   def hitsScores(spark: SparkSession, dir: String): DataFrame = {
     val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
       .repartition(spark.sparkContext.defaultParallelism)
+      // referenced by every half-step's normalize join (6×) plus both
+      // initial score frames — one materialized id list, not 8 scans
+      .localCheckpoint(eager = false)
     val edges = edgesOf(nodes).localCheckpoint(eager = false)
     def normalize(raw: DataFrame, out: String): DataFrame = {
-      val mx = raw.agg(greatest(max(col("raw")), lit(1L)).as("mx"))
-      nodes.join(raw.withColumnRenamed("dst", "id"), Seq("id"), "left")
+      // `raw` (the expensive edges-join + groupBy) is referenced
+      // TWICE — by the max knob and by the normalize join — so THAT
+      // is the frame to fence; the normalized projection itself is
+      // single-consumer (the next half-step) and cheap over the
+      // fenced raw, so it needs no materialization of its own.
+      // The former layout checkpointed the projection instead and
+      // ran every join+groupBy twice (once for mx, once joined).
+      val rawCp = raw.localCheckpoint(eager = false)
+      val mx = rawCp.agg(greatest(max(col("raw")), lit(1L)).as("mx"))
+      nodes.join(rawCp.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .crossJoin(broadcast(mx))
         .select(col("id"),
           idiv(coalesce(col("raw"), lit(0L)) * HITS_BASE, col("mx")).as(out))
-        .localCheckpoint(eager = false)
     }
     var hub = nodes.select(col("id"), lit(HITS_BASE).as("hub"))
     var auth = nodes.select(col("id"), lit(HITS_BASE).as("auth"))

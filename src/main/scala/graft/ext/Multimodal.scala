@@ -701,9 +701,18 @@ object Multimodal {
     * streamed); a production pipeline swaps the bucket fold for a
     * DCT/pHash over the decoded pixels and keeps the shape. */
   def fingerprintImages(spark: SparkSession, dir: String,
-                        parallelism: Int = -1): Dataset[ImageFingerprint] = {
+                        parallelism: Int = -1): Dataset[ImageFingerprint] =
+    fingerprintImagesOf(ppmMediaTwinTable(spark, dir), parallelism)
+
+  /** [[fingerprintImages]] over an arbitrary `(media_id, blob)`
+    * frame — the Of-variant that lets specs fingerprint OTHER media
+    * corpora (e.g. [[ppmPhashTwinTable]]'s noise twins) with the
+    * same kernel. */
+  private[graft] def fingerprintImagesOf(m0: DataFrame,
+                                         parallelism: Int = -1): Dataset[ImageFingerprint] = {
+    val spark = m0.sparkSession
     import spark.implicits._
-    val m = ppmMediaTwinTable(spark, dir)
+    val m = m0
       .select(col("media_id").cast("long"), col("blob"))
       .repartition(if (parallelism > 0) parallelism
                    else spark.sparkContext.defaultParallelism)
@@ -755,7 +764,13 @@ object Multimodal {
     * exactly once — the matching (flip, offset) combination is unique
     * — so no dropDuplicates pass. `exact_dup` separates true byte
     * copies from perceptual-only matches (every injected perturbed
-    * twin is the latter, which the spec pins).
+    * twin is the latter, which the spec pins). Residual threshold
+    * sensitivity, by design: a one-byte edit shifts `total` too, so a
+    * bucket whose mass sits within the delta of its cross-multiplied
+    * threshold can also flip — a twin can then land at Hamming 2 and
+    * (correctly) not pair. Both engines agree bit-for-bit; the spec
+    * asserts exact recall AT the operator's own threshold rather than
+    * blanket twin recovery.
     *
     * Scale shape: probes are a linear ×51 fan (explode_outer — the
     * InferFiltersFromGenerate trap consciously avoided) over id-only
@@ -851,4 +866,196 @@ object Multimodal {
               AND f.sig = p.probe
        WHERE p.id1 < f.media_id
        ORDER BY id1, id2"""
+
+  // ---- DCT perceptual hash over decoded rasters --------------------
+
+  /** Quantized-cosine DCT basis entry: round(64·cos(π(2i+1)k/2n)).
+    * Evaluated ONCE at plan-build time on the driver and embedded as
+    * integer LITERALS in both the kernel's tables and the oracle's
+    * VALUES list — so no runtime libm transcendental ever runs in
+    * either engine (the CLAUDE.md bit-stability rule) and both sides
+    * share the exact same basis by construction. */
+  private[graft] def intCos(n: Int, k: Int, i: Int): Long =
+    math.round(64.0 * math.cos(math.Pi * (2 * i + 1) * k / (2.0 * n)))
+
+  /** Per-size integer DCT tables for every raster dimension the
+    * media fixture produces (h ∈ 3..6, w ∈ 4..8). The zero-row-sum
+    * check is load-bearing: Σ_i C(k,i) = 0 for every k ≥ 1 survives
+    * the ×64 rounding (verified over all n here), which makes every
+    * non-DC coefficient EXACTLY invariant under a uniform luminance
+    * shift — the provable brightness-invariance [[phashImages]]
+    * documents. */
+  private val cosTables: Map[Int, Array[Array[Long]]] =
+    (3 to 8).map { n =>
+      val t = Array.tabulate(3, n)((k, i) => intCos(n, k, i))
+      (1 until 3).foreach(k => require(t(k).sum == 0L,
+        s"quantized DCT row (n=$n,k=$k) does not sum to zero"))
+      n -> t
+    }.toMap
+
+  /** Brightness step in character space: every raster byte +3 →
+    * +9 luminance per pixel — the re-exposure / gamma-nudge
+    * perturbation class. */
+  private val PHASH_BRIGHT_STEP = 3
+
+  /** [[ppmMediaTable]] plus BRIGHTNESS twins: every `doc_id % 6 == 0`
+    * image whose raster stays clear of the top [[PHASH_BRIGHT_STEP]]
+    * printable codes (no wrap possible) reappears at
+    * `media_id + 1,000,000` with EVERY byte shifted
+    * +[[PHASH_BRIGHT_STEP]] — a uniform luminance lift of +9 per
+    * pixel, the re-exposed-copy class that [[mediaNeardup]]'s
+    * pipeline MISSES (its aHash signature is shift-invariant, but
+    * its total-luminance band gate moves by 9·npix — up to 432, past
+    * the ±1×256 band probe) while the DC-excluded DCT signature is
+    * exactly unchanged. Pure in-plan string arithmetic, so the
+    * DuckDB twin reproduces the pixels exactly. */
+  def ppmPhashTwinTable(spark: SparkSession, dir: String): DataFrame = {
+    val w = (col("doc_id") % 5 + 4).cast("int")
+    val h = (col("doc_id") % 4 + 3).cast("int")
+    val wellFormed =
+      col("text").isNotNull && length(col("text")) >= 36 &&
+        !col("text").rlike("[^\\x00-\\x7F]")
+    val text = when(wellFormed, col("text")).otherwise(
+      raise_error(concat(
+        lit("ppmPhashTwinTable: text must be pure ASCII and >= 36 chars, doc_id="),
+        col("doc_id").cast("string"))))
+    val base = Tables.documents(spark, dir).select(
+      col("doc_id"), w.as("w"), h.as("h"),
+      repeat(text, 4).substr(lit(1), w * h * 3).as("raster"))
+    val bright = array_join(
+      transform(sequence(lit(1), length(col("raster"))), i =>
+        call_function("char",
+          call_function("ascii",
+            call_function("substring", col("raster"), i, lit(1))) +
+            PHASH_BRIGHT_STEP)), "")
+    val twins = base
+      .filter(col("doc_id") % 6 === 0 && !col("raster").rlike("[|}~]"))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("w"), col("h"),
+        bright.as("raster"))
+    base.unionByName(twins).select(
+      col("doc_id").as("media_id"),
+      encode(concat(lit("P6\n"), col("w").cast("string"), lit(" "),
+        col("h").cast("string"), lit("\n255\n"), col("raster")), "UTF-8")
+        .as("blob"))
+  }
+
+  /** DCT-signature record: the 8 sign bits of the low-band 3×3
+    * coefficient block minus DC, bit (u·3+v) set iff F(u,v) > 0. */
+  case class PhashFingerprint(media_id: Long, width: Int, height: Int,
+                              phash: Long)
+
+  /** The pHash kernel — the DCT promotion [[fingerprintImages]]'
+    * scaladoc names: same mapPartitions decode scope (one decoder
+    * per partition, rows streamed), but the signature is the SIGN of
+    * each low-band 2D-DCT coefficient of the luminance grid,
+    * F(u,v) = Σ_y Σ_x lum(y,x)·C_h(u,y)·C_w(v,x) over the integer-
+    * quantized basis [[intCos]] — exact 64-bit arithmetic (|F| ≤
+    * 48·765·64² < 2⁵³), bit-identical to the oracle's recompute.
+    * Excluding DC (0,0) plus the zero-row-sum property of the
+    * quantized basis (see [[cosTables]]) makes the signature EXACTLY
+    * invariant under any uniform luminance shift AND any positive
+    * uniform scaling — so a re-exposed copy hashes identically,
+    * where the [[mediaNeardup]] pipeline loses it to the
+    * total-luminance band gate (its aHash signature is also
+    * shift-invariant, but `total` moves by Δ·npix and the twin exits
+    * the ±1 band probe). That band-free matchability is the
+    * perturbation class this operator adds over the aHash rung. */
+  def phashImages(spark: SparkSession, dir: String): Dataset[PhashFingerprint] =
+    phashImagesOf(ppmPhashTwinTable(spark, dir))
+
+  /** [[phashImages]] over an arbitrary `(media_id, blob)` frame. */
+  private[graft] def phashImagesOf(m0: DataFrame): Dataset[PhashFingerprint] = {
+    val spark = m0.sparkSession
+    import spark.implicits._
+    val m = m0.select(col("media_id").cast("long"), col("blob"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    m.as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.map { case (id, blob) =>
+        val (w, h, off) = parsePpmHeader(blob)
+        val ch = cosTables(h); val cw = cosTables(w)
+        val lum = new Array[Long](w * h)
+        var p = 0
+        while (p < w * h) {
+          lum(p) = (blob(off + 3 * p) & 0xff).toLong +
+            (blob(off + 3 * p + 1) & 0xff) + (blob(off + 3 * p + 2) & 0xff)
+          p += 1
+        }
+        var sig = 0L
+        var u = 0
+        while (u < 3) {
+          var v = 0
+          while (v < 3) {
+            if (u != 0 || v != 0) {
+              var f = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  f += lum(y * w + x) * ch(u)(y) * cw(v)(x)
+                  x += 1
+                }
+                y += 1
+              }
+              if (f > 0) sig |= 1L << (u * 3 + v)
+            }
+            v += 1
+          }
+          u += 1
+        }
+        PhashFingerprint(id, w, h, sig)
+      }
+    }
+  }
+
+  /** Per-image DCT perceptual hash dump (the signature artifact a
+    * near-dup index persists — the simhash/minhash_signatures
+    * precedent for the media lane). */
+  def mediaPhash(spark: SparkSession, dir: String): DataFrame =
+    phashImagesOf(ppmPhashTwinTable(spark, dir)).toDF()
+      .select(col("media_id"), col("width"), col("height"), col("phash"))
+      .orderBy(col("media_id"))
+
+  val mediaPhashSql: String = {
+    val ctVals = (for { n <- 3 to 8; k <- 0 to 2; i <- 0 until n }
+      yield s"($n, $k, $i, ${intCos(n, k, i)})").mkString(", ")
+    s"""WITH m0 AS (
+         SELECT doc_id AS media_id,
+           CAST(doc_id % 5 + 4 AS INTEGER) AS w,
+           CAST(doc_id % 4 + 3 AS INTEGER) AS h,
+           substr(repeat(text, 4), 1,
+             CAST((doc_id % 5 + 4) * (doc_id % 4 + 3) * 3 AS INTEGER)) AS raster
+         FROM documents),
+       m AS MATERIALIZED (
+         SELECT media_id, w, h, raster FROM m0
+         UNION ALL
+         SELECT media_id + 1000000, w, h,
+           list_aggregate(list_transform(generate_series(1, len(raster)), i ->
+             chr(unicode(substr(raster, i, 1)) + $PHASH_BRIGHT_STEP)),
+             'string_agg', '') AS raster
+         FROM m0 WHERE media_id % 6 = 0
+           AND NOT regexp_matches(raster, '[|}~]')),
+       ct AS (SELECT * FROM (VALUES $ctVals) t(n, k, i, c)),
+       px AS (
+         SELECT media_id, w, h, ps.p,
+           unicode(substr(raster, 3 * ps.p + 1, 1)) +
+           unicode(substr(raster, 3 * ps.p + 2, 1)) +
+           unicode(substr(raster, 3 * ps.p + 3, 1)) AS lum
+         FROM m CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS p) ps
+         WHERE ps.p < w * h),
+       co AS (
+         SELECT px.media_id, px.w, px.h, uv.u, uv.v,
+           CAST(sum(px.lum * ch.c * cw.c) AS BIGINT) AS f
+         FROM px
+         CROSS JOIN (SELECT u.u, v.v
+                     FROM (SELECT unnest(generate_series(0, 2)) AS u) u,
+                          (SELECT unnest(generate_series(0, 2)) AS v) v
+                     WHERE NOT (u.u = 0 AND v.v = 0)) uv
+         JOIN ct ch ON ch.n = px.h AND ch.k = uv.u AND ch.i = px.p // px.w
+         JOIN ct cw ON cw.n = px.w AND cw.k = uv.v AND cw.i = px.p % px.w
+         GROUP BY 1, 2, 3, 4, 5)
+       SELECT media_id, w AS width, h AS height,
+         CAST(sum(CASE WHEN f > 0 THEN 1 << (u * 3 + v) ELSE 0 END)
+           AS BIGINT) AS phash
+       FROM co GROUP BY media_id, w, h ORDER BY media_id"""
+  }
 }

@@ -639,6 +639,14 @@ object Similarity {
           .withColumn("rk", row_number().over(wA)).filter(col("rk") === 1)
           .select(col("vec_id"), col("cid").as("cell"))
       }
+    semCellRollup(cells, e)
+  }
+
+  /** Shared SemDeDup tail: within-cell pairs → exact quantized-cosine
+    * verify → per-cell rollup. `cells` = (vec_id, cell), `e` =
+    * (vec_id, qv). Pair frames carry only ids — vectors join back by
+    * id, so no vector rides the pair shuffle. */
+  private def semCellRollup(cells: DataFrame, e: DataFrame): DataFrame = {
     val pairs = cells.select(col("cell"), col("vec_id").as("id1"))
       .join(cells.select(col("cell"), col("vec_id").as("id2")), Seq("cell"))
       .filter(col("id1") < col("id2"))
@@ -656,6 +664,87 @@ object Similarity {
       .na.fill(0L, Seq("n_dup_pairs", "n_removable"))
       .orderBy(col("cell"))
   }
+
+  /** SemDeDup at the FIXED-C + IVF rung — the production composition
+    * [[dedupSemantic]]'s scaladoc promises for corpora where even the
+    * N·√N assignment is too much: the cell table is the BOUNDED
+    * deterministic centroid sample of [[knnIvf]] (`vec_id % 37 == 1`
+    * drawn below 74,000 → C ≤ 2000 at ANY corpus size; a production
+    * run trains k-means offline and broadcasts those instead), and
+    * assignment is the fused single-pass
+    * [[graft.functions.TopCentroids]] expression — no N×C candidate
+    * frame, no per-vector window shuffle (the two structures that
+    * dominate [[dedupSemantic]]'s cost at sf10). Same twin corpus,
+    * same exact quantized-cosine verify and per-cell rollup.
+    *
+    * Trade vs the √N knob: fixed C leaves within-cell pairs ~N²/2C —
+    * SemDeDup's production stance (C is a deployment constant sized
+    * to the fleet, pairs stay cell-local and embarrassingly
+    * parallel), while assignment drops from O(N·√N) materialized to
+    * O(N·C) fused. The oracle twin mirrors the assignment with the
+    * crossJoin + row_number form over the identical rounded-cosine
+    * (cid-tiebroken) order, so both engines pick identical cells. */
+  def dedupSemanticIvf(spark: SparkSession, dir: String): DataFrame =
+    dedupSemanticIvfOf(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+
+  /** [[dedupSemanticIvf]] over an arbitrary (vec_id, embedding)
+    * frame — the ScaleTrial entry point. vec_ids must stay below the
+    * 1,000,000 twin offset. */
+  private[graft] def dedupSemanticIvfOf(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    val twins = base.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 1, x + lit(0.01f)).otherwise(x)).as("embedding"))
+    val e = base.unionAll(twins)
+      .withColumn("qv", quant(col("embedding")))
+      .select(col("vec_id"), col("qv"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.util.Fence.lineage)
+    // centroid table to the driver (≤ 2000 rows by the CENT_CAP
+    // bound — the payload a broadcast would carry anyway); the twin
+    // ids sit at +1,000,000, far above the cap, so the sample is
+    // always drawn from the base corpus
+    val centRows = e.filter(col("vec_id") % CENT_MOD === 1 && col("vec_id") < CENT_CAP)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val cells = e.select(col("vec_id"),
+      element_at(graft.functions.TopCentroids(col("qv"), centRows, 1), 1).as("cell"))
+    semCellRollup(cells, e)
+  }
+
+  val dedupSemanticIvfSql: String =
+    s"""WITH base AS (
+         SELECT vec_id, embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000 AS vec_id,
+           list_transform(generate_series(1, $DIM),
+             i -> CASE WHEN i = 2 THEN embedding[i] + CAST(0.01 AS FLOAT) ELSE embedding[i] END) AS embedding
+         FROM embeddings WHERE vec_id % 7 = 0),
+       e AS (SELECT vec_id, $quantSql AS qv FROM base),
+       c AS (SELECT vec_id AS cid, qv AS cv FROM e
+             WHERE vec_id % $CENT_MOD = 1 AND vec_id < $CENT_CAP),
+       assigned AS (
+         SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosSql("e.qv", "c.cv")} DESC, c.cid) AS rk
+         FROM e CROSS JOIN c),
+       cells AS (SELECT vec_id, cid AS cell FROM assigned WHERE rk = 1),
+       pairs AS (
+         SELECT l.cell, l.vec_id AS id1, r.vec_id AS id2
+         FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id),
+       scored AS (
+         SELECT p.cell, p.id1, p.id2, ${cosSql("a.qv", "b.qv")} AS cosine
+         FROM pairs p JOIN e a ON a.vec_id = p.id1 JOIN e b ON b.vec_id = p.id2),
+       dups AS (
+         SELECT cell, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           CAST(count(DISTINCT id2) AS BIGINT) AS n_removable
+         FROM scored WHERE cosine >= $SEM_THRESH GROUP BY cell),
+       sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM cells GROUP BY cell)
+       SELECT sz.cell, sz.n_vecs,
+         COALESCE(d.n_dup_pairs, 0) AS n_dup_pairs,
+         COALESCE(d.n_removable, 0) AS n_removable
+       FROM sz LEFT JOIN dups d ON sz.cell = d.cell ORDER BY sz.cell"""
 
   val dedupSemanticSql: String =
     s"""WITH base AS (

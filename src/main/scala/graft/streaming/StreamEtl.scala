@@ -97,6 +97,37 @@ object StreamEtl {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Fingerprint-on-arrival for the media lane — [[ingestStream]]'s
+    * shape over blob columns: a streaming parquet source of
+    * `(media_id, blob)` rows is decoded by the SAME perceptual
+    * fingerprint kernel the batch index uses
+    * ([[graft.ext.Multimodal.fingerprintImagesOf]] — one decoder per
+    * partition, rows streamed), and the fingerprints land in parquet
+    * exactly once across restarts (checkpointed `AvailableNow`
+    * drains; the file source tracks consumed blob files like the
+    * rotated-log sources). At 100 TB the pattern is unchanged: blobs
+    * arrive as object-store files, the fingerprint parquet is the
+    * persisted index every near-dup probe joins
+    * ([[graft.ext.Multimodal.mediaNeardup]]'s 51-probe expansion) —
+    * decode work is partition-parallel, and no raw byte ever rides a
+    * join shuffle (the kernel's repartition spreads arrival files,
+    * then only 5-long fingerprint rows move). */
+  def mediaFingerprintStream(spark: SparkSession, inputGlob: String,
+                             checkpointDir: String, outDir: String): StreamingQuery = {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("blob", BinaryType)))
+    graft.ext.Multimodal
+      .fingerprintImagesOf(spark.readStream.schema(schema).parquet(inputGlob))
+      .toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Incremental web-log ingest — `web_parse.pl` in the streaming
     * path, mirroring [[ingestStream]]: rotated Caudium logs → parsed
     * parquet, one file exactly once across restarts. The web format

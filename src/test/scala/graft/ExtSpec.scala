@@ -588,6 +588,40 @@ class ExtSpec extends AnyFunSuite {
       s"found ${rows.map(_.getLong(2)).sum} dup pairs for $twins twins")
   }
 
+  test("dedup_semantic_ivf accounts for every vector and finds the twin mass") {
+    val rows = SparkEntry.queries("dedup_semantic_ivf")(spark, sf).collect()
+    val base = graft.model.Tables.embeddings(spark, sf).count()
+    val twins = graft.model.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 7 === 0).count()
+    assert(rows.map(_.getLong(1)).sum == base + twins,
+      "cell sizes do not partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1) - 1 || r.getLong(1) == 0,
+        s"cell ${r.getLong(0)} would remove everything")
+      assert(r.getLong(3) <= r.getLong(2), "removable exceeds pair count")
+    }
+    // a twin differs from its base by one nudged dimension → the same
+    // nearest centroid almost surely; fixed-C cells must still find
+    // at least half the twin mass
+    assert(rows.map(_.getLong(2)).sum >= twins / 2,
+      s"found ${rows.map(_.getLong(2)).sum} dup pairs for $twins twins")
+  }
+
+  test("simhash adaptive banding: narrow and wide schemes agree pair-for-pair") {
+    // both rungs are complete at hamming <= 3 and share the exact
+    // bit_count verify, so the N-derived band-layout knob must never
+    // change the result — the property that lets the oracle keep one
+    // fixed plan at every scale
+    val docs = graft.ext.Dedup.corpus(spark, sf)
+    val narrow = graft.ext.Dedup.simhashPairsOf(docs, Some(4)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wide = graft.ext.Dedup.simhashPairsOf(docs, Some(2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(narrow.nonEmpty, "fixture drifted — no simhash pairs at all")
+    assert(narrow == wide,
+      s"schemes disagree: onlyNarrow=${(narrow -- wide).size} onlyWide=${(wide -- narrow).size}")
+  }
+
   test("dedup_method_overlap balances against both generators' pair counts") {
     val r = SparkEntry.queries("dedup_method_overlap")(spark, sf).head()
     val (a, b, both) = (r.getLong(0), r.getLong(1), r.getLong(2))
@@ -1424,24 +1458,77 @@ class ExtSpec extends AnyFunSuite {
   test("media_neardup finds every perturbed twin and no byte-exact twin") {
     val rows = SparkEntry.queries("media_neardup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-    // Hamming-<=1 is the operator's definition; the 17-probe expansion
-    // must never surface a farther pair
+    // Hamming-<=1 is the operator's definition; the 51-probe expansion
+    // (17 signature variants x 3 luminance bands) must never surface a
+    // farther pair
     rows.foreach { case (id1, id2, ham, _) =>
       assert(ham >= 0 && ham <= 1, s"pair ($id1,$id2) at hamming $ham")
       assert(id1 < id2)
     }
     // every doc_id % 5 == 0 image has an injected one-byte-perturbed
-    // twin at +1,000,000: the one-bucket luminance nudge must stay
-    // within the Hamming tolerance for ALL of them
-    val nTwins = graft.model.Tables.documents(spark, sf)
-      .filter(col("doc_id") % 5 === 0).count()
+    // twin at +1,000,000. The perturbation also shifts the TOTAL, so
+    // a bucket OTHER than the touched one can flip when its mass sits
+    // within the delta of the cross-multiplied threshold — a twin at
+    // Hamming >= 2 is then (correctly, per the operator's definition)
+    // not a pair. The invariant the operator owes is EXACT recall at
+    // its own threshold: every twin whose signature Hamming truly is
+    // <= 1 must surface, and any missing twin must genuinely sit at
+    // Hamming >= 2 per the fingerprint kernel itself.
+    val sigByIdRows = graft.ext.Multimodal.fingerprintImages(spark, sf)
+      .collect().map(f => f.media_id -> f.sig).toMap
+    val baseIds = graft.model.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0))
     val twinPairs = rows.filter { case (a, b, _, _) => b == a + 1000000L }
-    assert(twinPairs.length == nTwins,
-      s"found ${twinPairs.length} of $nTwins perturbed twins")
+    val foundBase = twinPairs.map(_._1).toSet
+    baseIds.foreach { id =>
+      val trueHam = java.lang.Long.bitCount(
+        sigByIdRows(id) ^ sigByIdRows(id + 1000000L))
+      if (trueHam <= 1)
+        assert(foundBase(id), s"twin of $id at hamming $trueHam missed")
+      else
+        assert(!foundBase(id), s"twin of $id at hamming $trueHam surfaced")
+    }
+    // the margin cases must stay rare — the fixture is useless if the
+    // threshold sheds a large share of the injected twins
+    assert(twinPairs.length * 10 >= baseIds.length * 9,
+      s"found only ${twinPairs.length} of ${baseIds.length} perturbed twins")
     // a perturbed twin is perceptually equal but NEVER byte-exact
     twinPairs.foreach { case (a, _, _, exact) =>
       assert(!exact, s"twin of $a flagged byte-exact despite the bump")
     }
+  }
+
+  test("media_phash is exactly brightness-invariant where the aHash band gate is not") {
+    val m = graft.ext.Multimodal.ppmPhashTwinTable(spark, sf)
+    val ph = SparkEntry.queries("media_phash")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val fps = graft.ext.Multimodal.fingerprintImagesOf(m).collect()
+    val ahSig = fps.map(f => f.media_id -> f.sig).toMap
+    val ahTot = fps.map(f => f.media_id -> f.lum_total).toMap
+    val baseIds = ph.keys.filter(id => id < 1000000L && id % 6 == 0 &&
+      ph.contains(id + 1000000L)).toSeq.sorted
+    assert(baseIds.nonEmpty, "fixture drifted — no brightness twins")
+    // DC exclusion + zero-row-sum quantized basis → EVERY re-exposed
+    // twin hashes identically (provable, not statistical)
+    baseIds.foreach { id =>
+      assert(ph(id) == ph(id + 1000000L),
+        s"phash of brightness twin $id drifted")
+      // the aHash SIGNATURE is also shift-invariant — the miss below
+      // is purely the pipeline's luminance band gate
+      assert(ahSig(id) == ahSig(id + 1000000L))
+    }
+    // ... but some twins move >= 2 luminance bands (Δtotal = 9·npix,
+    // up to 432 > 256), past media_neardup's ±1 probe — the
+    // perturbation class the DCT signature adds over the aHash rung
+    val escapes = baseIds.count(id =>
+      math.abs(ahTot(id + 1000000L) / 256L - ahTot(id) / 256L) >= 2)
+    assert(escapes >= 1,
+      "no twin escaped the aHash band — fixture no longer demonstrates the gap")
+    // the signature still discriminates: the corpus must not collapse
+    // into a handful of phash values
+    assert(ph.values.toSet.size >= 20,
+      s"phash degenerate: ${ph.values.toSet.size} distinct values")
   }
 
   test("bpe_learn round 1 is the true frequency argmax and compression is monotone") {

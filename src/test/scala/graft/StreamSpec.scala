@@ -39,6 +39,40 @@ class StreamSpec extends AnyFunSuite {
            batch.agg(sum("bytes_sent")).head().getLong(0))
   }
 
+  test("mediaFingerprintStream fingerprints each blob file once and matches batch") {
+    val base = Files.createTempDirectory("graft_media_stream").toString
+    val in = s"$base/in"; val cp = s"$base/cp"; val out = s"$base/out"
+    new java.io.File(in).mkdirs()
+
+    // arrival 1: the base images; arrival 2: the perturbed twins —
+    // split the batch twin table into two "upload batches"
+    val m = graft.ext.Multimodal.ppmMediaTwinTable(spark, sf).cache()
+    m.filter(col("media_id") < 1000000L)
+      .write.mode("overwrite").parquet(s"$in/b1")
+    StreamEtl.mediaFingerprintStream(spark, s"$in/*", cp, out)
+      .awaitTermination()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == m.filter(col("media_id") < 1000000L).count(),
+      s"first drain fingerprinted $n1 blobs")
+
+    m.filter(col("media_id") >= 1000000L)
+      .write.mode("overwrite").parquet(s"$in/b2")
+    StreamEtl.mediaFingerprintStream(spark, s"$in/*", cp, out)
+      .awaitTermination()
+    val streamed = spark.read.parquet(out)
+    assert(streamed.count() == m.count(),
+      "restart re-fingerprinted an already-consumed blob file")
+
+    // the streamed index is EXACTLY the batch index — same kernel,
+    // so the near-dup probes can join either artifact
+    val batch = graft.ext.Multimodal.fingerprintImages(spark, sf).collect()
+      .map(f => (f.media_id, f.width, f.height, f.lum_total, f.sig,
+        f.raster_hash)).toSet
+    val got = streamed.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == batch, "streamed fingerprints diverge from the batch kernel")
+  }
+
   test("ingestStream survives malformed lines (no poison-file crash loop)") {
     val base = Files.createTempDirectory("graft_poison").toString
     val in = s"$base/in"; new java.io.File(in).mkdirs()
