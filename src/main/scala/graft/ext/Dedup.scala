@@ -63,6 +63,30 @@ object Dedup {
        FROM corpus GROUP BY md5(text) ORDER BY keeper_id"""
 
   // ---- MinHash + LSH ------------------------------------------------
+  //
+  // Why the MinHash banding is NOT corpus-adaptive the way
+  // [[simhashPairsOf]]'s is: simhash's two band layouts are
+  // OUTPUT-EQUIVALENT (both give complete recall at hamming ≤ 3 and
+  // the exact bit_count verify decides membership), so its N-derived
+  // knob can only change the physical plan. MinHash banding has no
+  // such equivalence — with K = b·r fixed, widening bands (r 2→4)
+  // moves the S-curve threshold s* = (1/b)^(1/r) from 0.35 to 0.71,
+  // ABOVE the 0.5 verify threshold: pairs at jaccard ≈ 0.5 would
+  // surface with P ≈ 0.23 instead of ≈ 0.9 — a recall change in the
+  // RESULT, not a plan change. The measured superlinearity of this
+  // family on replica corpora is, correspondingly, not a false-
+  // candidate problem a band knob could fix: bucket mass there comes
+  // from signature-identical replica clusters whose pairs verify
+  // (output itself grows ~M²), and the 60-bit band hash adds no
+  // spurious collisions of its own. The output-preserving scale
+  // levers are therefore the ones this pipeline already uses — the
+  // emit-once band-prefix guard (no pair-dedup shuffle), id-only
+  // candidate frames, staged signatures — plus, at a real 10⁹-doc
+  // deployment, running EXACT dedup first so signature-identical
+  // clusters collapse to one representative before LSH ever bands
+  // them (the standard exact-then-near pipeline order; dedupExact
+  // and dedupGroups are those stages here), which removes the M²
+  // replica term without touching near-dup semantics.
 
   private val K = 16        // minhash functions
   private val BANDS = 8     // LSH bands of 2 rows each
@@ -1176,6 +1200,126 @@ object Dedup {
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardOf(Tables.documents(spark, dir))
+
+  // ---- Cross-document exact-substring coverage ---------------------
+
+  private[graft] val SUB_K = 8
+
+  /** Per-source cross-document EXACT-SUBSTRING duplication — the
+    * train-data metric of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better", exact-substring dedup):
+    * what fraction of each source's tokens sits inside a ≥[[SUB_K]]-
+    * token run that also appears verbatim in ANOTHER document. This
+    * is the cross-doc complement of `repetition_stats` (within-doc
+    * bigram repetition) and of the set-level Jaccard family — a pair
+    * can have near-zero Jaccard yet share one long quoted paragraph,
+    * which is exactly what this surfaces (boilerplate, licence
+    * blocks, syndicated passages).
+    *
+    * Distributed shape (the suffix-array of the paper becomes a
+    * hash-shuffle): explode each doc's [[SUB_K]]-gram starts (linear
+    * in corpus tokens), one groupBy(gram_hash) marks hashes seen in
+    * ≥ 2 distinct docs, a back-join flags repeated starts, and the
+    * covered-token count is an interval-union computed per doc from
+    * REPEATED STARTS ONLY — Σ min(K, gap to previous start) via one
+    * lag window partitioned by doc (never a per-position frame). At
+    * 100 TB every stage is keyed by gram hash or doc id; nothing is
+    * quadratic and no token string rides past its 60-bit hash.
+    *
+    * Outputs per source: docs, token mass, covered mass, coverage
+    * ppm, and how many docs are majority-duplicated (the paper's
+    * drop candidates). The %5 twin corpus guarantees the fixture has
+    * true cross-doc runs; the guard on short docs uses the
+    * sequence-descends-below-2 lesson from bpe_learn. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val twins = d0.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("source"),
+        concat(col("text"), lit(" zqxj")).as("text"))
+    val d = d0.unionAll(twins)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("l"))
+      .withColumn("n_tok", size(col("l")).cast("long"))
+      .transform(graft.util.Fence.lineage)
+    val grams = d.select(col("doc_id"), col("n_tok"),
+        explode_outer(when(size(col("l")) >= SUB_K,
+          transform(sequence(lit(1), size(col("l")) - SUB_K + 1),
+            j => struct(j.as("j"),
+              Hashing.phash(concat_ws(" ", slice(col("l"), j, lit(SUB_K))), "sg_")
+                .as("gh"))))
+          .otherwise(array())).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("doc_id"), col("n_tok"), col("g.j").as("j"), col("g.gh").as("gh"))
+      .transform(graft.util.Fence.lineage)
+    val rep = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("j"))
+    val covered = grams.join(rep, Seq("gh"))
+      .withColumn("prev", lag(col("j"), 1).over(w))
+      .withColumn("add",
+        when(col("prev").isNull, lit(SUB_K.toLong))
+          .otherwise(least(lit(SUB_K.toLong), col("j") - col("prev"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("add")).cast("long").as("cov"))
+    d.select(col("doc_id"), col("source"), col("n_tok"))
+      .join(covered, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("cov"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        sum(col("cov")).cast("long").as("covered_tokens"),
+        sum(when(col("cov") * 2 > col("n_tok"), 1L).otherwise(0L))
+          .cast("long").as("n_docs_majority_dup"))
+      .withColumn("coverage_ppm",
+        floor(col("covered_tokens").cast("double") * 1000000 / col("n_tokens"))
+          .cast("long"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("covered_tokens"), col("coverage_ppm"), col("n_docs_majority_dup"))
+      .orderBy(col("source"))
+  }
+
+  val substringDedupSql: String =
+    s"""WITH d AS (
+         SELECT doc_id, source,
+           string_split_regex(trim(text), '\\s+') AS l
+         FROM (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, source,
+             concat(text, ' zqxj') AS text
+           FROM documents WHERE doc_id % 5 = 0)),
+       dd AS (SELECT doc_id, source, l, CAST(len(l) AS BIGINT) AS n_tok FROM d),
+       g AS (
+         SELECT doc_id, u.g.j AS j, u.g.gh AS gh FROM (
+           SELECT doc_id, unnest(CASE WHEN len(l) >= $SUB_K THEN
+             list_transform(generate_series(1, len(l) - $SUB_K + 1),
+               j -> struct_pack(j := j, gh := ${Hashing.phashSql(
+                 s"array_to_string(list_slice(l, j, j + $SUB_K - 1), ' ')", "sg_")}))
+             ELSE [] END) AS g
+           FROM dd) u),
+       rep AS (
+         SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+       rs AS (
+         SELECT g.doc_id, g.j,
+           lag(g.j) OVER (PARTITION BY g.doc_id ORDER BY g.j) AS prev
+         FROM g JOIN rep ON g.gh = rep.gh),
+       cov AS (
+         SELECT doc_id, CAST(sum(CASE WHEN prev IS NULL THEN $SUB_K
+           ELSE least($SUB_K, j - prev) END) AS BIGINT) AS cov
+         FROM rs GROUP BY doc_id)
+       SELECT dd.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dd.n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(COALESCE(cov.cov, 0)) AS BIGINT) AS covered_tokens,
+         CAST(floor(CAST(sum(COALESCE(cov.cov, 0)) AS DOUBLE) * 1000000 /
+           sum(dd.n_tok)) AS BIGINT) AS coverage_ppm,
+         CAST(sum(CASE WHEN COALESCE(cov.cov, 0) * 2 > dd.n_tok
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_majority_dup
+       FROM dd LEFT JOIN cov ON dd.doc_id = cov.doc_id
+       GROUP BY dd.source ORDER BY dd.source"""
 
   /** CTE chain `d .. ngj(source, id1, id2, jaccard)` — the SQL twin
     * of [[ngramJaccardOf]] over `documents`, reusable by downstream

@@ -588,6 +588,28 @@ class ExtSpec extends AnyFunSuite {
       s"found ${rows.map(_.getLong(2)).sum} dup pairs for $twins twins")
   }
 
+  test("substring_dedup covers every twinned doc pair as majority-duplicated") {
+    val rows = SparkEntry.queries("substring_dedup")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    rows.foreach { case (src, nDocs, nTok, cov, ppm, maj) =>
+      assert(cov <= nTok, s"$src covers more tokens than it has")
+      assert(ppm >= 0 && ppm <= 1000000)
+      assert(maj <= nDocs)
+    }
+    // every %5==0 doc with >= SUB_K tokens shares ALL its K-gram runs
+    // with its appended twin: both ends of the pair must be majority-
+    // covered, so the majority-dup count is at least twice the
+    // twinnable-doc count (other natural overlaps only add to it)
+    val twinnable = graft.model.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0 &&
+        size(split(trim(col("text")), "\\s+")) >= graft.ext.Dedup.SUB_K)
+      .count()
+    assert(twinnable > 0, "fixture drifted — no twinnable docs")
+    assert(rows.map(_._6).sum >= 2 * twinnable,
+      s"majority-dup ${rows.map(_._6).sum} < ${2 * twinnable} twin ends")
+  }
+
   test("dedup_semantic_ivf accounts for every vector and finds the twin mass") {
     val rows = SparkEntry.queries("dedup_semantic_ivf")(spark, sf).collect()
     val base = graft.model.Tables.embeddings(spark, sf).count()
