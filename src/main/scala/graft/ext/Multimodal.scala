@@ -758,11 +758,15 @@ object Multimodal {
     * their dimensions match, their luminance signatures differ in at
     * most ONE bit, AND their total luminance falls in the same or an
     * adjacent [[LUM_BAND]] band. The Hamming-≤1 × band-≤1 join is
-    * EXACT without any quadratic bucket: each image emits its
-    * signature plus all [[SIG_BITS]] single-bit flips crossed with
-    * the three band offsets (51 probe rows), and a pair surfaces
-    * exactly once — the matching (flip, offset) combination is unique
-    * — so no dropDuplicates pass. `exact_dup` separates true byte
+    * EXACT without any quadratic bucket, with the probe fan SPLIT
+    * across the join sides: the left side emits its signature plus
+    * all [[SIG_BITS]] single-bit flips at its OWN band (17 rows),
+    * the right side emits its exact signature at its band and both
+    * neighbors (3 rows) — 20 rows per image in the shuffle instead
+    * of the 52 a one-sided 17×3 fan costs, for the identical match
+    * set (a pair at Δband ≤ 1 meets on exactly one (flip, offset)
+    * combination, so each pair still surfaces exactly once and no
+    * dropDuplicates pass exists). `exact_dup` separates true byte
     * copies from perceptual-only matches (every injected perturbed
     * twin is the latter, which the spec pins). Residual threshold
     * sensitivity, by design: a one-byte edit shifts `total` too, so a
@@ -772,31 +776,30 @@ object Multimodal {
     * asserts exact recall AT the operator's own threshold rather than
     * blanket twin recovery.
     *
-    * Scale shape: probes are a linear ×51 fan (explode_outer — the
+    * Scale shape: probes are a linear ×17 (+×3 right-side) fan
+    * (explode_outer — the
     * InferFiltersFromGenerate trap consciously avoided) over id-only
     * rows; the join is a plain equi-join on (w, h, band, probe) whose
     * output is the true match set plus same-band signature collisions
     * — never a per-bucket pair blowup. At 100 TB the fingerprint
-    * table is the persisted index and the probe fan stays 51×. */
+    * table is the persisted index and the probe fan stays 20×. */
   def mediaNeardup(spark: SparkSession, dir: String): DataFrame = {
     val fp = fingerprintImages(spark, dir).toDF()
       .withColumn("tband", expr(s"lum_total div $LUM_BAND"))
       .transform(graft.util.Fence.lineage)
-    val probeArr = array((for {
-      p <- col("sig") +: (0 until SIG_BITS).map(b =>
-             col("sig").bitwiseXOR(lit(1L << b)))
-      d <- -1 to 1
-    } yield struct(p.as("probe"), (col("tband") + d).as("band"))): _*)
+    val probeArr = array((col("sig") +: (0 until SIG_BITS).map(b =>
+      col("sig").bitwiseXOR(lit(1L << b)))): _*)
     val probes = fp.select(col("media_id").as("id1"), col("width"),
         col("height"), col("sig").as("sig1"), col("raster_hash").as("rh1"),
-        explode_outer(probeArr).as("pb"))
-      .filter(col("pb").isNotNull)
-      .select(col("id1"), col("width"), col("height"), col("sig1"),
-        col("rh1"), col("pb.probe").as("probe"), col("pb.band").as("band"))
+        col("tband").as("band"),
+        explode_outer(probeArr).as("probe"))
+      .filter(col("probe").isNotNull)
     val sigs = fp.select(col("media_id").as("id2"), col("width"),
-      col("height"), col("sig").as("sig2"),
-      col("raster_hash").as("rh2"), col("sig").as("probe"),
-      col("tband").as("band"))
+        col("height"), col("sig").as("sig2"),
+        col("raster_hash").as("rh2"), col("sig").as("probe"),
+        explode_outer(array((-1 to 1).map(d =>
+          col("tband") + d): _*)).as("band"))
+      .filter(col("band").isNotNull)
     probes.join(sigs, Seq("width", "height", "band", "probe"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
@@ -854,17 +857,21 @@ object Multimodal {
          SELECT media_id AS id1, w, h, sig AS sig1, raster_hash AS rh1,
            CASE WHEN bs.b = 0 THEN sig
                 ELSE xor(sig, 1 << (bs.b - 1)) END AS probe,
+           tband AS band
+         FROM f
+         CROSS JOIN (SELECT unnest(generate_series(0, $SIG_BITS)) AS b) bs),
+       fb AS (
+         SELECT media_id AS id2, w, h, sig, raster_hash,
            tband + ds.d AS band
          FROM f
-         CROSS JOIN (SELECT unnest(generate_series(0, $SIG_BITS)) AS b) bs
          CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS d) ds)
-       SELECT p.id1, f.media_id AS id2,
-         CAST(bit_count(xor(p.sig1, f.sig)) AS BIGINT) AS hamming,
-         p.rh1 = f.raster_hash AS exact_dup
+       SELECT p.id1, fb.id2,
+         CAST(bit_count(xor(p.sig1, fb.sig)) AS BIGINT) AS hamming,
+         p.rh1 = fb.raster_hash AS exact_dup
        FROM probes p
-       JOIN f ON f.w = p.w AND f.h = p.h AND f.tband = p.band
-              AND f.sig = p.probe
-       WHERE p.id1 < f.media_id
+       JOIN fb ON fb.w = p.w AND fb.h = p.h AND fb.band = p.band
+              AND fb.sig = p.probe
+       WHERE p.id1 < fb.id2
        ORDER BY id1, id2"""
 
   // ---- DCT perceptual hash over decoded rasters --------------------

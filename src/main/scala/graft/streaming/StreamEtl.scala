@@ -108,7 +108,7 @@ object StreamEtl {
     * rotated-log sources). At 100 TB the pattern is unchanged: blobs
     * arrive as object-store files, the fingerprint parquet is the
     * persisted index every near-dup probe joins
-    * ([[graft.ext.Multimodal.mediaNeardup]]'s 51-probe expansion) —
+    * ([[graft.ext.Multimodal.mediaNeardup]]'s split 17+3 probe fan) —
     * decode work is partition-parallel, and no raw byte ever rides a
     * join shuffle (the kernel's repartition spreads arrival files,
     * then only 5-long fingerprint rows move). */

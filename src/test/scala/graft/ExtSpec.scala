@@ -1480,9 +1480,9 @@ class ExtSpec extends AnyFunSuite {
   test("media_neardup finds every perturbed twin and no byte-exact twin") {
     val rows = SparkEntry.queries("media_neardup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-    // Hamming-<=1 is the operator's definition; the 51-probe expansion
-    // (17 signature variants x 3 luminance bands) must never surface a
-    // farther pair
+    // Hamming-<=1 is the operator's definition; the split probe fan
+    // (17 signature variants left x 3 band offsets right) must never
+    // surface a farther pair
     rows.foreach { case (id1, id2, ham, _) =>
       assert(ham >= 0 && ham <= 1, s"pair ($id1,$id2) at hamming $ham")
       assert(id1 < id2)
