@@ -435,11 +435,17 @@ object Dedup {
     *
     * Scale shape: identical to dedup_minhash_lsh (the dominant cost)
     * plus one map-side-combined groupBy on a ≤6-row key space. */
+  /** The deterministic content-independent split rule shared by
+    * [[splitLeakage]] (which applies it per DOC and counts the leaks
+    * that causes) and [[leakageFreeSplit]] (which applies it per
+    * near-dup COMPONENT, making leaks impossible) — same rule as
+    * [[graft.ext.Corpus.splitAssign]]. */
+  private def splitOf(id: Column): Column = {
+    val h = graft.util.Hashing.phash(id.cast("string"), "split_") % 1000
+    when(h < 980, lit("train")).when(h < 990, lit("val")).otherwise(lit("test"))
+  }
+
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
-    def splitOf(id: Column): Column = {
-      val h = graft.util.Hashing.phash(id.cast("string"), "split_") % 1000
-      when(h < 980, lit("train")).when(h < 990, lit("val")).otherwise(lit("test"))
-    }
     lshPairsOf(signatures(spark, dir))
       .select(col("id1"), col("id2"),
         splitOf(col("id1")).as("s1"), splitOf(col("id2")).as("s2"))
@@ -765,6 +771,67 @@ object Dedup {
        SELECT id AS doc_id, min(label) AS keeper_id,
          (SELECT cc_rounds FROM ccr) AS cc_rounds
        FROM reach GROUP BY id ORDER BY doc_id"""
+
+  /** Leakage-FREE split assignment — the FIX whose failure mode
+    * [[splitLeakage]] audits: instead of hashing each doc into a
+    * split (which strands the two halves of a near-dup pair on
+    * opposite sides of the train/test wall), hash the doc's near-dup
+    * COMPONENT — every member of a duplicate cluster inherits its
+    * keeper's split, so no verified near-dup pair can ever cross
+    * splits. This is the group-split rule every careful eval
+    * pipeline uses (split by cluster/source/url-group, never by
+    * item). Reads the staged keeper table ([[keeperTable]] — the
+    * propagation does not re-run), applies the SAME hash rule as
+    * [[splitLeakage]] to `keeper_id`, and reports per-split doc and
+    * component counts PLUS an in-result certificate: the actual
+    * count of verified near-dup pairs whose members landed in
+    * different splits — zero by construction, but COMPUTED over the
+    * same pair generator, not assumed (the join_cardinality
+    * convention).
+    *
+    * Scale shape: two groupBys over the staged (doc_id, keeper_id)
+    * table plus the certificate's two id-keyed joins on the pair
+    * list; the 1-row certificate rides a broadcast cross join. */
+  def leakageFreeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val k = keeperTable(spark, dir)
+      .select(col("doc_id"), col("keeper_id"),
+        splitOf(col("keeper_id")).as("split"))
+    val sp = k.select(col("doc_id"), col("split"))
+    val cross = lshPairsOf(signaturesOf(corpus2(spark, dir)))
+      .join(sp.select(col("doc_id").as("id1"), col("split").as("sa")), Seq("id1"))
+      .join(sp.select(col("doc_id").as("id2"), col("split").as("sb")), Seq("id2"))
+      .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("cross_split_pairs"))
+    k.groupBy(col("split"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("keeper_id")).cast("long").as("n_components"))
+      .crossJoin(broadcast(cross))
+      .select(col("split"), col("n_docs"), col("n_components"),
+        col("cross_split_pairs"))
+      .orderBy(col("split"))
+  }
+
+  val leakageFreeSplitSql: String = {
+    def splitOfSql(id: String): String = {
+      val h = s"(${graft.util.Hashing.phashSql(s"CAST($id AS VARCHAR)", "split_")} % 1000)"
+      s"CASE WHEN $h < 980 THEN 'train' WHEN $h < 990 THEN 'val' ELSE 'test' END"
+    }
+    s"""WITH t AS (
+         SELECT doc_id, keeper_id, ${splitOfSql("keeper_id")} AS split
+         FROM ($dedupGroupsSql)),
+       px AS (
+         WITH $corpus2Sql,
+         $lshPairsCtes
+         SELECT id1, id2 FROM j WHERE jaccard >= 0.5),
+       cert AS (
+         SELECT CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS cross_split_pairs
+         FROM px JOIN t a ON a.doc_id = px.id1 JOIN t b ON b.doc_id = px.id2)
+       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT keeper_id) AS BIGINT) AS n_components,
+         (SELECT cross_split_pairs FROM cert) AS cross_split_pairs
+       FROM t GROUP BY split ORDER BY split"""
+  }
 
   /** Component-size histogram over [[dedupGroups]] — the summary
     * every dedup run reports (how much of the corpus sits in how-big

@@ -588,6 +588,31 @@ class ExtSpec extends AnyFunSuite {
       s"found ${rows.map(_.getLong(2)).sum} dup pairs for $twins twins")
   }
 
+  test("leakage_free_split certifies zero cross-split near-dup pairs") {
+    val rows = SparkEntry.queries("leakage_free_split")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the certificate is the point: component-level hashing makes a
+    // cross-split near-dup pair impossible, and the query PROVES it
+    // over the same pair generator splitLeakage uses
+    rows.foreach { case (split, nDocs, nComp, cross) =>
+      assert(cross == 0L, s"$split leaked $cross near-dup pairs")
+      assert(nComp <= nDocs, s"$split has more components than docs")
+    }
+    // splits partition the twin corpus: base + %5 twins + %10 twins
+    val docs = graft.model.Tables.documents(spark, sf)
+    val expected = docs.count() +
+      docs.filter(col("doc_id") % 5 === 0).count() +
+      docs.filter(col("doc_id") % 10 === 0).count()
+    assert(rows.map(_._2).sum == expected,
+      s"split doc mass ${rows.map(_._2).sum} != corpus $expected")
+    // ... and the per-DOC rule on the same corpus DOES leak, so the
+    // certificate is demonstrably non-vacuous
+    val leaky = SparkEntry.queries("split_leakage")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(leaky.exists { case (a, b, n) => a != b && n > 0 },
+      "fixture drifted — per-doc splits no longer leak any pair")
+  }
+
   test("substring_dedup covers every twinned doc pair as majority-duplicated") {
     val rows = SparkEntry.queries("substring_dedup")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
