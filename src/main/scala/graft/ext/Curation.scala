@@ -665,8 +665,16 @@ object Curation {
     * ROUNDS is a fixed constant; a production run raises it and
     * persists the vocab frame between rounds exactly as the
     * per-round localCheckpoint does here. */
-  def bpeLearn(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(spark, dir)
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame =
+    bpeLearnOf(Tables.documents(spark, dir).select(col("text")))
+
+  /** [[bpeLearn]] over an arbitrary single-column `text` frame — the
+    * spec entry point that lets a crafted corpus drive a merge all
+    * the way to a ONE-symbol word (the sequence(1,0)-descends ANSI
+    * edge the pair enumeration guards against). */
+  private[graft] def bpeLearnOf(texts: DataFrame): DataFrame = {
+    val spark = texts.sparkSession
+    val words = texts
       .repartition(spark.sparkContext.defaultParallelism)
       .select(explode_outer(toks(col("text"))).as("word"))
       .filter(col("word").isNotNull && length(col("word")) >= 2 &&

@@ -498,6 +498,12 @@ object StreamEtl {
     val sims = graft.ext.Dedup.simhashOf(docs.select(col("doc_id"), col("text")))
       .join(docs.select(col("doc_id"), col("ts_ms")), Seq("doc_id"))
       .withColumn("day", expr(s"ts_ms div $DAY_MS"))
+    // sims is consumed by the calendar aggregate AND by bandRows (read
+    // twice itself), but needs NO fence: every consumer sits above the
+    // same post-aggregation exchange, and ReuseExchange shares it —
+    // measured identical (14.88 s vs 14.85 s at sf1) with an explicit
+    // localCheckpoint, which would only add a 10M-row materialization
+    // at sf10
     // global batch calendar: per-day watermark w (== cumulative max
     // for day-contained ts), the previous global day, and the
     // watermark two batches back. Unpartitioned windows are fine

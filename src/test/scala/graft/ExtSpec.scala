@@ -1578,6 +1578,22 @@ class ExtSpec extends AnyFunSuite {
       s"phash degenerate: ${ph.values.toSet.size} distinct values")
   }
 
+  test("bpe_learn survives a merge that collapses a word to one symbol") {
+    import spark.implicits._
+    // 'in' dominates, so round 1 merges (i, n) and the word 'in'
+    // becomes a SINGLE symbol — Spark sequence(1, size-1) would
+    // descend as [1, 0] for it and throw on element_at(syms, 0)
+    // under ANSI in round 2 without the size >= 2 pair guard; the
+    // other words keep later rounds non-degenerate
+    val texts = (Seq.fill(50)("in") ++ Seq.fill(10)("inner printing") ++
+      Seq.fill(5)("mint pint")).toDF("text")
+    val rows = graft.ext.Curation.bpeLearnOf(texts).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert((rows.head._2, rows.head._3) == ("i", "n"),
+      s"round 1 picked (${rows.head._2},${rows.head._3}), fixture drifted")
+  }
+
   test("bpe_learn round 1 is the true frequency argmax and compression is monotone") {
     val rows = SparkEntry.queries("bpe_learn")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
