@@ -358,6 +358,96 @@ object Dedup {
            AS dup_ppm
        FROM g ORDER BY source"""
 
+  /** Three-kind corpus for [[dedupPipeline]]: base docs + EXACT
+    * copies (`doc_id%3==0` at +2,000,000 — above every replica id
+    * range AND the +1,000,000 twin offset — byte-identical text, the
+    * mirror/re-crawl class) + NEAR twins (`doc_id%5==0` at
+    * +1,000,000, one appended token). Exact copies must collapse in
+    * the hash stage; near twins must survive it and be caught by the
+    * LSH stage. */
+  private[graft] def corpus3(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val copies = d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+    val twins = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zqxj")).as("text"))
+    d.unionAll(copies).unionAll(twins)
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
+  /** EXACT-THEN-NEAR pipeline composition — the production lever the
+    * MinHash family's scaladoc names instead of a band knob (see the
+    * block comment above [[dedupExact]]'s LSH section): run the cheap
+    * hash-groupBy collapse FIRST so content-identical clusters reach
+    * the LSH stage as ONE representative each, removing the M²
+    * replica term from the banded self-join without touching near-dup
+    * semantics (the `pull_report.pl` precedent — decorrelate the
+    * cheap collapse before the expensive pass). Reports each stage's
+    * in/out doc counts: stage 1 = exact md5 collapse (keeper =
+    * min(doc_id), min(text) is well-defined — all texts in a group
+    * are identical), stage 2 = verified LSH near-dup pass over the
+    * SURVIVORS with the greedy keep-lowest rule (a doc is removable
+    * iff it appears as the higher id of a verified pair; the full
+    * component resolution is [[dedupGroups]]' job).
+    *
+    * Scale shape: one content-hash groupBy (map-side partial) + the
+    * standard staged-signature LSH over the strictly smaller survivor
+    * set; the three 1-row stage counts ride broadcast cross joins and
+    * the 2-row report explodes from a single assembled row, so every
+    * aggregate runs exactly once. */
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val raw = corpus3(spark, dir)
+    // multi-consumer (count + signature pipeline) — fence the lineage
+    // so the groupBy does not re-run per consumer
+    val survivors = raw
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+      .select(col("doc_id"), col("text"))
+      .transform(graft.util.Fence.lineage)
+    val pairs = lshPairsOf(signaturesOf(survivors)).select(col("id1"), col("id2"))
+    val nRaw = raw.agg(count(lit(1)).as("n_raw"))
+    val nSurv = survivors.agg(count(lit(1)).as("n_surv"))
+    val nRm = pairs.agg(countDistinct(col("id2")).as("n_rm"))
+    nRaw.crossJoin(broadcast(nSurv)).crossJoin(broadcast(nRm))
+      .select(explode_outer(array(
+        struct(lit("1_exact").as("stage"),
+          col("n_raw").cast("long").as("n_in"),
+          col("n_surv").cast("long").as("n_out")),
+        struct(lit("2_near").as("stage"),
+          col("n_surv").cast("long").as("n_in"),
+          (col("n_surv") - col("n_rm")).cast("long").as("n_out")))).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("s.stage").as("stage"), col("s.n_in").as("n_in"),
+        col("s.n_out").as("n_out"))
+      .orderBy(col("stage"))
+  }
+
+  val dedupPipelineSql: String =
+    s"""WITH raw AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, concat(text, ' zqxj') AS text
+         FROM documents WHERE doc_id % 5 = 0),
+       corpus AS (
+         SELECT min(doc_id) AS doc_id, min(text) AS text
+         FROM raw GROUP BY md5(text)),
+       $lshPairsCtes,
+       nr AS (SELECT CAST(count(*) AS BIGINT) AS n_raw FROM raw),
+       ns AS (SELECT CAST(count(*) AS BIGINT) AS n_surv FROM corpus),
+       rm AS (SELECT CAST(count(DISTINCT id2) AS BIGINT) AS n_rm
+              FROM j WHERE jaccard >= 0.5)
+       SELECT stage, n_in, n_out FROM (
+         SELECT '1_exact' AS stage, nr.n_raw AS n_in, ns.n_surv AS n_out
+         FROM nr, ns
+         UNION ALL
+         SELECT '2_near' AS stage, ns.n_surv AS n_in,
+           ns.n_surv - rm.n_rm AS n_out
+         FROM ns, rm)
+       ORDER BY stage"""
+
   /** Dedup THRESHOLD CALIBRATION sweep — the report a team reads
     * before picking its near-dup cutoff: over ONE banded-LSH
     * candidate set (recall floor 0.5, same generator as
@@ -494,6 +584,14 @@ object Dedup {
   private[graft] def fuzzyEditOf(docs: DataFrame): DataFrame =
     fuzzyEditFromSig(signaturesOf(docs), docs)
 
+  /** (candidate pairs, verified output) of the fuzzy-edit pipeline
+    * over one shared signature build — the [[graft.tools.ProfileNgram]]
+    * stage handle. */
+  private[graft] def fuzzyEditStagesOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val sig = signaturesOf(docs)
+    (lshCandidatesOf(sig), fuzzyEditFromSig(sig, docs))
+  }
+
   private def fuzzyEditFromSig(sig: DataFrame, docs: DataFrame): DataFrame = {
     val cand = lshCandidatesOf(sig)
     val t = docs.select(col("doc_id"), col("text"))
@@ -607,8 +705,24 @@ object Dedup {
     * — required before re-running dedup over a rewritten corpus. */
   def invalidateStaged(spark: SparkSession, dir: String): Unit = {
     keeperCache.invalidate(spark, dir)
+    pairCache.invalidate(spark, dir)
     sigCache.invalidate(spark, dir)
   }
+
+  /** Staged VERIFIED near-dup pair list over [[corpus2]] — the edge
+    * set [[keeperAssignment]] propagates AND the pair generator
+    * [[leakageFreeSplit]]'s certificate audits. Staged alongside the
+    * keeper table so the certificate reads the pairs the keeper table
+    * was actually built from instead of re-running the dominant LSH
+    * cost a second time per query. */
+  private val pairCache = new graft.util.StagedCache
+
+  private def verifiedPairs2(spark: SparkSession, dir: String): DataFrame =
+    pairCache.getOrCompute(spark, dir) {
+      lshPairsOf(signaturesOf(corpus2(spark, dir)))
+        .select(col("id1"), col("id2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   private[graft] def stagedKeeperKeys: Set[(SparkSession, String)] =
     keeperCache.stagedKeys
@@ -623,10 +737,10 @@ object Dedup {
     val docs = corpus2(spark, dir)
     // lshPairsOf already enforces the 0.5 threshold via its integer
     // predicate — re-filtering on the computed jaccard would inline a
-    // second array_intersect per pair (the pushed-filter trap)
-    val pairs = lshPairsOf(signaturesOf(docs))
-      .select(col("id1"), col("id2"))
-      .localCheckpoint(eager = false)
+    // second array_intersect per pair (the pushed-filter trap). The
+    // pair list is itself staged ([[verifiedPairs2]]) so the leakage
+    // certificate can re-read it without re-running the LSH.
+    val pairs = verifiedPairs2(spark, dir)
     val edges = pairs.unionAll(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
     // iterate ONLY over edge-touched nodes: near-dup subgraphs are a
@@ -786,18 +900,21 @@ object Dedup {
     * component counts PLUS an in-result certificate: the actual
     * count of verified near-dup pairs whose members landed in
     * different splits — zero by construction, but COMPUTED over the
-    * same pair generator, not assumed (the join_cardinality
+    * same pair generator the keeper table is built from ([[corpus2]]'s
+    * staged verified pairs — note [[splitLeakage]] audits the
+    * one-twin corpus instead), not assumed (the join_cardinality
     * convention).
     *
     * Scale shape: two groupBys over the staged (doc_id, keeper_id)
-    * table plus the certificate's two id-keyed joins on the pair
-    * list; the 1-row certificate rides a broadcast cross join. */
+    * table plus the certificate's two id-keyed joins on the STAGED
+    * pair list (the LSH does not re-run here); the 1-row certificate
+    * rides a broadcast cross join. */
   def leakageFreeSplit(spark: SparkSession, dir: String): DataFrame = {
     val k = keeperTable(spark, dir)
       .select(col("doc_id"), col("keeper_id"),
         splitOf(col("keeper_id")).as("split"))
     val sp = k.select(col("doc_id"), col("split"))
-    val cross = lshPairsOf(signaturesOf(corpus2(spark, dir)))
+    val cross = verifiedPairs2(spark, dir)
       .join(sp.select(col("doc_id").as("id1"), col("split").as("sa")), Seq("id1"))
       .join(sp.select(col("doc_id").as("id2"), col("split").as("sb")), Seq("id2"))
       .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)), lit(0L))
@@ -927,7 +1044,13 @@ object Dedup {
 
   /** [[dedupIncremental]] over an arbitrary (doc_id, text) corpus —
     * the guard-contract test entry point. */
-  private[graft] def dedupIncrementalOf(docs: DataFrame): DataFrame = {
+  private[graft] def dedupIncrementalOf(docs: DataFrame): DataFrame =
+    incrementalStagesOf(docs)._2
+
+  /** (old×new candidate pairs, verified output) of the incremental
+    * dedup pipeline over one shared signature build — the
+    * [[graft.tools.ProfileNgram]] stage handle. */
+  private[graft] def incrementalStagesOf(docs: DataFrame): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val d = docs
       .select(
@@ -942,10 +1065,14 @@ object Dedup {
         concat(col("text"), lit(" vv9")).as("text"))
     val inc = d.unionAll(newBatch)
       .repartition(spark.sparkContext.defaultParallelism)
-    lshPairsOf(signaturesOf(inc))
+    val sig = signaturesOf(inc)
+    val cand = lshCandidatesOf(sig)
+      .filter(col("id1") < NEW_BATCH_FLOOR && col("id2") >= NEW_BATCH_FLOOR)
+    val out = lshPairsOf(sig)
       .filter(col("id1") < NEW_BATCH_FLOOR && col("id2") >= NEW_BATCH_FLOOR)
       .select(col("id2").as("new_id"), col("id1").as("old_id"), col("jaccard"))
       .orderBy(col("new_id"), col("old_id"))
+    (cand, out)
   }
 
   val dedupIncrementalSql: String =
@@ -1075,6 +1202,10 @@ object Dedup {
     * probe shuffle — around N ≈ 2×10⁵ on skewed real corpora. */
   private[graft] val SIM_WIDE_N = 200000L
 
+  /** Most bands any supported layout uses (the narrow 4×16 rung) —
+    * sizes [[simhashPairsOf]]'s emit-once guard chain. */
+  private[graft] val SIM_MAX_BANDS = 4
+
   /** SimHash near-dup pairs (hamming ≤ 3), with a CORPUS-ADAPTIVE
     * band layout derived in-query from N (the dedup_semantic
     * √N-knob pattern — a 1-row count aggregate broadcast, no driver
@@ -1116,6 +1247,8 @@ object Dedup {
       .transform(graft.util.Fence.lineage)
     // nb ∈ {4 narrow, 2 wide} from the corpus size — in-query, like
     // dedup_semantic's C = max(32, √N)
+    bandsOverride.foreach(nb => require(nb == 2 || nb == 4,
+      s"simhashPairsOf supports 64-bit layouts of 2 or 4 bands, got $nb"))
     val nbKnob = bandsOverride match {
       case Some(nb) => spark.range(1).select(lit(nb).as("nb"))
       case None => sims.agg(count(lit(1)).as("n"))
@@ -1146,9 +1279,15 @@ object Dedup {
         col("bb.probe").as("probe"),
         col("w"), col("mask"), col("tol"))
     // emit-once: no band BEFORE this one already matches within tol —
-    // a masked bit_count per joined row, never a pair-dedup shuffle
+    // a masked bit_count per joined row, never a pair-dedup shuffle.
+    // The chain carries SIM_MAX_BANDS-1 terms; a term for i >= nb-1
+    // is vacuously true via `band <= i` (band < nb always), so the
+    // guard is correct for ANY nb <= SIM_MAX_BANDS — the i*w shift
+    // only evaluates when band > i, i.e. i <= nb-2, keeping i*w <=
+    // 64-2w < 64 (never the mod-64 wrap). A layout with more bands
+    // must raise SIM_MAX_BANDS or the guard silently under-checks.
     val diff = col("s1").bitwiseXOR(col("s2"))
-    val noEarlierBand = (0 until 3).map { i =>
+    val noEarlierBand = (0 until SIM_MAX_BANDS - 1).map { i =>
       col("band") <= i ||
         call_function("bit_count",
           diff.bitwiseAND(call_function("shiftleft", col("mask"), lit(i) * col("w"))))
@@ -1205,7 +1344,15 @@ object Dedup {
     * Recall at the 0.8 threshold: P(candidate) = 1-(1-s²)⁸ ≥ 0.9997
     * for unigram-Jaccard s ≥ 0.8 — and identical in both engines,
     * since the minhash family is the same deterministic arithmetic. */
-  private[graft] def ngramJaccardOf(docs: DataFrame): DataFrame = {
+  private[graft] def ngramJaccardOf(docs: DataFrame): DataFrame =
+    ngramStagesOf(docs)._2
+
+  /** (candidate pairs, verified output) of the ngram-Jaccard
+    * pipeline over ONE shared signature build — the stage handle
+    * [[graft.tools.ProfileNgram]] uses to measure whether this
+    * family's at-scale growth is candidate-driven (a blocking
+    * problem) or output-driven (true pairs). */
+  private[graft] def ngramStagesOf(docs: DataFrame): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val d = docs
       // verify runs on the 32-bit token hashes, not the token strings:
@@ -1248,7 +1395,7 @@ object Dedup {
     // here: the sf0.1 corpus holds ~148k true near-dup pairs, so
     // candidates are O(100k), each paying the array ops)
     val toks = d.select(col("doc_id"), col("hs"))
-    cand
+    val out = cand
       .join(toks.select(col("doc_id").as("id1"), col("hs").as("ts1")), Seq("id1"))
       .join(toks.select(col("doc_id").as("id2"), col("hs").as("ts2")), Seq("id2"))
       .withColumn("inter", size(array_intersect(col("ts1"), col("ts2"))))
@@ -1263,6 +1410,7 @@ object Dedup {
               (size(col("ts1")) + size(col("ts2")) - col("inter")) * 10000 + 0.5) / 10000)
       .select(col("source"), col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("source"), col("id1"), col("id2"))
+    (cand, out)
   }
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =

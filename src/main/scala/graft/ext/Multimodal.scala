@@ -936,7 +936,11 @@ object Multimodal {
             call_function("substring", col("raster"), i, lit(1))) +
             PHASH_BRIGHT_STEP)), "")
     val twins = base
-      .filter(col("doc_id") % 6 === 0 && !col("raster").rlike("[|}~]"))
+      // exclude 0x7F too: wellFormed admits all of \x00-\x7F, and a
+      // DEL brightens to U+0082 (2 UTF-8 bytes) — the byte-indexed
+      // decoder would misalign every later pixel while the oracle's
+      // codepoint arithmetic stays aligned
+      .filter(col("doc_id") % 6 === 0 && !col("raster").rlike("[|}~\\x7F]"))
       .select((col("doc_id") + 1000000L).as("doc_id"), col("w"), col("h"),
         bright.as("raster"))
     base.unionByName(twins).select(
@@ -1040,7 +1044,7 @@ object Multimodal {
              chr(unicode(substr(raster, i, 1)) + $PHASH_BRIGHT_STEP)),
              'string_agg', '') AS raster
          FROM m0 WHERE media_id % 6 = 0
-           AND NOT regexp_matches(raster, '[|}~]')),
+           AND NOT regexp_matches(raster, '[|}~\\x7F]')),
        ct AS (SELECT * FROM (VALUES $ctVals) t(n, k, i, c)),
        px AS (
          SELECT media_id, w, h, ps.p,

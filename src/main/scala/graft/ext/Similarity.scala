@@ -534,6 +534,17 @@ object Similarity {
   private val SEM_CELLS_MIN = 32L
   private val SEM_THRESH = 0.99
 
+  /** Corpus size (twins included) above which [[dedupSemantic]]
+    * switches from the exact √N-cell assignment to the fixed-C IVF
+    * rung. Crossover math: at N rows the flat rung materializes an
+    * N·√N assignment frame plus a per-vector window shuffle while the
+    * IVF rung is one fused O(N·C) pass (C ≤ 2000) with cell-local
+    * pairs — measured 145.1 s vs 29.2 s at N ≈ 229k (sf10). 10,000
+    * puts the sf0.01/sf0.1 gates on the flat branch and the sf1
+    * replica gate (N ≈ 22,857) on the IVF branch, so BOTH rungs stay
+    * oracle-verified every round. */
+  private[graft] val SEM_RUNG_BOUND = 10000L
+
   /** Semantic dedup, SemDeDup-style (Abbas et al., 2303.09540): bucket
     * every vector into its nearest coarse-centroid CELL, then verify
     * cosine only WITHIN cells — the complementary candidate generator
@@ -554,7 +565,23 @@ object Similarity {
     * the two, where a FIXED C would leave pairs quadratic.
     * ScaleTrial2 measures the growth empirically at 10×. Pair frames
     * carry only (cell, id) — the vectors join back by id for the
-    * cosine verify, so no vector ever rides the pair shuffle. */
+    * cosine verify, so no vector ever rides the pair shuffle.
+    *
+    * RUNG-ADAPTIVE (the simhash [[graft.ext.Dedup.SIM_WIDE_N]]
+    * pattern): past [[SEM_RUNG_BOUND]] rows even the N·√N assignment
+    * plus the ~N^1.5 within-cell pairs are too much, so the query
+    * switches IN-QUERY — a 1-row count broadcast, no driver probe —
+    * to the fixed-C IVF rung of [[dedupSemanticIvf]] (bounded ≤2000
+    * centroid sample, fused [[graft.functions.TopCentroids]]
+    * assignment, within-cell pairs ~N²/2C cell-local). The inactive
+    * rung's centroid set is empty at runtime, so its plan degenerates
+    * to one O(N) scan; the oracle twin gates its two centroid CTEs on
+    * the same count(*), so both engines pick the same rung — the
+    * sf0.01 gate exercises the flat branch, the sf1 replica gate the
+    * IVF branch. Unlike the simhash knob this switch DOES change the
+    * result (different cell structure ⇒ different rollup) — that is
+    * the published SemDeDup stance: C is a deployment knob, and the
+    * oracle pins each rung's output exactly. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
     dedupSemanticOf(
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
@@ -583,7 +610,8 @@ object Similarity {
     * same 1-row broadcast as C itself, and every centroid table is a
     * bounded broadcast — no driver-side probes. */
   private[graft] def dedupSemanticOf(base: DataFrame,
-                                     hierarchical: Boolean = false): DataFrame = {
+                                     hierarchical: Boolean = false,
+                                     autoRung: Boolean = true): DataFrame = {
     val spark = base.sparkSession
     val twins = base.filter(col("vec_id") % 7 === 0)
       .select((col("vec_id") + 1000000).as("vec_id"),
@@ -606,12 +634,28 @@ object Similarity {
       pr6(dot(v, c).cast("double") /
         (sqrt(norm2(v).cast("double")) * sqrt(norm2(c).cast("double"))))
     val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    def flatCellsOver(fc: DataFrame): DataFrame =
+      e.crossJoin(broadcast(fc))
+        .withColumn("ccos", ccosTo(col("qv"), col("cv")))
+        .withColumn("rk", row_number().over(wA)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
     val cells =
-      if (!hierarchical) {
-        e.crossJoin(broadcast(cents))
-          .withColumn("ccos", ccosTo(col("qv"), col("cv")))
-          .withColumn("rk", row_number().over(wA)).filter(col("rk") === 1)
-          .select(col("vec_id"), col("cid").as("cell"))
+      if (!hierarchical && autoRung) {
+        // rung knob: 1-row count broadcast, no driver probe. Gating
+        // the CENTROID side empties the flat rung's N×C join at
+        // runtime (one O(N) scan survives); the IVF side gates its
+        // assignment input the same way. Exactly one branch of the
+        // union is non-empty per run.
+        val nTotal = e.agg(count(lit(1)).as("n_total"))
+        val centsFlat = cents.crossJoin(broadcast(nTotal))
+          .filter(col("n_total") <= SEM_RUNG_BOUND)
+          .select(col("cid"), col("cv"))
+        val eIvf = e.crossJoin(broadcast(nTotal))
+          .filter(col("n_total") > SEM_RUNG_BOUND)
+          .select(col("vec_id"), col("qv"))
+        flatCellsOver(centsFlat).unionByName(ivfCellsOf(eIvf, ivfCentRows(e)))
+      } else if (!hierarchical) {
+        flatCellsOver(cents)
       } else {
         // coarse level: the first ⌈√C⌉ centroids, derived from the
         // same 1-row n_cells broadcast (floor(sqrt) is bit-stable)
@@ -702,16 +746,28 @@ object Similarity {
       .select(col("vec_id"), col("qv"))
       .repartition(spark.sparkContext.defaultParallelism)
       .transform(graft.util.Fence.lineage)
-    // centroid table to the driver (≤ 2000 rows by the CENT_CAP
-    // bound — the payload a broadcast would carry anyway); the twin
-    // ids sit at +1,000,000, far above the cap, so the sample is
-    // always drawn from the base corpus
-    val centRows = e.filter(col("vec_id") % CENT_MOD === 1 && col("vec_id") < CENT_CAP)
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
-    val cells = e.select(col("vec_id"),
-      element_at(graft.functions.TopCentroids(col("qv"), centRows, 1), 1).as("cell"))
-    semCellRollup(cells, e)
+    semCellRollup(ivfCellsOf(e, ivfCentRows(e)), e)
   }
+
+  /** The IVF rung's centroid table, to the driver (≤ 2000 rows by the
+    * CENT_CAP bound — the payload a broadcast would carry anyway);
+    * the twin ids sit at +1,000,000, far above the cap, so the sample
+    * is always drawn from the base corpus. */
+  private def ivfCentRows(e: DataFrame): Seq[(Long, Seq[Long])] = {
+    val rows = e.filter(col("vec_id") % CENT_MOD === 1 && col("vec_id") < CENT_CAP)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    require(rows.nonEmpty,
+      s"IVF centroid sample is empty — no vec_id % $CENT_MOD == 1 below $CENT_CAP")
+    rows
+  }
+
+  /** Fused IVF cell assignment over `(vec_id, qv)` rows: nearest of
+    * `centRows` per vector via a single [[graft.functions.TopCentroids]]
+    * pass — no N×C candidate frame, no per-vector window shuffle. */
+  private def ivfCellsOf(assign: DataFrame,
+                         centRows: Seq[(Long, Seq[Long])]): DataFrame =
+    assign.select(col("vec_id"),
+      element_at(graft.functions.TopCentroids(col("qv"), centRows, 1), 1).as("cell"))
 
   val dedupSemanticIvfSql: String =
     s"""WITH base AS (
@@ -755,10 +811,17 @@ object Similarity {
              i -> CASE WHEN i = 2 THEN embedding[i] + CAST(0.01 AS FLOAT) ELSE embedding[i] END) AS embedding
          FROM embeddings WHERE vec_id % 7 = 0),
        e AS (SELECT vec_id, $quantSql AS qv FROM base),
+       nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e),
        nc AS (SELECT greatest($SEM_CELLS_MIN,
                 CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS n_cells
               FROM e),
-       c AS (SELECT vec_id AS cid, qv AS cv FROM e, nc WHERE e.vec_id < nc.n_cells),
+       c AS (
+         SELECT vec_id AS cid, qv AS cv FROM e, nc, nt
+         WHERE nt.n_total <= $SEM_RUNG_BOUND AND e.vec_id < nc.n_cells
+         UNION ALL
+         SELECT vec_id AS cid, qv AS cv FROM e, nt
+         WHERE nt.n_total > $SEM_RUNG_BOUND
+           AND vec_id % $CENT_MOD = 1 AND vec_id < $CENT_CAP),
        assigned AS (
          SELECT e.vec_id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id

@@ -267,7 +267,21 @@ object StreamEtl {
     * shape) or drain with single-batch `Trigger.Once` runs; reserve
     * AvailableNow for the untimed (`stateTtlMs = None`) variant — or
     * use [[nearDupStreamEventTime]], whose watermark-driven aging has
-    * no such trap and drains cleanly under AvailableNow. */
+    * no such trap and drains cleanly under AvailableNow.
+    *
+    * BAND-WIDTH CONTRACT vs the batch knob: the stream keeps the
+    * FIXED narrow 4×16 layout at every scale. A state-keyed stream
+    * cannot count its corpus (the in-query 1-row broadcast that picks
+    * [[graft.ext.Dedup.simhashPairsOf]]'s rung needs the whole input),
+    * and switching layouts mid-stream would orphan every live bucket
+    * key. That is safe for RESULTS because both batch rungs and this
+    * stream share complete candidate recall at hamming ≤ 3 plus the
+    * same exact bit_count verify — the stream's distinct pair set
+    * equals the batch output at EITHER rung (StreamSpec pins this
+    * pair-for-pair). What the narrow layout costs at scale is state
+    * fan-in (~N²/2¹⁷ per-bucket pair work on skewed corpora), and the
+    * levers for that are the ones this operator already has — state
+    * TTL + the compacted batch seed index — not band width. */
   def nearDupStream(spark: SparkSession, inputGlob: String, maxHamming: Int = 3,
                     stateTtlMs: Option[Long] = None,
                     seedIndex: Option[org.apache.spark.sql.Dataset[(Long, Long)]] = None)

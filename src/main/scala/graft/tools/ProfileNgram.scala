@@ -1,10 +1,18 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Dev tool: stage timings of the ngram-Jaccard LSH pipeline.
-  * Usage: scripts/run_main.sh graft.tools.ProfileNgram [sfDir] */
+/** Dev tool: CANDIDATE-vs-OUTPUT stage profile of the staged-signature
+  * text-LSH family (ngram_jaccard / dedup_incremental /
+  * dedup_fuzzy_edit). The family's measured at-scale superlinearity is
+  * claimed OUTPUT-driven (replica corpora densify true pairs ~M²) —
+  * this tool checks that claim directly: if the candidate count
+  * dominates the verified count, the blocking stage (not the data) is
+  * the problem and the band discussion in Dedup.scala reopens.
+  *
+  * Usage: scripts/run_main.sh graft.tools.ProfileNgram [sfDir]
+  * Prints one PROFILE line per stage and a final ratio line per op.
+  */
 object ProfileNgram {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -13,14 +21,27 @@ object ProfileNgram {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def t(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"PROFILE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+
+    def timedCount(name: String, df: DataFrame): Long = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"PROFILE $name: $n%,d rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      n
     }
-    val full = graft.ext.Dedup.ngramJaccardOf(
-      graft.model.Tables.documents(spark, dir))
-    t("ngram_full_noop")(full.write.format("noop").mode("overwrite").save())
-    println("  out=" + full.count())
+
+    def profile(op: String, stages: (DataFrame, DataFrame)): Unit = {
+      val nCand = timedCount(s"${op}_candidates", stages._1)
+      val nOut = timedCount(s"${op}_verified", stages._2)
+      println(f"PROFILE $op: candidate/verified ratio = " +
+        f"${nCand.toDouble / math.max(nOut, 1)}%.2f " +
+        f"(cand=$nCand%,d verified=$nOut%,d)")
+    }
+
+    val docs = graft.model.Tables.documents(spark, dir)
+    profile("ngram_jaccard", graft.ext.Dedup.ngramStagesOf(docs))
+    profile("dedup_incremental", graft.ext.Dedup.incrementalStagesOf(docs))
+    profile("dedup_fuzzy_edit",
+      graft.ext.Dedup.fuzzyEditStagesOf(graft.ext.Dedup.corpus(spark, dir)))
     spark.stop()
   }
 }

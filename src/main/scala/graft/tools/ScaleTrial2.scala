@@ -86,8 +86,8 @@ object ScaleTrial2 {
     val (npN, ntN) = trial(f"ngram_jaccard ${mult}%2dx", Dedup.ngramJaccardOf(corpus(mult)))
     val (ep1, et1) = trial("dedup_embed    1x", graft.ext.Similarity.dedupEmbeddingOf(ecorpus(1)))
     val (epN, etN) = trial(f"dedup_embed   ${mult}%2dx", graft.ext.Similarity.dedupEmbeddingOf(ecorpus(mult)))
-    val (cp1, ct1) = semTrial("dedup_semantic 1x", graft.ext.Similarity.dedupSemanticOf(ecorpus(1)))
-    val (cpN, ctN) = semTrial(f"dedup_semantic${mult}%2dx", graft.ext.Similarity.dedupSemanticOf(ecorpus(mult)))
+    val (cp1, ct1) = semTrial("dedup_semantic 1x", graft.ext.Similarity.dedupSemanticOf(ecorpus(1), autoRung = false))
+    val (cpN, ctN) = semTrial(f"dedup_semantic${mult}%2dx", graft.ext.Similarity.dedupSemanticOf(ecorpus(mult), autoRung = false))
     // hierarchical assignment rung: coarse-then-fine routing cuts the
     // assignment from N·C = N·√N to 2·N·√C evaluations; measure its
     // growth AND its dup-pair recall against the flat verify
@@ -97,7 +97,7 @@ object ScaleTrial2 {
       graft.ext.Similarity.dedupSemanticOf(ecorpus(1), hierarchical = true))
     val (hpN, htN) = semTrial(f"sem_hier      ${mult}%2dx",
       graft.ext.Similarity.dedupSemanticOf(ecorpus(mult), hierarchical = true))
-    val flatDups = dupPairs(graft.ext.Similarity.dedupSemanticOf(ecorpus(mult)))
+    val flatDups = dupPairs(graft.ext.Similarity.dedupSemanticOf(ecorpus(mult), autoRung = false))
     val hierDups = dupPairs(graft.ext.Similarity.dedupSemanticOf(ecorpus(mult), hierarchical = true))
     println(f"SCALE2 sem_hier recall at ${mult}x: $hierDups%,d / $flatDups%,d dup pairs " +
       f"(${100.0 * hierDups / math.max(flatDups, 1)}%.1f%%)")

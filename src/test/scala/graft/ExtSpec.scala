@@ -593,7 +593,8 @@ class ExtSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // the certificate is the point: component-level hashing makes a
     // cross-split near-dup pair impossible, and the query PROVES it
-    // over the same pair generator splitLeakage uses
+    // over the same pair generator the keeper table is built from
+    // (the two-twin corpus2 — splitLeakage audits the one-twin corpus)
     rows.foreach { case (split, nDocs, nComp, cross) =>
       assert(cross == 0L, s"$split leaked $cross near-dup pairs")
       assert(nComp <= nDocs, s"$split has more components than docs")
@@ -667,6 +668,51 @@ class ExtSpec extends AnyFunSuite {
     assert(narrow.nonEmpty, "fixture drifted — no simhash pairs at all")
     assert(narrow == wide,
       s"schemes disagree: onlyNarrow=${(narrow -- wide).size} onlyWide=${(wide -- narrow).size}")
+  }
+
+  test("semantic dedup auto-rung: each side of the bound matches its fixed rung row-for-row") {
+    import graft.ext.Similarity
+    val base = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // below the bound the switch must BE the flat assignment
+    val small = rows(Similarity.dedupSemanticOf(base))
+    assert(small == rows(Similarity.dedupSemanticOf(base, autoRung = false)),
+      "below SEM_RUNG_BOUND the switched form diverged from the flat rung")
+    // replicate past the bound (sign-flip replicas stay mutually
+    // dissimilar, vec_ids stay far below the 1,000,000 twin offset)
+    val reps = (Similarity.SEM_RUNG_BOUND / base.count()).toInt + 1
+    val big = base.crossJoin(spark.range(reps).toDF("rep"))
+      .select((col("vec_id") * reps + col("rep")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * when(col("rep") === 0, lit(1.0f))
+            .otherwise(when(pmod(hash(col("rep"), i), lit(2)) === 0, lit(1.0f))
+              .otherwise(lit(-1.0f)))).as("embedding"))
+    assert(big.count() * 8 / 7 > Similarity.SEM_RUNG_BOUND,
+      "fixture too small to cross the rung bound")
+    // above the bound the switch must BE the IVF rung
+    val switched = rows(Similarity.dedupSemanticOf(big))
+    assert(switched.nonEmpty && switched == rows(Similarity.dedupSemanticIvfOf(big)),
+      "above SEM_RUNG_BOUND the switched form diverged from the IVF rung")
+  }
+
+  test("dedup_pipeline collapses exact copies before the LSH stage sees them") {
+    val rows = SparkEntry.queries("dedup_pipeline")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(rows.map(_._1) == List("1_exact", "2_near"))
+    val Seq((_, rawN, survN), (_, nearIn, nearOut)) = rows.toSeq
+    val docs = graft.model.Tables.documents(spark, sf)
+    val exactCopies = docs.filter(col("doc_id") % 3 === 0).count()
+    // stage 1 removes exactly the injected byte-identical copies
+    assert(rawN - survN == exactCopies,
+      s"exact stage removed ${rawN - survN}, expected $exactCopies copies")
+    assert(nearIn == survN, "stage 2 input is not stage 1's output")
+    // stage 2 still catches every near twin (they survive the hash)
+    val twins = docs.filter(col("doc_id") % 5 === 0).count()
+    assert(nearIn - nearOut >= twins,
+      s"near stage removed ${nearIn - nearOut}, expected >= $twins twins")
   }
 
   test("dedup_method_overlap balances against both generators' pair counts") {

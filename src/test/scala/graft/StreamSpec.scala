@@ -627,6 +627,45 @@ class StreamSpec extends AnyFunSuite {
     assert(keys.size == keys.distinct.size, "a hit emitted twice")
   }
 
+  test("nearDupStream pair set equals the batch adaptive-banding output at either rung") {
+    // the band-width contract in nearDupStream's scaladoc: the stream
+    // keeps the fixed narrow 4x16 layout, and because every rung has
+    // complete candidate recall at hamming <= 3 plus the exact
+    // bit_count verify, the stream's DISTINCT pair set must equal the
+    // batch simhashPairsOf output whichever layout the batch knob picks
+    val base = Files.createTempDirectory("graft_ndparity").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    val docs = graft.ext.Dedup.corpus(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/f1"),
+      docs.map { case (id, t) => s"$id\t$t" }.mkString("", "\n", "\n"))
+    val buf = new scala.collection.mutable.ArrayBuffer[StreamEtl.NearDupHit]()
+    val q = StreamEtl.nearDupStream(spark, s"$in/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamEtl.NearDupHit], _: Long) =>
+        buf.synchronized { buf ++= batch.collect() }; ()
+      }
+      .option("checkpointLocation", s"$base/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamPairs = buf.synchronized(buf.toSeq)
+      .map(h => (math.min(h.doc_id, h.dup_of), math.max(h.doc_id, h.dup_of),
+        h.hamming.toLong)).toSet
+    assert(streamPairs.nonEmpty, "fixture produced no near-dup hits — vacuous")
+    for (nb <- Seq(4, 2)) {
+      val batchPairs = graft.ext.Dedup
+        .simhashPairsOf(graft.ext.Dedup.corpus(spark, sf), Some(nb))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamPairs == batchPairs,
+        s"stream pairs diverged from the $nb-band batch rung: " +
+          s"onlyStream=${(streamPairs -- batchPairs).size} " +
+          s"onlyBatch=${(batchPairs -- streamPairs).size}")
+    }
+  }
+
   test("nearDupStream state ages out under a TTL and re-seeds from a batch index") {
     val base = Files.createTempDirectory("graft_neardup_ttl").toString
     val in = s"$base/in"; new java.io.File(in).mkdirs()
