@@ -689,8 +689,16 @@ object Similarity {
   /** Shared SemDeDup tail: within-cell pairs → exact quantized-cosine
     * verify → per-cell rollup. `cells` = (vec_id, cell), `e` =
     * (vec_id, qv). Pair frames carry only ids — vectors join back by
-    * id, so no vector rides the pair shuffle. */
-  private def semCellRollup(cells: DataFrame, e: DataFrame): DataFrame = {
+    * id, so no vector rides the pair shuffle.
+    *
+    * `cells` has THREE consumers here (both sides of the pair
+    * self-join plus the n_vecs rollup) and ReuseExchange does not
+    * cover them — without a materializing fence the whole assignment
+    * (flat N×C window or fused TopCentroids pass) executes once PER
+    * consumer (verified in the formatted plan: three Window nodes).
+    * The fence stores (vec_id, cell) longs only. */
+  private def semCellRollup(cellsRaw: DataFrame, e: DataFrame): DataFrame = {
+    val cells = graft.util.Fence.lineage(cellsRaw)
     val pairs = cells.select(col("cell"), col("vec_id").as("id1"))
       .join(cells.select(col("cell"), col("vec_id").as("id2")), Seq("cell"))
       .filter(col("id1") < col("id2"))
