@@ -393,21 +393,37 @@ object Dedup {
     *
     * Scale shape: one content-hash groupBy (map-side partial) + the
     * standard staged-signature LSH over the strictly smaller survivor
-    * set; the three 1-row stage counts ride broadcast cross joins and
-    * the 2-row report explodes from a single assembled row, so every
-    * aggregate runs exactly once. */
+    * set — the collapse and signature build are STAGED once per
+    * (session, corpus) via [[pipelineSigs]], the same pattern as the
+    * raw corpus's [[sigCache]]; the three 1-row stage counts ride
+    * broadcast cross joins and the 2-row report explodes from a
+    * single assembled row, so every aggregate runs exactly once. */
+  /** Staged SURVIVOR signature table for [[dedupPipeline]] — the
+    * md5 collapse + shingle→minhash build runs once per (session,
+    * corpus) exactly like [[sigCache]] does for the raw corpus; a
+    * production pipeline writes the collapsed corpus and its
+    * signature parquet once and every near-dup pass reads them. One
+    * row per survivor, so the stage-1 output count reads off this
+    * table for free. */
+  private val pipeSigCache = new graft.util.StagedCache
+
+  private def pipelineSigs(spark: SparkSession, dir: String): DataFrame =
+    pipeSigCache.getOrCompute(spark, dir) {
+      val survivors = corpus3(spark, dir)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+        .select(col("doc_id"), col("text"))
+      signaturesOf(survivors)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
     val raw = corpus3(spark, dir)
-    // multi-consumer (count + signature pipeline) — fence the lineage
-    // so the groupBy does not re-run per consumer
-    val survivors = raw
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
-      .select(col("doc_id"), col("text"))
-      .transform(graft.util.Fence.lineage)
-    val pairs = lshPairsOf(signaturesOf(survivors)).select(col("id1"), col("id2"))
+    val sig = pipelineSigs(spark, dir)
+    val pairs = lshPairsOf(sig).select(col("id1"), col("id2"))
     val nRaw = raw.agg(count(lit(1)).as("n_raw"))
-    val nSurv = survivors.agg(count(lit(1)).as("n_surv"))
+    // the signature table carries exactly one row per survivor
+    val nSurv = sig.agg(count(lit(1)).as("n_surv"))
     val nRm = pairs.agg(countDistinct(col("id2")).as("n_rm"))
     nRaw.crossJoin(broadcast(nSurv)).crossJoin(broadcast(nRm))
       .select(explode_outer(array(
@@ -707,6 +723,7 @@ object Dedup {
     keeperCache.invalidate(spark, dir)
     pairCache.invalidate(spark, dir)
     sigCache.invalidate(spark, dir)
+    pipeSigCache.invalidate(spark, dir)
   }
 
   /** Staged VERIFIED near-dup pair list over [[corpus2]] — the edge
