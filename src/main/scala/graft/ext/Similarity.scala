@@ -788,12 +788,15 @@ object Similarity {
        e AS (SELECT vec_id, $quantSql AS qv FROM base),
        c AS (SELECT vec_id AS cid, qv AS cv FROM e
              WHERE vec_id % $CENT_MOD = 1 AND vec_id < $CENT_CAP),
-       assigned AS (
-         SELECT e.vec_id, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY ${cosSql("e.qv", "c.cv")} DESC, c.cid) AS rk
-         FROM e CROSS JOIN c),
-       cells AS (SELECT vec_id, cid AS cell FROM assigned WHERE rk = 1),
+       cells AS (
+         -- cross-engine argmax (CLAUDE.md convention): rank-1 by
+         -- (cos DESC, cid ASC) == max(struct(cos, -cid)) — a hash
+         -- aggregate instead of a window sort over the N x C frame,
+         -- which at sf10 spilled past the disk
+         SELECT e.vec_id,
+           CAST(-struct_extract(max(struct_pack(
+             c := ${cosSql("e.qv", "c.cv")}, n := -c.cid)), 'n') AS BIGINT) AS cell
+         FROM e CROSS JOIN c GROUP BY e.vec_id),
        pairs AS (
          SELECT l.cell, l.vec_id AS id1, r.vec_id AS id2
          FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id),
@@ -830,12 +833,15 @@ object Similarity {
          SELECT vec_id AS cid, qv AS cv FROM e, nt
          WHERE nt.n_total > $SEM_RUNG_BOUND
            AND vec_id % $CENT_MOD = 1 AND vec_id < $CENT_CAP),
-       assigned AS (
-         SELECT e.vec_id, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY ${cosSql("e.qv", "c.cv")} DESC, c.cid) AS rk
-         FROM e CROSS JOIN c),
-       cells AS (SELECT vec_id, cid AS cell FROM assigned WHERE rk = 1),
+       cells AS (
+         -- cross-engine argmax (CLAUDE.md convention): rank-1 by
+         -- (cos DESC, cid ASC) == max(struct(cos, -cid)) — a hash
+         -- aggregate instead of a window sort over the N x C frame,
+         -- which at sf10 spilled past the disk
+         SELECT e.vec_id,
+           CAST(-struct_extract(max(struct_pack(
+             c := ${cosSql("e.qv", "c.cv")}, n := -c.cid)), 'n') AS BIGINT) AS cell
+         FROM e CROSS JOIN c GROUP BY e.vec_id),
        pairs AS (
          SELECT l.cell, l.vec_id AS id1, r.vec_id AS id2
          FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id),
