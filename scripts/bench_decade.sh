@@ -8,7 +8,7 @@ cd "$(dirname "$0")/.."
 export GRAFT_XMX=${GRAFT_XMX:-96g}
 OUT=${1:-/tmp/bench_r8}
 mkdir -p "$OUT"
-HEAVY="ann_recall,basket_pairs,dedup_embedding,dedup_fuzzy_edit,dedup_incremental,dedup_method_overlap,dedup_minhash_lsh,dedup_pipeline,dedup_semantic,dedup_semantic_ivf,dedup_threshold_sweep,doc_fingerprint,embed_truncate_eval,embedding_pca,graph_components,hits_scores,label_propagation,media_neardup,media_phash,multitouch_attribution,near_dup_ttl_batch,ngram_jaccard,pagerank_links,parse_rejects,rfm_segments,revenue_concentration,simhash_pairs,split_leakage,star_etl_summary,substring_dedup,value_deciles,winnow_fingerprint"
+HEAVY="ann_recall,basket_pairs,dedup_embedding,dedup_fuzzy_edit,dedup_incremental,dedup_method_overlap,dedup_minhash_lsh,dedup_pipeline,dedup_semantic,dedup_semantic_ivf,dedup_threshold_sweep,doc_fingerprint,embed_truncate_eval,embedding_pca,graph_components,hits_scores,label_propagation,media_neardup,media_neardup_stats,media_phash,multitouch_attribution,near_dup_ttl_batch,ngram_jaccard,pagerank_links,parse_rejects,rfm_segments,revenue_concentration,simhash_pairs,split_leakage,star_etl_summary,substring_dedup,value_deciles,winnow_fingerprint"
 
 echo "== full sf0.1 =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_OUT="$OUT" \

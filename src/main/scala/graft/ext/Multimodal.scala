@@ -808,6 +808,25 @@ object Multimodal {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Bounded-output rollup over [[mediaNeardup]]'s pair stream — the
+    * report a production dedup run actually consumes at scale: pair
+    * counts by (hamming, exact_dup) class plus the distinct doc mass
+    * on each side. The pair list itself is quadratic when the 16-bit
+    * signature saturates (measured 303.6M rows at the 100× replica
+    * scale, output-driven — see VERIFY_sf1.md round 10); this rollup
+    * feeds the SAME join into a 4-group partial aggregate, so nothing
+    * quadratic is ever sorted, shuffled, or materialized — Catalyst
+    * eliminates the inner ORDER BY under the aggregation
+    * (EliminateSorts), and the map-side combine reduces each
+    * partition's pair stream to ≤ 4 rows before the exchange. */
+  def mediaNeardupStats(spark: SparkSession, dir: String): DataFrame =
+    mediaNeardup(spark, dir)
+      .groupBy(col("hamming"), col("exact_dup"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        countDistinct(col("id1")).cast("long").as("n_left_docs"),
+        countDistinct(col("id2")).cast("long").as("n_right_docs"))
+      .orderBy(col("hamming"), col("exact_dup"))
+
   val mediaNeardupSql: String =
     s"""WITH m0 AS (
          SELECT doc_id AS media_id,
@@ -873,6 +892,13 @@ object Multimodal {
               AND fb.sig = p.probe
        WHERE p.id1 < fb.id2
        ORDER BY id1, id2"""
+
+  val mediaNeardupStatsSql: String =
+    s"""SELECT hamming, exact_dup, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT id1) AS BIGINT) AS n_left_docs,
+         CAST(count(DISTINCT id2) AS BIGINT) AS n_right_docs
+       FROM ($mediaNeardupSql)
+       GROUP BY hamming, exact_dup ORDER BY hamming, exact_dup"""
 
   // ---- DCT perceptual hash over decoded rasters --------------------
 
