@@ -62,29 +62,47 @@ object Graph {
     val edgesD = edges.join(deg, Seq("src"))
       .select(col("src"), col("dst"), col("deg"))
       .localCheckpoint(eager = false)
-    var ranks = nodes.select(col("id"), lit(BASE).as("rank"))
-    var prev = ranks
-    for (_ <- 1 to K) {
-      prev = ranks
-      val inc = edgesD.join(ranks, col("src") === col("id"))
-        .select(col("dst"), idiv(col("rank"), col("deg")).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
-      ranks = nodes
-        .join(inc.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"),
-          (lit(150000L) + idiv(coalesce(col("inc"), lit(0L)) * 85, lit(100L)))
-            .as("rank"))
-        .localCheckpoint(eager = false)
-    }
+    // Loop state is the SPARSE per-node in-sum (only nodes that
+    // receive mass): rank(v) = 150000 + idiv(85·coalesce(inc, 0),
+    // 100) everywhere, so the dense rank frame never materializes
+    // inside the loop — the old per-round `nodes LEFT JOIN inc`
+    // re-shuffled all N node rows K times just to attach a constant
+    // to the non-receivers (guide §2.3: shuffle fewer bytes).
+    // Identical ranks: a src absent from inc folds to the same
+    // 150000 constant through the coalesce.
+    def rankOf(inc: Column): Column =
+      lit(150000L) + idiv(coalesce(inc, lit(0L)) * 85, lit(100L))
+    def step(prev: DataFrame): DataFrame = edgesD
+      .join(prev.withColumnRenamed("dst", "id"), col("src") === col("id"), "left")
+      .select(col("dst"), idiv(rankOf(col("inc")), col("deg")).as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+    // round 1 needs no score join at all: every rank is BASE
+    var inc = edgesD
+      .select(col("dst"), idiv(lit(BASE), col("deg")).as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+    // rounds 1..K-2 are single-consumer and stay LAZY (one fused
+    // multi-stage query instead of a materialization job per round);
+    // only the two frames with a second consumer (round K's input and
+    // the convergence certificate below) are fenced.
+    for (_ <- 2 to K - 1) inc = step(inc)
+    val prevInc = inc.localCheckpoint(eager = false)
+    inc = step(prevInc).localCheckpoint(eager = false)
     // convergence certificate: the final round's max |Δrank| in
     // micro-units — K is a fixed constant, so every result carries
     // the evidence that K rounds sufficed on THIS graph (a judge/user
-    // can compare it against the rank spread). One id-keyed join of
-    // the two checkpointed rank frames + a 1-row broadcast.
-    val conv = ranks
-      .join(prev.withColumnRenamed("rank", "prev_rank"), Seq("id"))
-      .agg(max(abs(col("rank") - col("prev_rank"))).as("final_delta_micro"))
-    ranks.join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
+    // can compare it against the rank spread). Nodes absent from both
+    // sparse frames hold the same constant rank, so the full-outer
+    // join over the receivers covers every nonzero delta; the outer
+    // coalesce keeps the degenerate no-edges case at 0 like the
+    // dense form.
+    val conv = inc.select(col("dst"), rankOf(col("inc")).as("r1"))
+      .join(prevInc.select(col("dst"), rankOf(col("inc")).as("r0")),
+        Seq("dst"), "full_outer")
+      .agg(coalesce(max(abs(coalesce(col("r1"), lit(150000L)) -
+        coalesce(col("r0"), lit(150000L)))), lit(0L)).as("final_delta_micro"))
+    nodes.join(inc.withColumnRenamed("dst", "id"), Seq("id"), "left")
+      .select(col("id"), rankOf(col("inc")).as("rank"))
+      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("deg"), lit(0L)).cast("long").as("out_degree"),
         col("rank").cast("long").as("rank_micro"))
@@ -721,24 +739,33 @@ object Graph {
     val edges = und.select(col("u").as("a"), col("v").as("b"))
       .unionAll(und.select(col("v").as("a"), col("u").as("b")))
       .localCheckpoint(eager = false)
-    var labels = nodes.select(col("id"), col("id").as("label"))
-    var prev = labels
-    for (_ <- 1 to LPA_ROUNDS) {
-      prev = labels
-      val pick = edges.join(labels.withColumnRenamed("id", "a"), Seq("a"))
+    // The loop state covers only EDGE-TOUCHED nodes: the symmetric
+    // edge set puts every touched node on the `b` side, so each
+    // round's plurality pick is total over that domain and the old
+    // per-round `labels LEFT JOIN pick` (a full-N shuffle whose
+    // coalesce never fired for touched nodes) collapses to
+    // `labels = pick`. Isolated nodes keep their identity label and
+    // rejoin once, at the census. Rounds 1..K-2 are single-consumer
+    // and stay lazy; the last two frames (consumed twice: next round
+    // + the moves certificate / census) are fenced.
+    def pickOf(labels: DataFrame): DataFrame =
+      edges.join(labels.withColumnRenamed("id", "a"), Seq("a"))
         .groupBy(col("b"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("b").as("id"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("p"))
-        .select(col("id"), (-col("p.nl")).as("new_label"))
-      labels = labels.join(pick, Seq("id"), "left")
-        .select(col("id"), coalesce(col("new_label"), col("label")).as("label"))
-        .localCheckpoint(eager = false)
-    }
+        .select(col("id"), (-col("p.nl")).as("label"))
+    var labels = edges.select(col("a").as("id"))
+      .distinct().withColumn("label", col("id"))
+    for (_ <- 1 to LPA_ROUNDS - 1) labels = pickOf(labels)
+    val prev = labels.localCheckpoint(eager = false)
+    labels = pickOf(prev).localCheckpoint(eager = false)
     val moves = labels
       .join(prev.withColumnRenamed("label", "prev_label"), Seq("id"))
       .agg(count(when(col("label") =!= col("prev_label"), 1))
         .cast("long").as("final_moves"))
-    labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      .groupBy(col("label")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz").as("community_size"))
       .agg(count(lit(1)).cast("long").as("n_communities"),
         sum(col("sz")).cast("long").as("n_nodes"))
@@ -809,39 +836,42 @@ object Graph {
   def hitsScores(spark: SparkSession, dir: String): DataFrame = {
     val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
       .repartition(spark.sparkContext.defaultParallelism)
-      // referenced by every half-step's normalize join (6×) plus both
-      // initial score frames — one materialized id list, not 8 scans
-      .localCheckpoint(eager = false)
     val edges = edgesOf(nodes).localCheckpoint(eager = false)
+    // Scores stay SPARSE through the rounds: a node absent from a
+    // score frame holds 0 (it received no mass), so the per-half-step
+    // `nodes LEFT JOIN raw` of the old layout — one full-N shuffle
+    // and a nodes re-scan ×6 just to attach zero rows that the next
+    // inner join drops again — is gone (guide §2.3/§2.4). The dense
+    // view is assembled once at the end.
     def normalize(raw: DataFrame, out: String): DataFrame = {
       // `raw` (the expensive edges-join + groupBy) is referenced
-      // TWICE — by the max knob and by the normalize join — so THAT
-      // is the frame to fence; the normalized projection itself is
-      // single-consumer (the next half-step) and cheap over the
-      // fenced raw, so it needs no materialization of its own.
-      // The former layout checkpointed the projection instead and
-      // ran every join+groupBy twice (once for mx, once joined).
+      // TWICE — by the max knob and by the normalize projection — so
+      // it is the frame to fence.
       val rawCp = raw.localCheckpoint(eager = false)
       val mx = rawCp.agg(greatest(max(col("raw")), lit(1L)).as("mx"))
-      nodes.join(rawCp.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .crossJoin(broadcast(mx))
-        .select(col("id"),
-          idiv(coalesce(col("raw"), lit(0L)) * HITS_BASE, col("mx")).as(out))
+      rawCp.crossJoin(broadcast(mx))
+        .select(col("dst").as("id"),
+          idiv(col("raw") * HITS_BASE, col("mx")).as(out))
     }
-    var hub = nodes.select(col("id"), lit(HITS_BASE).as("hub"))
-    var auth = nodes.select(col("id"), lit(HITS_BASE).as("auth"))
-    for (_ <- 1 to HITS_ROUNDS) {
-      val araw = edges.join(hub.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("hub")).as("raw"))
-      auth = normalize(araw, "auth")
+    // round 1's auth needs no score join: every hub is the BASE
+    // constant, so the in-mass is just BASE·in-degree
+    var auth = normalize(edges.groupBy(col("dst"))
+      .agg((count(lit(1)) * HITS_BASE).as("raw")), "auth")
+    var hub: DataFrame = null
+    for (i <- 1 to HITS_ROUNDS) {
+      if (i > 1) {
+        val araw = edges.join(hub.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("hub")).as("raw"))
+        auth = normalize(araw, "auth")
+      }
       val hraw = edges.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("dst")).agg(sum(col("auth")).as("raw"))
       hub = normalize(hraw, "hub")
     }
-    auth.join(hub, Seq("id"))
+    nodes.join(auth, Seq("id"), "left").join(hub, Seq("id"), "left")
       .select(col("id").as("doc_id"),
-        col("auth").cast("long").as("auth_micro"),
-        col("hub").cast("long").as("hub_micro"))
+        coalesce(col("auth"), lit(0L)).cast("long").as("auth_micro"),
+        coalesce(col("hub"), lit(0L)).cast("long").as("hub_micro"))
       .orderBy(col("auth_micro").desc, col("doc_id"))
       .limit(TOPK)
   }

@@ -969,6 +969,41 @@ class ExtSpec extends AnyFunSuite {
     assert(top.map(_.getLong(1)).forall(d => d >= 0L && d <= 3L))
   }
 
+  test("pagerank sparse loop state matches the dense recurrence on a gappy graph") {
+    import spark.implicits._
+    // ids 0..4 and 100..104, M=10: every probe targets (7i+13k) % 10,
+    // so only targets 0..4 exist — the 100-block nodes receive NO
+    // mass (they exercise the sparse-inc "absent node" constant-rank
+    // path) and may keep zero out-degree when all three probes dangle.
+    val ids = (0L to 4L) ++ (100L to 104L)
+    val docs = ids.toDF("doc_id")
+    val m = ids.length.toLong
+    val idSet = ids.toSet
+    val edges = for {
+      s <- ids; k <- 1 to 3
+      d = ((s * 7 + k * 13) % m + m) % m
+      if idSet.contains(d)
+    } yield (s, d)
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = ids.map(_ -> 1000000L).toMap
+    var prev = rank
+    for (_ <- 1 to 5) {
+      prev = rank
+      val inc = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / deg(s) }.sum).toMap
+      rank = ids.map(i => i -> (150000L + 85L * inc.getOrElse(i, 0L) / 100L)).toMap
+    }
+    val delta = ids.map(i => math.abs(rank(i) - prev(i))).max
+    val rows = graft.ext.Graph.pagerankOf(docs).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == deg.getOrElse(id, 0L), s"out_degree mismatch at $id")
+      assert(r.getLong(2) == rank(id), s"rank mismatch at $id: $r")
+      assert(r.getLong(3) == delta, s"final_delta mismatch: $r")
+    }
+  }
+
   test("quality_gate keeps the central >=90% band per source") {
     val rows = SparkEntry.queries("quality_gate")(spark, sf).collect()
     assert(rows.nonEmpty)
