@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
@@ -259,24 +259,39 @@ object Cluster {
       .transform(graft.util.Fence.lineage)
     var v = spark.range(1)
       .select(transform(sequence(lit(1), lit(DIM)), _ => lit(1000L)).as("v"))
-    var w: DataFrame = null
-    var scale: DataFrame = null
+    var wrow: DataFrame = null
     for (_ <- 1 to PCA_ITERS) {
       val s = e.crossJoin(broadcast(v))
         .select(col("q"), graft.functions.LongDot(col("q"), col("v")).as("s"))
-      w = s.select(col("s"), posexplode_outer(col("q")))
+      val w = s.select(col("s"), posexplode_outer(col("q")))
         .filter(col("col").isNotNull)
         .withColumnRenamed("pos", "i").withColumnRenamed("col", "qi")
         .groupBy(col("i")).agg(sum(col("qi") * col("s")).as("w"))
-      scale = w.agg(greatest(expr("max(abs(w)) div 1000"), lit(1L)).as("g"),
+      // one 1-row aggregate carries BOTH the sorted w vector and the
+      // scale knob — the former separate scale agg + broadcast +
+      // crossJoin per iteration were three extra tiny stages per
+      // round for the same integer renormalization. g uses SQL `div`
+      // (exact long division — scale_max can exceed 2^53); the
+      // in-lambda w div g is exact through doubles because the
+      // quotient is bounded by ~2·10³ (|w| ≤ scale_max, g ≥
+      // scale_max div 1000), so the +0.5 floor absorbs the double
+      // rounding of the multiple while truncation semantics come from
+      // the explicit sign split.
+      wrow = w.agg(
+        transform(array_sort(collect_list(struct(col("i"), col("w")))),
+          st => st.getField("w")).as("warr"),
         max(abs(col("w"))).cast("long").as("scale_max"))
-      v = w.crossJoin(broadcast(scale))
-        .select(col("i"), expr("w div g").as("vn"))
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("vn")))),
-          st => st.getField("vn")).as("v"))
+        .withColumn("g", expr("greatest(scale_max div 1000, 1L)"))
+      def tdiv(x: Column): Column = {
+        val a = abs(x)
+        val q = floor((a - pmod(a, col("g"))) / col("g") + 0.5).cast("long")
+        when(x < 0, -q).otherwise(q)
+      }
+      v = wrow.select(transform(col("warr"), x => tdiv(x)).as("v"))
     }
-    w.crossJoin(broadcast(scale))
-      .select((col("i") + 1).cast("long").as("dim"),
+    wrow.select(col("scale_max"),
+        posexplode_outer(col("warr")).as(Seq("pos", "w")), col("g"))
+      .select((col("pos") + 1).cast("long").as("dim"),
         expr("w div g").cast("long").as("loading_milli"),
         col("scale_max"))
       .orderBy(col("dim"))

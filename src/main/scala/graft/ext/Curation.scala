@@ -112,27 +112,31 @@ object Curation {
       .select(explode_outer(bloomPos(col("h"), m)).as("pos"))
       .distinct()
       .withColumn("lit", lit(1))
-    val bloomDocs = docSh
-      .select(col("doc_id"), col("h"), explode_outer(bloomPos(col("h"), m)).as("pos"))
+    // fused probe: the exact-membership flag joins BEFORE the position
+    // explode (evalSh is distinct, so the row count is preserved),
+    // rides the (doc, h) aggregate, and both per-doc verdicts come
+    // from ONE groupBy chain — the former two separate pipelines
+    // re-scanned the shingle frame and shuffled two extra
+    // distinct(doc_id) frames for the same flags (guide §2.4)
+    val perDoc = docSh
+      .join(broadcast(evalSh.withColumn("eh", lit(1))), Seq("h"), "left")
+      .select(col("doc_id"), col("h"), col("eh"),
+        explode_outer(bloomPos(col("h"), m)).as("pos"))
       .join(broadcast(litPos), Seq("pos"), "left")
       .groupBy(col("doc_id"), col("h"))
-      .agg(sum(when(col("lit").isNotNull, 1).otherwise(0)).as("n_lit"))
-      .filter(col("n_lit") === BLOOM_K)
-      .select(col("doc_id")).distinct()
-      .withColumn("bloom_hit", lit(true))
-    val exactDocs = docSh
-      .join(broadcast(evalSh), Seq("h"), "left_semi")
-      .select(col("doc_id")).distinct()
-      .withColumn("exact_hit", lit(true))
+      .agg(sum(when(col("lit").isNotNull, 1).otherwise(0)).as("n_lit"),
+        max(coalesce(col("eh"), lit(0))).as("eh"))
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("n_lit") === BLOOM_K, 1).otherwise(0)).as("bh"),
+        max(col("eh")).as("ex"))
     d.select(col("source"), col("doc_id"))
-      .join(bloomDocs, Seq("doc_id"), "left")
-      .join(exactDocs, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
-        sum(when(col("exact_hit"), 1L).otherwise(0L)).as("n_exact_hits"),
-        sum(when(col("bloom_hit") && coalesce(col("exact_hit"), lit(false)) === false,
-          1L).otherwise(0L)).as("n_false_pos"))
+        sum(when(col("bh") === 1, 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(when(col("ex") === 1, 1L).otherwise(0L)).as("n_exact_hits"),
+        sum(when(col("bh") === 1 && col("ex") === 0, 1L).otherwise(0L))
+          .as("n_false_pos"))
       .orderBy(col("source"))
   }
 

@@ -469,19 +469,27 @@ object Graph {
       .unionByName(und.select(col("v").as("u"), col("u").as("v")))
       .select(col("u").as("src"), col("v").as("dst"))
       .localCheckpoint(eager = false)
+    // the per-round degree frame serves BOTH the next peel's keep-set
+    // and this round's census: n_nodes is its row count (distinct src
+    // of the symmetric frame) and n_edges is sum(deg) div 2 — the
+    // former per-round `countDistinct(src)` re-shuffled the whole
+    // edge frame through an Expand just to recount what the next
+    // round's degree aggregate already computes
+    var deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val stats = (1 to PEEL_ROUNDS).map { r =>
-      val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= KCORE)
-        .select(col("src").as("id"))
+      val keep = deg.filter(col("deg") >= KCORE).select(col("src").as("id"))
       sym = sym
         .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
         .localCheckpoint(eager = false)
-      sym.agg(
+      deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      deg.agg(
         lit(r.toLong).as("round"),
-        countDistinct(col("src")).cast("long").as("n_nodes"),
-        expr("count(1) div 2").cast("long").as("n_edges"))
+        count(lit(1)).cast("long").as("n_nodes"),
+        // coalesce: a fully-peeled round must census as 0 edges, not
+        // null (sum over the empty degree frame is null)
+        expr("coalesce(sum(deg), 0L) div 2").cast("long").as("n_edges"))
     }
     stats.reduce(_ unionByName _).orderBy(col("round"))
   }

@@ -78,16 +78,8 @@ object DistributedRank {
       when(col(v).isNotNull && col(tie).isNotNull, shiftright(col(tie), BITS))
         .otherwise(raise_error(lit(
           s"DistributedRank: null $v/$tie violates the non-null contract"))))
-    // tie uniqueness within (parts, v): __trng is a function of tie,
-    // so duplicate ties always land in the SAME (parts, v, __trng)
-    // group — count(*) == count(distinct tie) there iff tie is unique
-    // within (parts, v)
     val tcnt = keyed.groupBy((p :+ col(v) :+ col("__trng")): _*)
-      .agg(count(lit(1)).as("__tcRaw"), countDistinct(col(tie)).as("__td"))
-      .withColumn("__tc", when(col("__tcRaw") === col("__td"), col("__tcRaw"))
-        .otherwise(raise_error(lit(
-          s"DistributedRank: $tie is not unique within (${parts.mkString(",")}, $v)"))))
-      .drop("__tcRaw", "__td")
+      .agg(count(lit(1)).as("__tc"))
     val toffW = Window.partitionBy((p :+ col(v)): _*).orderBy(col("__trng"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // fuse term A into the (parts, v, __trng)-grain frame: both terms
@@ -101,9 +93,17 @@ object DistributedRank {
       .join(below, parts :+ v)
     val posW = Window.partitionBy((p :+ col(v) :+ col("__trng")): _*)
       .orderBy(col(tie))
+    // tie uniqueness within (parts, v): duplicate ties share __trng,
+    // so they are ADJACENT under posW's ordering — the lag probe
+    // rides the same Window node as the rank (no extra shuffle or
+    // aggregation; the former count-vs-countDistinct check cost a
+    // second row-scale two-phase aggregate) and adds 0 on valid rows
     keyed.join(toffs, parts ++ Seq(v, "__trng"))
       .withColumn(out,
-        col("__below") + col("__toff") + row_number().over(posW).cast("long"))
+        col("__below") + col("__toff") + row_number().over(posW).cast("long") +
+          when(lag(col(tie), 1).over(posW) === col(tie), raise_error(lit(
+            s"DistributedRank: $tie is not unique within (${parts.mkString(",")}, $v)")))
+            .otherwise(lit(0L)))
       .drop("__trng", "__toff", "__below")
   }
 

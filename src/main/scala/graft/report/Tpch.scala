@@ -1,6 +1,6 @@
 package graft.report
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.util.Exact
@@ -108,14 +108,38 @@ object Tpch {
                        AND l_shipdate > TIMESTAMP '1996-06-30')
        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
-  /** CUBE over flag/status — all four grouping sets in one pass
-    * (completes the rollup in Windows.rollupRevenue). */
-  def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(Exact.moneySum(col("l_extendedprice")).as("sum_price"),
-           count(lit(1)).as("n"))
+  /** CUBE over flag/status — all four grouping sets from ONE
+    * finest-grain pass (completes the rollup in
+    * Windows.rollupRevenue). The planner's CUBE Expands every fact
+    * row 4× through the shuffle; aggregating once at (flag, status)
+    * grain and re-aggregating the ≈|flag|·|status|-row result for the
+    * coarser sets ships partial rows instead (guide §2.3) — exact
+    * decimal partials keep every cell bit-identical, rounding stays
+    * at the end. */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("__s"),
+        count(lit(1)).as("__n"))
+    def fin(s: Column, n: Column): Seq[Column] =
+      Seq(round(s, 2).cast("double").as("sum_price"), n.cast("long").as("n"))
+    val nullS = lit(null).cast("string")
+    val full = g.select(Seq(col("l_returnflag"), col("l_linestatus")) ++
+      fin(col("__s"), col("__n")): _*)
+    val byFlag = g.groupBy(col("l_returnflag"))
+      .agg(sum(col("__s")).as("__s2"), sum(col("__n")).as("__n2"))
+      .select(Seq(col("l_returnflag"), nullS.as("l_linestatus")) ++
+        fin(col("__s2"), col("__n2")): _*)
+    val byStatus = g.groupBy(col("l_linestatus"))
+      .agg(sum(col("__s")).as("__s2"), sum(col("__n")).as("__n2"))
+      .select(Seq(nullS.as("l_returnflag"), col("l_linestatus")) ++
+        fin(col("__s2"), col("__n2")): _*)
+    val total = g.agg(sum(col("__s")).as("__s2"), sum(col("__n")).as("__n2"))
+      .select(Seq(nullS.as("l_returnflag"), nullS.as("l_linestatus")) ++
+        fin(col("__s2"), col("__n2")): _*)
+    full.unionByName(byFlag).unionByName(byStatus).unionByName(total)
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
 
   val cubeRevenueSql: String =
     s"""SELECT l_returnflag, l_linestatus,
@@ -958,24 +982,34 @@ object Tpch {
     * [[cubeRevenue]]/[[rollupRevenue]] can't express (cube = all 2ᵏ
     * sets, rollup = prefixes; a hand-picked set list is neither):
     * per-returnflag, per-linestatus, and grand-total revenue in ONE
-    * pass, disambiguated by GROUPING_ID (a NULL flag value vs a
-    * rolled-up flag would otherwise collide). Spark plans this as a
-    * single Expand + one aggregate — one scan for all three reports.
-    * Expressed through the SQL surface (`spark.sql` over a temp view)
-    * because the DataFrame API exposes only cube/rollup. */
+    * fact pass, disambiguated by GROUPING_ID (a NULL flag value vs a
+    * rolled-up flag would otherwise collide). */
   def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"))
-      .createOrReplaceTempView("graft_gs_lineitem")
-    spark.sql(
-      s"""SELECT l_returnflag, l_linestatus,
-            CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-            ${"CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)"} AS sum_price,
-            CAST(count(*) AS BIGINT) AS n
-          FROM graft_gs_lineitem
-          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-          ORDER BY gid, l_returnflag ASC NULLS FIRST,
-            l_linestatus ASC NULLS FIRST""")
+    // finest-grain pre-aggregate, each hand-picked set re-aggregated
+    // from the ≈|flag|·|status|-row result with its GROUPING_ID as a
+    // literal — the planner's GROUPING SETS Expands every fact row 3×
+    // through the shuffle (same shape as cubeRevenue above)
+    val g = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("__s"),
+        count(lit(1)).as("__n"))
+    val nullS = lit(null).cast("string")
+    def fin(s: Column, n: Column): Seq[Column] =
+      Seq(round(s, 2).cast("double").as("sum_price"), n.cast("long").as("n"))
+    val byFlag = g.groupBy(col("l_returnflag"))
+      .agg(sum(col("__s")).as("__s2"), sum(col("__n")).as("__n2"))
+      .select(Seq(col("l_returnflag"), nullS.as("l_linestatus"),
+        lit(1L).as("gid")) ++ fin(col("__s2"), col("__n2")): _*)
+    val byStatus = g.groupBy(col("l_linestatus"))
+      .agg(sum(col("__s")).as("__s2"), sum(col("__n")).as("__n2"))
+      .select(Seq(nullS.as("l_returnflag"), col("l_linestatus"),
+        lit(2L).as("gid")) ++ fin(col("__s2"), col("__n2")): _*)
+    val total = g.agg(sum(col("__s")).as("__s2"), sum(col("__n")).as("__n2"))
+      .select(Seq(nullS.as("l_returnflag"), nullS.as("l_linestatus"),
+        lit(3L).as("gid")) ++ fin(col("__s2"), col("__n2")): _*)
+    byFlag.unionByName(byStatus).unionByName(total)
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
   }
 
   val groupingSetsRevenueSql: String =
@@ -1125,14 +1159,25 @@ object Tpch {
         col("l_extendedprice"), col("l_discount"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .withColumn("delay_d", delay.cast("long"))
+      // manual two-level distinct: the (suppkey, orderkey) grain
+      // REUSES the join's hash(orderkey) partitioning (grouping keys
+      // are a superset), so the first aggregate runs exchange-free and
+      // the Expand row-doubling a countDistinct-with-siblings plan
+      // ships through the shuffle is gone (guide §2.3) — n_orders is
+      // the group count, every other metric a sum of exact partials
+      // (decimal money sums are order-independent by construction)
+      .groupBy(col("l_suppkey"), col("l_orderkey"))
+      .agg(count(lit(1)).as("__c"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("__rev"),
+        sum(col("delay_d")).as("__sd"),
+        sum(when(col("delay_d") > 60, 1L).otherwise(0L)).as("__sl"))
       .groupBy(col("l_suppkey"))
-      .agg(count(lit(1)).cast("long").as("n_lineitems"),
-        countDistinct(col("l_orderkey")).cast("long").as("n_orders"),
-        Exact.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .as("revenue"),
-        sum(col("delay_d")).cast("long").as("sum_delay_d"),
-        sum(when(col("delay_d") > 60, 1L).otherwise(0L)).cast("long")
-          .as("n_slow"))
+      .agg(sum(col("__c")).cast("long").as("n_lineitems"),
+        count(lit(1)).cast("long").as("n_orders"),
+        round(sum(col("__rev")), 2).cast("double").as("revenue"),
+        sum(col("__sd")).cast("long").as("sum_delay_d"),
+        sum(col("__sl")).cast("long").as("n_slow"))
       .withColumn("mean_delay_d",
         Exact.pround4(col("sum_delay_d").cast("double") / col("n_lineitems")))
       .withColumn("slow_ppm",

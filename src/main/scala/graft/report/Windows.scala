@@ -335,12 +335,31 @@ object Windows {
 
   /** ROLLUP over returnflag/linestatus — grouping-set capability
     * (absent in the reference; §2.6 extension). */
-  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(Exact.moneySum(col("l_extendedprice")).as("sum_price"),
-           count(lit(1)).as("n"))
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    // finest-grain pre-aggregate, coarser sets re-aggregated from the
+    // ≈|flag|·|status|-row result — the planner's ROLLUP Expands every
+    // fact row 3× through the shuffle (same shape as Tpch.cubeRevenue;
+    // exact decimal partials, rounding at the end)
+    val g = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("__s"),
+        count(lit(1)).as("__n"))
+    val nullS = lit(null).cast("string")
+    val full = g.select(col("l_returnflag"), col("l_linestatus"),
+      round(col("__s"), 2).cast("double").as("sum_price"),
+      col("__n").cast("long").as("n"))
+    val byFlag = g.groupBy(col("l_returnflag"))
+      .agg(round(sum(col("__s")), 2).cast("double").as("sum_price"),
+        sum(col("__n")).cast("long").as("n"))
+      .select(col("l_returnflag"), nullS.as("l_linestatus"),
+        col("sum_price"), col("n"))
+    val total = g.agg(round(sum(col("__s")), 2).cast("double").as("sum_price"),
+        sum(col("__n")).cast("long").as("n"))
+      .select(nullS.as("l_returnflag"), nullS.as("l_linestatus"),
+        col("sum_price"), col("n"))
+    full.unionByName(byFlag).unionByName(total)
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
 
   val rollupRevenueSql: String =
     s"""SELECT l_returnflag, l_linestatus,
