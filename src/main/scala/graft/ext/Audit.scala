@@ -625,22 +625,20 @@ object Audit {
     val keys = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey")).agg(count(lit(1)).as("w"))
     val key = col("l_orderkey").cast("string")
-    // the 8 md5 digests land as NAMED columns behind a fence (an
+    // the 16 HRW hash words land as NAMED columns behind a fence (an
     // array-of-structs HOF build measured 3× slower — higher-order
     // lambdas stay interpreted, and the argmax consumers would
-    // re-inline the build); shard 2p ← hex chars 1-15 of m_p,
-    // shard 2p+1 ← chars 17-31, argmax via codegen'd greatest()
-    // over (h, s) structs — struct ordering is lexicographic on
-    // both engines
+    // re-inline the build); shard 2p ← hex chars 1-15 of md5(key#p),
+    // shard 2p+1 ← chars 17-31 (the native Md5Word words), argmax via
+    // codegen'd greatest() over (h, s) structs — struct ordering is
+    // lexicographic on both engines
     val withMd5 = keys.select(
       Seq(col("w"), Hashing.phash(key, "rb_").as("h0")) ++
-        (0 to 7).map(p => md5(concat(key, lit(s"#$p"))).as(s"m$p")): _*)
+        (0 until 16).map(s => graft.functions.Md5Word(
+          concat(key, lit(s"#${s / 2}")), "", hi = s % 2 == 1).as(s"hw$s")): _*)
     val fenced = Fence.barrier(withMd5)
-    def shardStruct(s: Int): Column = {
-      val off = if (s % 2 == 0) 1 else 17
-      struct(conv(substring(col(s"m${s / 2}"), off, 15), 16, 10)
-        .cast("long").as("h"), lit(s.toLong).as("s"))
-    }
+    def shardStruct(s: Int): Column =
+      struct(col(s"hw$s").as("h"), lit(s.toLong).as("s"))
     val structs = (0 until 16).map(shardStruct)
     val per = fenced.select(col("w"),
       pmod(col("h0"), lit(12L)).as("mod_old"),

@@ -1123,9 +1123,8 @@ object Dedup {
     // independently-salted phash calls
     val tok = docs
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
-      .withColumn("hx", md5(concat(lit("sim_"), col("t"))))
-      .withColumn("h1", conv(substring(col("hx"), 1, 15), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(col("hx"), 17, 15), 16, 10).cast("long"))
+      .withColumn("h1", graft.util.Hashing.phash(col("t"), "sim_"))
+      .withColumn("h2", graft.util.Hashing.phashHi(col("t"), "sim_"))
     // The 64 bit-vote counters ride in 16-BIT LANES, four per word:
     // word w lane i counts set-bits of simhash bit j = 4w+i, and one
     // sum() per word accumulates all four counters carry-free while

@@ -549,9 +549,14 @@ object StreamEtl {
         sum(col("brk")).over(bw.rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("band"), col("bv"), col("day"), col("sid"))
     // the tagged frame feeds BOTH sides of the pair join — fence the
-    // lineage so the simhash + window pipeline runs once, not twice
+    // lineage so the simhash + window pipeline runs once, not twice.
+    // Project ts_ms away first: the checkpoint is a hard pruning
+    // boundary, so an unused column would be materialized and then
+    // shuffled through both sides of the self-join.
     val tagged = graft.util.Fence.lineage(
-      bandRows.join(sess, Seq("band", "bv", "day")))
+      bandRows.join(sess, Seq("band", "bv", "day"))
+        .select(col("band"), col("bv"), col("sid"),
+          col("doc_id"), col("simhash"), col("day")))
     val l = tagged.as("l"); val r = tagged.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
         col("l.sid") === col("r.sid") &&

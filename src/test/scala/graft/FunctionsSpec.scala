@@ -350,4 +350,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(projLine2.contains("*("),
       s"projection fell out of whole-stage codegen: $projLine2")
   }
+
+  test("Md5Word equals the composed conv(substring(md5)) form, both words") {
+    // the composed form IS the oracle SQL definition (Hashing.phashSql)
+    def oldLo(c: org.apache.spark.sql.Column, salt: String) =
+      conv(substring(md5(concat(lit(salt), c)), 1, 15), 16, 10).cast("long")
+    def oldHi(c: org.apache.spark.sql.Column, salt: String) =
+      conv(substring(md5(concat(lit(salt), c)), 17, 15), 16, 10).cast("long")
+    val rows = spark.range(2000)
+      .select(concat(lit("tok_"), col("id").cast("string")).as("s"))
+      .unionAll(spark.range(1).select(lit("").as("s")))
+      .unionAll(spark.range(1).select(lit("\u00e9\u4e2d\ud83d\ude00 multi byte").as("s")))
+      .unionAll(spark.range(1).select(lit(null).cast("string").as("s")))
+    val both = rows.select(
+      graft.functions.Md5Word(col("s"), "ng_", hi = false).as("nlo"),
+      oldLo(col("s"), "ng_").as("olo"),
+      graft.functions.Md5Word(col("s"), "", hi = true).as("nhi"),
+      oldHi(col("s"), "").as("ohi"))
+    assert(both.filter(not(col("nlo") <=> col("olo")) ||
+      not(col("nhi") <=> col("ohi"))).count() == 0,
+      "Md5Word diverges from the composed conv(md5) form")
+    // interpreted path (inside a HOF lambda) must agree too
+    val hof = rows.filter(col("s").isNotNull)
+      .select(transform(array(col("s")),
+        x => graft.functions.Md5Word(x, "ng_", hi = false)).getItem(0).as("n"),
+        oldLo(col("s"), "ng_").as("o"))
+    assert(hof.filter(not(col("n") <=> col("o"))).count() == 0,
+      "interpreted Md5Word diverges from the composed form")
+  }
 }
