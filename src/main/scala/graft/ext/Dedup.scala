@@ -1116,13 +1116,25 @@ object Dedup {
     * distinct powers of two, so no carry and no overflow; bit 63's
     * term is Long.MinValue, which is the correct two's-complement bit
     * pattern in both engines. */
-  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+  private[graft] def simhashOf(docs: DataFrame): DataFrame =
+    simhashOf(docs, Nil)
+
+  /** [[simhashOf]] with CARRY columns: extra per-document constants
+    * (e.g. an event timestamp) ride the doc-keyed aggregate as
+    * `max(c)` instead of joining back on doc_id afterwards — the
+    * carry widens each pre-aggregation token row by one value, but
+    * removes a whole exchange + join (and a second computation of
+    * the feed) from the consumer (guide §2.4). Caller contract: each
+    * carry column is single-valued per doc_id. */
+  private[graft] def simhashOf(docs: DataFrame,
+                               carry: Seq[String]): DataFrame = {
     // ONE md5 per token, split into two 60-bit words (hex chars 1-15
     // and 17-31) — the 64 bit-votes only need 32 bits of each, and an
     // explicit shared digest column halves the hashing cost vs two
     // independently-salted phash calls
     val tok = docs
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+      .select(col("doc_id") +: carry.map(col) :+
+        explode(array_distinct(tokens(col("text")))).as("t"): _*)
       .withColumn("h1", graft.util.Hashing.phash(col("t"), "sim_"))
       .withColumn("h2", graft.util.Hashing.phashHi(col("t"), "sim_"))
     // The 64 bit-vote counters ride in 16-BIT LANES, four per word:
@@ -1142,19 +1154,20 @@ object Dedup {
       sum((0 until 4).map(i => lane(4 * w + i)).reduce(_ + _)).as(s"w$w")
     }
     val sums = tok.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("tc"), wordSums: _*)
+      .agg(count(lit(1)).as("tc"),
+        wordSums ++ carry.map(c => max(col(c)).as(c)): _*)
     def cj(j: Int): Column =
       shiftright(col(s"w${j / 4}"), 16 * (j % 4)).bitwiseAND(lit(0xffffL))
     val packed = (0 until SIMBITS).map(j =>
       when(cj(j) * 2 > col("tc"), lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    sums.select(col("doc_id"),
-      when(col("tc") <= 60000L, packed)
+    sums.select(col("doc_id") +:
+      (when(col("tc") <= 60000L, packed)
         .otherwise(raise_error(concat(lit("simhashOf: doc "),
           col("doc_id").cast("string"), lit(" has "),
           col("tc").cast("string"),
           lit(" distinct tokens — 16-bit vote lanes overflow"))))
-        .as("simhash"))
+        .as("simhash")) +: carry.map(col): _*)
   }
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
@@ -1495,7 +1508,10 @@ object Dedup {
       .select(col("doc_id"), col("source"), tokens(col("text")).as("l"))
       .withColumn("n_tok", size(col("l")).cast("long"))
       .transform(graft.util.Fence.lineage)
-    val grams = d.select(col("doc_id"), col("n_tok"),
+    // n_tok deliberately NOT carried: the lineage fence is a hard
+    // pruning boundary, so a dead column would be materialized for
+    // every gram; the final rollup reads n_tok from `d` directly
+    val grams = d.select(col("doc_id"),
         explode_outer(when(size(col("l")) >= SUB_K,
           transform(sequence(lit(1), size(col("l")) - SUB_K + 1),
             j => struct(j.as("j"),
@@ -1503,11 +1519,15 @@ object Dedup {
                 .as("gh"))))
           .otherwise(array())).as("g"))
       .filter(col("g").isNotNull)
-      .select(col("doc_id"), col("n_tok"), col("g.j").as("j"), col("g.gh").as("gh"))
+      .select(col("doc_id"), col("g.j").as("j"), col("g.gh").as("gh"))
       .transform(graft.util.Fence.lineage)
+    // "appears in >= 2 distinct docs" ⇔ min(doc_id) ≠ max(doc_id):
+    // min/max partial-aggregate map-side and need ONE exchange on gh,
+    // where countDistinct(doc_id) planned a second full shuffle of
+    // the (gh, doc_id) gram frame (guide §2.3/§2.4)
     val rep = grams.groupBy(col("gh"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("d1"), max(col("doc_id")).as("d2"))
+      .filter(col("d1") =!= col("d2"))
       .select(col("gh"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("j"))

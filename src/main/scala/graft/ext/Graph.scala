@@ -321,7 +321,13 @@ object Graph {
       // blocks are pure directed cycles where one-way propagation
       // still converges, gapped blocks are chains where it doesn't)
       .select(col("id1"), col("id2"))
-    val edges = fw.unionAll(fw.select(col("id2").as("id1"), col("id1").as("id2")))
+    // the propagation loop references the edge list once per round
+    // (plus the init aggregate), and the unionAll reads `fw` twice —
+    // without a fence the synthesis scan + existence join re-runs
+    // 2·(rounds+1) times. keeperAssignment's edges come from a staged
+    // pair table, so the fence belongs here, at the synthesis site.
+    val edges = graft.util.Fence.lineage(
+      fw.unionAll(fw.select(col("id2").as("id1"), col("id1").as("id2"))))
     val (labels, rounds) = Dedup.minLabelComponentsWithRounds(edges)
     nodes
       .join(labels, Seq("id"), "left")

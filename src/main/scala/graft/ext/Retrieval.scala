@@ -223,10 +223,20 @@ object Retrieval {
       .filter(col("token").isNotNull)
       // referenced by BOTH aggregates — materialize the explode once
       .transform(graft.util.Fence.lineage)
-    val tf = occ.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val df_ = occ.groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // fenced: consumed by the scored join AND the df rollup below —
+    // column pruning would otherwise specialize the two subtrees
+    // (df's side drops the tf column) so ReuseExchange cannot fold
+    // them and the (doc, token) frame would shuffle twice
+    val tf = graft.util.Fence.lineage(
+      occ.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf")))
+    // df = how many docs carry the token = tf's per-token row count —
+    // riding the materialized tf instead of a countDistinct over the
+    // raw occurrence frame drops one full shuffle of the
+    // (token, doc_id) pairs (the invertedIndex builder's pattern,
+    // guide §2.4)
+    val df_ = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
     val scored = tf.join(df_, Seq("token")).crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),

@@ -509,8 +509,11 @@ object StreamEtl {
                                        maxHamming: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = feed.select(col("id").as("doc_id"), col("text"), col("ts_ms"))
-    val sims = graft.ext.Dedup.simhashOf(docs.select(col("doc_id"), col("text")))
-      .join(docs.select(col("doc_id"), col("ts_ms")), Seq("doc_id"))
+    // ts_ms rides the simhash aggregate as a carry column (it is
+    // single-valued per doc) — the old `join(docs, "doc_id")` paid a
+    // SECOND computation of the feed plus an exchange and a join just
+    // to re-attach one long per document (guide §2.4)
+    val sims = graft.ext.Dedup.simhashOf(docs, carry = Seq("ts_ms"))
       .withColumn("day", expr(s"ts_ms div $DAY_MS"))
     // sims is consumed by the calendar aggregate AND by bandRows (read
     // twice itself), but needs NO fence: every consumer sits above the
