@@ -501,27 +501,42 @@ object Audit {
     // re-inlines the whole 3-struct array below the projection
     // (CLAUDE.md trap); the literal array is never empty so the
     // outer variant is behavior-identical
+    // the generated structs carry only (layout tag, shard, pk, sk):
+    // the knob maxima and the layout NAME are constants per branch,
+    // so they attach after the ≤ 3·64-row aggregate instead of riding
+    // every one of the 3·N exploded rows (guide §2.3 — the string
+    // literal and two longs were ~40 bytes/row of pure constant)
     val sh = li.crossJoin(broadcast(mx))
       .select(explode_outer(array(
-        struct(lit("1_natural").as("layout"),
+        struct(lit(1).as("lay"),
           expr("(l_orderkey * 64) div (maxo + 1)").as("shard"),
-          col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
-          col("maxp"), col("maxs")),
-        struct(lit("2_by_part").as("layout"),
+          col("l_partkey").as("pk"), col("l_suppkey").as("sk")),
+        struct(lit(2).as("lay"),
           expr("(l_partkey * 64) div (maxp + 1)").as("shard"),
-          col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
-          col("maxp"), col("maxs")),
-        struct(lit("3_zorder").as("layout"),
+          col("l_partkey").as("pk"), col("l_suppkey").as("sk")),
+        struct(lit(3).as("lay"),
           shiftright(zval(col("l_partkey"), col("maxp"),
             col("l_suppkey"), col("maxs")), 26).as("shard"),
-          col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
-          col("maxp"), col("maxs")))).as("r"))
+          col("l_partkey").as("pk"), col("l_suppkey").as("sk")))).as("r"))
       .select(col("r.*"))
-    val g = sh.groupBy(col("layout"), col("shard"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
-        min(col("sk")).as("min_sk"), max(col("sk")).as("max_sk"),
-        first(col("maxp")).as("maxp"), first(col("maxs")).as("maxs"))
+    // fenced (≤ 3·64 rows): consumed by the predicate-band projection
+    // AND the knob re-derivation below — without the fence the second
+    // consumer's pruned aggregate would re-run the whole explode
+    val g0 = graft.util.Fence.lineage(
+      sh.groupBy(col("lay"), col("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
+          min(col("sk")).as("min_sk"), max(col("sk")).as("max_sk")))
+    // every fact row lands in each layout's groups, so the global key
+    // maxima re-derive from the 192-row aggregate itself — no second
+    // scan of the fact table to re-broadcast mx
+    val mx2 = g0.agg(max(col("max_pk")).as("maxp"),
+      max(col("max_sk")).as("maxs"))
+    val g = g0
+      .crossJoin(broadcast(mx2))
+      .withColumn("layout",
+        when(col("lay") === 1, "1_natural")
+          .when(col("lay") === 2, "2_by_part").otherwise("3_zorder"))
       // predicate bands: (40%, 42%] of each key domain
       .withColumn("plo", expr("maxp * 40 div 100 + 1"))
       .withColumn("phi", expr("maxp * 42 div 100"))
